@@ -1,0 +1,113 @@
+"""Text-analysis column expressions — all built-in-function
+compositions (JVM-side, codegen-friendly); no Python UDFs in any hot
+path.  These power the training-data-pipeline operators (token
+counting, quality scoring, language ID, fingerprinting) over the
+``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+
+# A small multilingual stopword list used by quality scoring; chosen to
+# be stable, not exhaustive.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "el", "la", "de", "le", "der", "die"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), WHITESPACE), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) — the MinHash unit."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams."""
+    c = F.col(text) if isinstance(text, str) else text
+    ln = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(c, i, n))
+    return F.array_distinct(F.when(ln >= n, grams).otherwise(F.array()))
+
+
+def quality_metrics(text: Column | str) -> dict[str, Column]:
+    """Deterministic document-quality signals (rounded by caller)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "n_unique_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+        "stopword_ratio": n_stop.cast("double") / F.greatest(n_tok, F.lit(1)),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text.  Identical across engines (DuckDB md5 == Spark md5), which is
+    what makes exact-dedup oracle-checkable."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), WHITESPACE, " "))
+
+
+# Language-ID: tiny marker-token scoring.  Deterministic and cheap; a
+# production system would use character-trigram models, but the engine
+# surface (argmax over per-language scores computed from token overlap)
+# is the same.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+    return out
+
+
+def predicted_lang(text: Column | str, default: str = "und") -> Column:
+    """argmax over marker scores; ties broken by language-code order,
+    all-zero → ``default``."""
+    scores = lang_scores(text)
+    best = None
+    best_score = None
+    for lang in sorted(scores):  # deterministic tie order
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit(default))

@@ -1,0 +1,32 @@
+from python_mozetl_spark.operators.aggregate import (  # noqa: F401
+    AggSpec,
+    conditional_count,
+    conditional_sum,
+    first_by,
+    last_by,
+    wide_agg,
+)
+from python_mozetl_spark.operators.asof import asof_join  # noqa: F401
+from python_mozetl_spark.operators.collapse import (  # noqa: F401
+    collapse_small_groups,
+    normalize_shares,
+)
+from python_mozetl_spark.operators.explode import (  # noqa: F401
+    explode_entries,
+    explode_map,
+    explode_with_default,
+    self_fanout,
+)
+from python_mozetl_spark.operators.pivot import pivot_agg  # noqa: F401
+from python_mozetl_spark.operators.sample import (  # noqa: F401
+    capped_random_per_key,
+    mod_sample,
+    stratified_sample,
+)
+from python_mozetl_spark.operators.sessionize import sessionize  # noqa: F401
+from python_mozetl_spark.operators.windows import (  # noqa: F401
+    latest_per_key,
+    running_agg,
+    top_n_per_group,
+    with_group_count,
+)

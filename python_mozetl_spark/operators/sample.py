@@ -1,0 +1,51 @@
+"""Sampling operators (SURVEY.md §2.9 U4-U7, §2.7 W4).
+
+Three kinds the reference uses:
+- deterministic hash/mod sampling (pushed into the BigQuery SQL at
+  mozetl/bhr_collection/bhr_collection.py:529-545) → :func:`mod_sample`
+  — reproducible, partition-prunable, oracle-checkable;
+- stratified sampling (mozetl/taar/taar_similarity.py:146-175) →
+  :func:`stratified_sample` (``sampleBy``);
+- per-key random cap, a privacy reservoir
+  (mozetl/taar/taar_locale.py:139-173) → :func:`capped_random_per_key`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mod_sample(
+    df: DataFrame, key: Column | str, buckets: int = 100, take: int = 1
+) -> DataFrame:
+    """U7: keep rows where ``pmod(key, buckets) < take``.
+
+    For string keys pass ``F.xxhash64(col)`` (or ``F.crc32``) as
+    ``key``; for integer surrogate keys the raw column suffices and the
+    predicate pushes down to the scan.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return df.where(F.pmod(k, F.lit(buckets)) < F.lit(take))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: Mapping[str, float], seed: int = 42
+) -> DataFrame:
+    """U5: per-stratum Bernoulli sampling (``sampleBy``)."""
+    return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def capped_random_per_key(
+    df: DataFrame, keys: Sequence[str], cap: int, seed: int = 42
+) -> DataFrame:
+    """W4: keep at most ``cap`` rows per key, chosen by seeded shuffle —
+    the reference's RAND()-ordered row_number privacy cap."""
+    w = Window.partitionBy(*keys).orderBy(F.rand(seed))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -1,0 +1,931 @@
+"""The graded query registry.
+
+Every operator family from SURVEY.md §2 (and the ext/ training-data
+operators) is represented by at least one named query over the driver's
+synthetic tables, together with a DuckDB oracle SQL string that
+computes the identical result.  ``__spark_entry__.queries()`` and
+``oracle_sql()`` are thin views over this registry; ``bench.py`` times
+a subset of it.
+
+Cross-engine determinism rules used throughout (see tools/check.py):
+- every float aggregate is ``round()``-ed (sum→2dp, avg/ratio→4-6dp);
+- every window/limit has a total order (unique tiebreaker column);
+- integer outputs are cast to BIGINT on both sides;
+- hashes are md5-based (bit-identical in Spark/DuckDB/Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.functions import text as T
+from python_mozetl_spark.functions import hashing as H
+from python_mozetl_spark.functions.vectors import cosine_similarity
+from python_mozetl_spark.operators import (
+    asof_join,
+    collapse_small_groups,
+    latest_per_key,
+    mod_sample,
+    normalize_shares,
+    pivot_agg,
+    sessionize,
+    top_n_per_group,
+)
+from python_mozetl_spark.session import tune_session
+from python_mozetl_spark.sources import read_table
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    doc: str
+    tags: tuple[str, ...]
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, doc: str, tags: tuple[str, ...], oracle: str | None = None,
+          bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Query(name, doc, tags, fn, oracle, bench)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    df = read_table(spark, sf_dir, name)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as nanos-long (nanosAsLong);
+        # truncate to micros with exact integer division (DIV, not
+        # float /) — matches DuckDB's nanos→micros truncation.
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
+        )
+    return df
+
+
+# --------------------------------------------------------------------------
+# A. Wide aggregation / scan / filter (SURVEY §2.1, §2.3, §2.6 A1-A4, A12)
+# --------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    "Flagship wide multi-aggregate groupBy (A1/A2/A3): the clients_daily-"
+    "style rollup shape (mozetl/clientsdaily/rollup.py:123-124) on lineitem. "
+    "Single hash-agg shuffle with map-side partials.",
+    ("A1", "A2", "A3", "S1"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2)                                   AS sum_qty,
+  round(sum(l_extendedprice), 2)                              AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4)                                   AS avg_qty,
+  round(avg(l_extendedprice), 4)                              AS avg_price,
+  round(avg(l_discount), 6)                                   AS avg_disc,
+  count(*)                                                    AS count_order,
+  count(DISTINCT l_orderkey)                                  AS distinct_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.count_distinct(F.col("l_orderkey")).alias("distinct_orders"),
+        )
+    )
+
+
+@query(
+    "filtered_scan",
+    "Predicate-pushdown scan (S2/P3/P4/P6): range + isin + corruption-guard "
+    "filters projected to a narrow row set; filters and projection must reach "
+    "the parquet reader (PushedFilters in the plan).",
+    ("S2", "P1", "P3", "P4", "P6"),
+    oracle="""
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+       round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag IN ('A', 'R') AND l_quantity > 45
+  AND l_discount BETWEEN 0.05 AND 0.07
+""",
+)
+def filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_quantity") > 45)
+        & F.col("l_discount").between(0.05, 0.07)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@query(
+    "summary_stats",
+    "Global summary statistics (A12, reference system_check.py describe()).",
+    ("A12",),
+    oracle="""
+SELECT count(*) AS n,
+  round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty,
+  round(avg(l_quantity), 4) AS avg_qty, round(stddev_samp(l_quantity), 4) AS sd_qty,
+  round(min(l_extendedprice), 2) AS min_price, round(max(l_extendedprice), 2) AS max_price,
+  round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem
+""",
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "status_conditional_agg",
+    "Conditional aggregation vocabulary (A2): count(when), sum(when), "
+    "countDistinct — the fields.py aggregate idioms.",
+    ("A2", "A5", "A6"),
+    oracle="""
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_revenue,
+  count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def status_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(st == "F", 1).otherwise(0)).alias("n_finished"),
+        F.count(F.when(st == "O", F.lit(1))).alias("n_open"),
+        F.round(F.sum(F.when(st == "O", F.col("o_totalprice")).otherwise(0)), 2).alias(
+            "open_revenue"
+        ),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B. Joins (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+@query(
+    "regional_revenue",
+    "Star join through two broadcast dims (J1/J4): orders⋈customer (shuffle) "
+    "⋈nation⋈region (broadcast).  At 100 TB only the fact-fact edge shuffles.",
+    ("J1", "J4", "S1"),
+    oracle="""
+SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    bench=True,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "priority_join_agg",
+    "Large-fact equi-join (J2): orders⋈lineitem on the natural key, "
+    "aggregated by priority.  The join that must stay a co-partitioned "
+    "shuffle join (or bucketed) at scale.",
+    ("J2", "A5"),
+    oracle="""
+SELECT o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders,
+  count(*) AS n_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    bench=True,
+)
+def priority_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "customer_order_counts",
+    "Left outer join (J3) preserving zero-order customers.",
+    ("J3",),
+    oracle="""
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+  round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    "Anti-join (J6): the reference's where-null-union complement branch "
+    "(mozetl/clientsdaily/rollup.py:88-97) expressed as left_anti.",
+    ("J6",),
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "segment_active_customers",
+    "Semi-join whitelist (J5, reference isin/broadcast-set pattern) counted "
+    "per segment: customers with at least one urgent order.",
+    ("J5",),
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_active
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "customer_year_sets",
+    "Set operations (§2.9 'free in Spark'): customers ordering in both 1995 "
+    "and 1996 (INTERSECT) — distinct-set semantics.",
+    ("U1", "U3"),
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+""",
+)
+def customer_year_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+        ).select("o_custkey")
+
+    return year(1995).intersect(year(1996))
+
+
+# --------------------------------------------------------------------------
+# C. Windows / sort / limit (SURVEY §2.7, §2.8)
+# --------------------------------------------------------------------------
+
+@query(
+    "latest_event_per_user",
+    "W1 latest-per-key dedup — the reference's most-repeated pattern "
+    "(4 hand-rolled copies, e.g. taar/taar_dynamo.py:338-346) — with a "
+    "total order (ts, event_id) for determinism.",
+    ("W1",),
+    oracle="""
+SELECT event_id, user_id, ts, event_type, round(value, 4) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return latest_per_key(e, ["user_id"], ["ts", "event_id"], descending=True).select(
+        "event_id", "user_id", "ts", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    "W2 top-N per group (reference landfill/sampler.py:134-143) with rank "
+    "column and deterministic tiebreak.",
+    ("W2", "O3"),
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    ranked = top_n_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        n=3,
+        descending=False,
+        rank_col="rank",
+    )
+    return ranked.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "running_revenue",
+    "Explicit ROWS frame running aggregate (not in reference; free Spark "
+    "window capability).  Same addition order both engines ⇒ exact match.",
+    ("W3", "W-frame"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+FROM orders
+""",
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+    )
+
+
+@query(
+    "user_event_enrich",
+    "W3 unbounded count-over-partition (taar_locale.py:145-150) + lag delta "
+    "(free Spark capability).",
+    ("W3",),
+    oracle="""
+SELECT event_id, user_id,
+  count(*) OVER (PARTITION BY user_id) AS n_events_user,
+  round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+FROM events
+""",
+)
+def user_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(wp).alias("n_events_user"),
+        F.round(F.col("value") - F.lag("value").over(wo), 4).alias("delta"),
+    )
+
+
+@query(
+    "user_first_last",
+    "Deterministic first/last aggregation (min_by/max_by over a total "
+    "order) — the engine's replacement for the reference's scan-order-"
+    "dependent first(ignorenulls) (SURVEY §7.3).",
+    ("A2", "W1"),
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT user_id,
+  max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+  max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+  count(*) AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM o GROUP BY user_id
+""",
+)
+def user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators import first_by, last_by
+
+    e = t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        first_by("event_type", order, "first_type"),
+        last_by("event_type", order, "last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "top_part_types",
+    "Global order + limit with deterministic tiebreak (O1-O3).",
+    ("O1", "O3"),
+    oracle="""
+SELECT p_type, round(avg(p_retailprice), 4) AS avg_price, count(*) AS n
+FROM part GROUP BY p_type
+ORDER BY avg_price DESC, p_type LIMIT 10
+""",
+)
+def top_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_type")
+        .agg(
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("avg_price").desc(), F.col("p_type"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# D. Pivot / collapse / shares / rollup (SURVEY §2.6 A7, A13, A14)
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "event_type_pivot",
+    "A7 pivot with FIXED value list (mozetl/search/aggregates.py:153-177). "
+    "Explicit domain avoids the extra distinct-scan job at scale.",
+    ("A7",),
+    oracle="""
+SELECT user_id,
+  round(sum(value) FILTER (WHERE event_type = 'click'), 2)    AS click_sum,
+  round(sum(value) FILTER (WHERE event_type = 'error'), 2)    AS error_sum,
+  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_sum,
+  round(sum(value) FILTER (WHERE event_type = 'signup'), 2)   AS signup_sum,
+  round(sum(value) FILTER (WHERE event_type = 'view'), 2)     AS view_sum
+FROM events GROUP BY user_id
+""",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    out = pivot_agg(
+        e,
+        ["user_id"],
+        "event_type",
+        EVENT_TYPES,
+        F.sum("value"),
+        alias_fmt="{value}_sum",
+    )
+    return out.select(
+        "user_id", *[F.round(f"{v}_sum", 2).alias(f"{v}_sum") for v in EVENT_TYPES]
+    )
+
+
+@query(
+    "brand_collapse",
+    "A13 threshold-collapse of small groups to 'Other' (privacy bucketing, "
+    "mozetl/hardware_report/summarize_json.py:351-417) as two hash-aggs.",
+    ("A13",),
+    oracle="""
+WITH c AS (SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS retail
+           FROM part GROUP BY p_brand)
+SELECT CASE WHEN n < 150 THEN 'Other' ELSE p_brand END AS brand,
+       CAST(sum(n) AS BIGINT) AS n, round(sum(retail), 2) AS retail
+FROM c GROUP BY 1
+""",
+)
+def brand_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    pre = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("retail"),
+    )
+    out = collapse_small_groups(pre, "p_brand", F.col("n"), threshold=150)
+    return out.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n"),
+        F.round("retail", 2).alias("retail"),
+    )
+
+
+@query(
+    "segment_share",
+    "A14 ratio-normalization to shares (summarize_json.py:420-469) via "
+    "unbounded window over the pre-aggregated frame.",
+    ("A14", "W3"),
+    oracle="""
+WITH s AS (SELECT c_mktsegment, sum(o_totalprice) AS revenue
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment)
+SELECT c_mktsegment, round(revenue, 2) AS revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM s
+""",
+)
+def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    pre = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    out = normalize_shares(pre, "revenue", alias="share", precision=6)
+    return out.select(
+        "c_mktsegment", F.round("revenue", 2).alias("revenue"), "share"
+    )
+
+
+@query(
+    "region_nation_rollup",
+    "Hierarchical ROLLUP grouping sets (§2.6 'not present in reference, "
+    "free in Spark').",
+    ("A1", "rollup"),
+    oracle="""
+SELECT r_name, n_name, round(sum(c_acctbal), 2) AS acctbal, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "nation_suppliers",
+    "A8 group→ordered-list aggregation (collect_list(struct) at "
+    "taar_lite_guidguid.py:161-178), emitted as a canonical CSV string.",
+    ("A8",),
+    oracle="""
+SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers_csv,
+       count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias(
+                "suppliers_csv"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E. Union / distinct / sampling (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+@query(
+    "union_high_value",
+    "U1 homologous union (bag semantics) + distinct count on top.",
+    ("U1", "U3"),
+    oracle="""
+SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_orders
+FROM (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+""",
+)
+def union_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    b = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    return a.unionByName(b).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+    )
+
+
+@query(
+    "distinct_user_event_types",
+    "U3 column-level distinct → per-type reach.",
+    ("U3",),
+    oracle="""
+SELECT event_type, count(*) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+""",
+)
+def distinct_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "mod_sampled_agg",
+    "U7 deterministic hash/mod sampling (BHR's FARM_FINGERPRINT-mod "
+    "pushdown, bhr_collection.py:529-545) — reproducible and "
+    "oracle-checkable, unlike Bernoulli sample().",
+    ("U7", "U4"),
+    oracle="""
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_orderkey % 97 = 0
+GROUP BY l_returnflag
+""",
+)
+def mod_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        mod_sample(li, "l_orderkey", buckets=97, take=1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F. Explode / semi-structured (SURVEY §2.4, §2.10 JSON)
+# --------------------------------------------------------------------------
+
+@query(
+    "doc_token_explode",
+    "E1 explode of a computed array (the reference's workhorse: explode "
+    "search_counts then aggregate) — token frequencies over documents.",
+    ("E1", "E3"),
+    oracle=r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+      FROM documents)
+GROUP BY token
+""",
+)
+def doc_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "props_json_stats",
+    "JSON property extraction (§2.10: from_json/get_json_object replacing "
+    "the reference's driver-side json.loads) aggregated per event type.",
+    ("S6", "JSON"),
+    oracle="""
+SELECT event_type,
+  count(k) AS n_with_k,
+  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+  round(avg(k), 4) AS avg_k
+FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+GROUP BY event_type
+""",
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# G. Event-time operators (sessionize, as-of, tumbling rollup)
+# --------------------------------------------------------------------------
+
+@query(
+    "daily_event_rollup",
+    "Tumbling-window rollup (§2.12): daily aggregate, identical in batch "
+    "and Structured Streaming (streaming/rollup.py runs this shape with a "
+    "watermark).",
+    ("A1", "streaming"),
+    oracle="""
+SELECT date_trunc('day', ts) AS day, event_type,
+  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+  round(sum(value), 2) AS sum_value,
+  round(round(sum(value), 2) / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+    bench=True,
+)
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # avg from the ROUNDED sum: both engines divide bit-identical
+            # doubles, so the quotient (and its rounding) matches exactly.
+            F.round(
+                F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "sessionized_events",
+    "Gap-based sessionization (30-min gap): lag-flag + running sum, one "
+    "shuffle; batch twin of streaming session_window.",
+    ("sessionize", "W3"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+""",
+)
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    s = sessionize(e, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "asof_click_before_purchase",
+    "As-of join (absent from both reference and stock Spark — custom "
+    "operator): each purchase gets the latest strictly-preceding click of "
+    "the same user.  Window formulation: ONE key shuffle, no range join.",
+    ("asof", "J-custom"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+    CASE WHEN event_type = 'click' THEN value END AS c_val
+  FROM events WHERE event_type IN ('click', 'purchase')
+), f AS (
+  SELECT *,
+    last_value(c_id IGNORE NULLS) OVER w AS prev_event_id,
+    last_value(c_val IGNORE NULLS) OVER w AS prev_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, prev_event_id, round(prev_value, 4) AS prev_value
+FROM f WHERE is_p = 1
+""",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        order="ts",
+        tiebreak="event_id",
+        payload=["event_id", "value"],
+        prefix="prev_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "prev_event_id",
+        F.round("prev_value", 4).alias("prev_value"),
+    )

@@ -1,0 +1,82 @@
+"""SparkSession factory.
+
+Replaces the per-job boilerplate in the reference
+(mozetl/clientsdaily/rollup.py:190-193, mozetl/bhr_collection/bhr_collection.py:515-518)
+with one factory that bakes in the settings a 100 TB deployment wants:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast conversion) — supersedes the reference's manual
+  ``spark.sql.shuffle.partitions = defaultParallelism`` tuning.
+- Arrow on for any pandas interchange (Pandas UDFs, toPandas).
+- Session timezone pinned UTC — the reference's tests are TZ-sensitive
+  (SURVEY.md §7.3, SPARK-17971); pinning removes a whole bug class.
+- ``_SUCCESS`` markers suppressed (reference: rollup.py:191-193).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    # Adaptive execution: coalesce post-shuffle partitions, split skewed
+    # ones, convert to broadcast joins at runtime.  This is the main
+    # lever that makes one set of configs work from sf0.001 to 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-accelerated pandas interchange for the few Pandas-UDF paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic date/timestamp semantics everywhere.
+    "spark.sql.session.timeZone": "UTC",
+    # Sink hygiene: no _SUCCESS markers (reference K8).
+    "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
+    # Cap single-task input at 128 MB so a 100 TB scan parallelises.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Read TIMESTAMP(NANOS) parquet columns as raw nanosecond longs
+    # (Spark has no nanos timestamp type); sources.read_table converts
+    # them to timestamp_ntz via exact integer division.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_session(
+    app_name: str = "python_mozetl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to 2×cores locally; on a real
+    cluster leave it unset and let AQE coalesce from a high initial
+    value (``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    else:
+        conf.setdefault("spark.sql.shuffle.partitions", "32")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine defaults to an existing session.
+
+    Used when the caller (e.g. the verification driver) owns the
+    session: only touches confs that are legal to set at runtime.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,5 @@
+from python_mozetl_spark.sinks.writers import (  # noqa: F401
+    write_json_artifact,
+    write_partitioned_json,
+    write_partitioned_parquet,
+)

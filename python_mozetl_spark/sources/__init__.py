@@ -1,0 +1,5 @@
+from python_mozetl_spark.sources.parquet import (  # noqa: F401
+    ensure_columns,
+    read_partitioned,
+    read_table,
+)

@@ -1,0 +1,125 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every query in __spark_entry__.queries() at a given SF, runs its
+oracle_sql() twin in DuckDB over the same parquet, and compares
+row-count, column names, and order-insensitive values.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def load_entry():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    return entry
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    from python_mozetl_spark.plans.queries import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize cell values for order-insensitive compare
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "␀"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return f"{v:.6f}"
+            return f"{v:.6f}"
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+
+    out = df.apply(lambda col: col.map(cell))
+    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+    a, b = canon(spark_df), canon(duck_df)
+    if len(a) == len(b) and not a.equals(b):
+        neq = (a != b).any(axis=1)
+        idx = list(a.index[neq])[:3]
+        for i in idx:
+            problems.append(f"row {i}: spark={a.loc[i].to_dict()}")
+            problems.append(f"row {i}:  duck={b.loc[i].to_dict()}")
+        problems.append(f"{int(neq.sum())} differing rows")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    entry = load_entry()
+    from python_mozetl_spark.session import get_session
+
+    spark = get_session(app_name="check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con(sf_dir)
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"   {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
