@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (this container has no image/audio
+codecs): :func:`extract_features` computes deterministic byte-level
+features (length, md5, prefix) so the Spark-side plumbing — schema,
+batching, UDF signature, partition behavior — is real and testable,
+and :func:`decode_image` raises ``NotImplementedError`` at the exact
+point a codec (Pillow/ffmpeg) would plug in.
+
+Scale notes: binary payloads ride in Arrow record batches; keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` low for large blobs
+(10k default rows × multi-MB blobs will OOM an executor), and carry
+metadata columns (width/height/codec) alongside the blob so filters
+prune BEFORE decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("codec", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, n_bytes long, content_md5 string, head_hex string"
+
+
+def decode_image(content: bytes) -> object:
+    """Plug-in point for a real codec (PIL.Image.open etc.)."""
+    raise NotImplementedError(
+        "image decode requires a codec library not present in this "
+        "container; extract_features provides the deterministic stub path"
+    )
+
+
+def extract_features(media: DataFrame, id_col: str = "media_id",
+                     content_col: str = "content") -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    Deterministic byte-level features stand in for decoded ones; the
+    mapInPandas shape (schema in/out, batching) is exactly what a real
+    decoder would use.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "n_bytes": blobs.map(lambda b: len(b) if b is not None else 0),
+                    "content_md5": blobs.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "head_hex": blobs.map(
+                        lambda b: b[:8].hex() if b is not None else None
+                    ),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as a binary payload so the
+    multimodal path is exercisable on the synthetic tables."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("utf-8").alias("codec"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three strategies:
+
+- :func:`brute_force_topk` — exact cosine top-k, query side broadcast.
+  The baseline; correct at any scale where |queries| is broadcastable
+  (cost = |corpus|×|queries| dot products, embarrassingly parallel,
+  no shuffle except the final per-query top-k).
+- :func:`bucketed_topk` — IVF-style: probe only the query's own
+  bucket/cell (here any precomputed partition column — a KMeans
+  assignment, an LSH bucket...).  Cuts the candidate space by the
+  bucket count; the scale path.
+- :func:`cosine_topk_pandas` — Arrow-batched Pandas UDF computing the
+  dot products with NumPy matmul per batch; same result as
+  brute_force_topk but BLAS-backed, for wide vectors / large query
+  sets where JVM higher-order functions lose.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.functions.vectors import cosine_similarity
+
+
+def _topk(scored: DataFrame, k: int, query_id: str = "query_id",
+          neighbor_id: str = "neighbor_id") -> DataFrame:
+    """Deterministic per-query top-k on (rounded score desc, id)."""
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(neighbor_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    precision: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+
+    ``queries`` is broadcast (keep it ≤ ~100k rows); score rounded to
+    ``precision`` for cross-engine determinism, ties broken by id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), precision).alias(
+                "score"
+            ),
+        )
+    )
+    return _topk(scored, k)
+
+
+def bucketed_topk(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    precision: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: neighbors searched only within the query's own
+    bucket (probe=1).  The bucket column is any precomputed coarse
+    quantization; the self-join shuffles on it, so bucket cardinality
+    controls skew."""
+    a = df.select(
+        F.col(bucket_col).alias("__b"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    b = df.select(
+        F.col(bucket_col).alias("__b"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = (
+        a.join(b, "__b")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), precision).alias(
+                "score"
+            ),
+        )
+    )
+    return _topk(scored, k)
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    precision: int = 4,
+) -> DataFrame:
+    """Arrow-batched NumPy path: ``queries_pdf`` is a small pandas frame
+    (id, vector) shipped in the closure; each Arrow batch of the corpus
+    is scored with one matmul.  Returns (query_id, neighbor_id, score)
+    un-ranked; feed through the same top-k window as the exact path.
+    """
+    qids = queries_pdf[id_col].to_numpy()
+    qmat = np.vstack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0] = 1.0
+            sims = (qmat @ cmat.T) / np.outer(qnorm, cnorm)
+            nq, nc = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, nc),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), nq),
+                    "score": np.round(sims.ravel(), precision),
+                }
+            )
+
+    out = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    )
+    return out.where(F.col("query_id") != F.col("neighbor_id"))

@@ -929,3 +929,300 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_event_id",
         F.round("prev_value", 4).alias("prev_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# H. Training-data-pipeline operators (ext/): text analysis, dedup,
+#    similarity search, multimodal plumbing
+# --------------------------------------------------------------------------
+
+_DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    "list_distinct(CASE WHEN len(w) >= 3 THEN "
+    "[array_to_string(list_slice(w, i, i + 2), ' ') "
+    "for i in generate_series(1, len(w) - 2)] ELSE [] END)"
+)
+_DUCK_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+@query(
+    "doc_token_stats",
+    "Token counting over documents: whitespace tokens, type-token ratio "
+    "— all built-in higher-order functions, no UDF.",
+    ("ext-text", "E1"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+  round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS ttr,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM tk
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_uniq.cast("bigint").alias("n_unique_tokens"),
+        F.round(
+            n_uniq.cast("double") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("ttr"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+_DUCK_STOP = "['the','a','of','and','to','in','el','la','de','le','der','die']"
+
+
+@query(
+    "doc_quality",
+    "Quality scoring: stopword ratio, mean token length, bounded "
+    "composite score — deterministic formula shared with the oracle.",
+    ("ext-text",),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(toks, t -> list_contains({_DUCK_STOP}, lower(t)))) AS DOUBLE)
+    / greatest(len(toks), 1) AS swr,
+  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+    / greatest(len(toks), 1) AS mtl
+  FROM tk)
+SELECT doc_id, n_tokens,
+  round(swr, 6) AS stopword_ratio,
+  round(mtl, 6) AS mean_token_len,
+  round(0.4 * (1 - swr) + 0.3 * least(n_tokens / 100.0, 1.0)
+        + 0.3 * least(mtl / 8.0, 1.0), 6) AS quality_score
+FROM m
+""",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    m = T.quality_metrics("text")
+    swr = m["stopword_ratio"]
+    mtl = m["mean_token_len"]
+    score = (
+        0.4 * (1 - swr)
+        + 0.3 * F.least(m["n_tokens"] / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(mtl / F.lit(8.0), F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.round(mtl, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@query(
+    "doc_lang_id",
+    "Language identification via marker-token scoring with deterministic "
+    "argmax (ties → language-code order, all-zero → 'und').",
+    ("ext-text",),
+    oracle=f"""
+WITH tk AS (SELECT doc_id,
+    list_transform({_DUCK_TOKS}, t -> lower(t)) AS toks FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+  len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], t))) AS s_en,
+  len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+  len(list_filter(toks, t -> list_contains(['le','la','de','et','les'], t))) AS s_fr
+  FROM tk)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+FROM s
+""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.predicted_lang("text").alias("predicted_lang"))
+
+
+@query(
+    "doc_exact_dedup",
+    "Exact deduplication: canonical md5 fingerprint, duplicate-group "
+    "size, keeper id (min).  One shuffle on the 32-byte fingerprint.",
+    ("ext-dedup", "U3"),
+    oracle=r"""
+WITH f AS (SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents)
+SELECT f.doc_id, f.fingerprint, g.n_dups, g.keeper_id
+FROM f JOIN (SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keeper_id
+             FROM f GROUP BY fingerprint) g USING (fingerprint)
+""",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import exact_duplicates
+
+    d = t(spark, sf_dir, "documents")
+    return exact_duplicates(d, "doc_id", "text").select(
+        "doc_id", "fingerprint", "n_dups", "keeper_id"
+    )
+
+
+@query(
+    "doc_minhash_pairs",
+    "MinHash+LSH near-duplicate pairs (32 hashes, 16 bands) verified by "
+    "exact word-3-shingle Jaccard >= 0.8.  Oracle is the brute-force "
+    "pair scan: at t=0.8 the LSH miss probability is (1-t^2)^16 ~ 7e-8, "
+    "so candidate-generation + verify equals brute force.",
+    ("ext-dedup", "E5", "J2"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tk),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh)) AS inter,
+        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+FROM p WHERE CAST(inter AS DOUBLE) / un >= 0.8
+""",
+)
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    h = _DUCK_H60.format(expr="t")
+    votes = ",\n  ".join(
+        f"CAST(list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) AS BIGINT) AS v{b}"
+        for b in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(bits)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> {h}) AS hs FROM tk),
+v AS (SELECT doc_id,
+  {votes}
+  FROM h)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v
+"""
+
+
+@query(
+    "doc_simhash",
+    "SimHash signatures (60-bit, md5-vote) via explode + one wide "
+    "groupBy — token hashed once, 60 conditional sums in a single "
+    "hash-agg.",
+    ("ext-dedup",),
+    oracle=_simhash_oracle(60),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import simhash_signatures
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_signatures(d, "doc_id", "text", bits=60)
+
+
+@query(
+    "doc_simhash_pairs",
+    "SimHash near-dup pairs (hamming <= 3) via 4-band LSH self-join. "
+    "bands(4) > max_hamming(3) => pigeonhole guarantees 100% recall, so "
+    "the banded join EXACTLY equals the brute-force oracle.",
+    ("ext-dedup", "J2"),
+    oracle=f"""
+WITH s AS ({_simhash_oracle(60)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import simhash_near_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3, bits=60, bands=4)
+
+
+@query(
+    "embedding_topk",
+    "Similarity search, exact baseline: brute-force cosine top-5 for 10 "
+    "query vectors over the corpus; query side broadcast, score rounded "
+    "before ranking, id tiebreak.",
+    ("ext-sim",),
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv, cv), 4) AS score
+      FROM q, c WHERE query_id <> neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS rn FROM s)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+""",
+    bench=True,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import brute_force_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e, e.where(F.col("vec_id") < 10), id_col="vec_id", k=5
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@query(
+    "embedding_bucket_topk",
+    "Similarity search, scale path: IVF-style bucketed ANN (probe=1, "
+    "bucket = precomputed label cell) — candidate space cut by the "
+    "bucket count; the self-join shuffles on the bucket key only.",
+    ("ext-sim", "J2"),
+    oracle="""
+WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS rn FROM s)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 3
+""",
+)
+def embedding_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import bucketed_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return bucketed_topk(e, "label", id_col="vec_id", k=3).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+
+
+@query(
+    "multimodal_features",
+    "Multimodal binary-column plumbing: documents as binary payloads -> "
+    "Arrow-batched mapInPandas feature extraction (deterministic stub "
+    "for the codec step).  Exercises the real UDF schema/batch path.",
+    ("ext-mm", "pandas-udf"),
+    oracle="""
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5,
+  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.multimodal import documents_as_media, extract_features
+
+    d = t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(d))

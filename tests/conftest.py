@@ -1,0 +1,41 @@
+"""Shared pytest fixtures.
+
+Mirrors the reference's test strategy (SURVEY.md §5): one local-mode
+session per test run, a snippet-based row factory, and an unordered
+DataFrame equality helper.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from python_mozetl_spark.session import get_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session(app_name="tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def make_rows(base: dict, overrides: list[dict]) -> list[dict]:
+    """Snippet factory (reference tests/conftest.py:55-133): each output
+    row is ``base`` updated with one override dict."""
+    return [{**base, **o} for o in overrides]
+
+
+def df_rows(df) -> list[dict]:
+    """Collected rows as canonically-sorted list of dicts (reference
+    df_equals, tests/conftest.py:32-52)."""
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    return sorted(rows, key=lambda r: json.dumps(r, sort_keys=True, default=str))
+
+
+def assert_df_equals(actual, expected_rows: list[dict]):
+    exp = sorted(
+        expected_rows, key=lambda r: json.dumps(r, sort_keys=True, default=str)
+    )
+    assert df_rows(actual) == exp

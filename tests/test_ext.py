@@ -1,0 +1,127 @@
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.ext.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from python_mozetl_spark.ext.multimodal import (
+    decode_image,
+    documents_as_media,
+    extract_features,
+)
+from python_mozetl_spark.ext.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    cosine_topk_pandas,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 0
+    (2, "completely different text about spark query engines and shuffles"),
+    (3, "  The   quick brown fox jumps over the lazy dog again and again today "),  # exact dup of 0 modulo ws/case
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["n_dups"] == 2 and rows[0]["keeper_id"] == 0
+    assert rows[3]["n_dups"] == 2 and rows[3]["keeper_id"] == 0
+    assert rows[2]["n_dups"] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.7
+    assert (0, 3) in pairs  # exact-dup pair too
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_near_pairs_equals_brute_force(spark, docs):
+    # banded LSH with bands > max_hamming must equal the brute-force scan
+    sig = {r["doc_id"]: r["simhash"] for r in
+           simhash_signatures(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b)
+        for a in sig for b in sig if a < b
+        and bin(sig[a] ^ sig[b]).count("1") <= 16
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=16, bits=60, bands=20
+        ).collect()
+    }
+    assert got == brute
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    out = brute_force_topk(df, df.where(F.col("vec_id") == 0), k=3)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    v = vecs.astype(np.float64)
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    exp = list(np.argsort(np.round(sims, 4))[::-1][:3])
+    assert got == [int(x) for x in exp]
+
+
+def test_pandas_path_matches_exact_path(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    queries_pdf = pd.DataFrame(
+        {"vec_id": [1, 2], "embedding": [list(vecs[1]), list(vecs[2])]}
+    )
+    exact = brute_force_topk(df, df.where(F.col("vec_id").isin(1, 2)), k=30)
+    fast = cosine_topk_pandas(df, queries_pdf, k=30)
+    e = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact.collect()}
+    f = {(r["query_id"], r["neighbor_id"]): r["score"] for r in fast.collect()}
+    assert e == f  # same rounded scores from both paths
+
+
+def test_bucketed_topk_stays_in_bucket(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [1.0, 0.01], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = bucketed_topk(df, "label", k=5).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(0, 1), (1, 0)}
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    media = documents_as_media(docs.withColumn("doc_id", F.col("doc_id").cast("long")))
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    text0 = DOCS[0][1]
+    assert out[0]["n_bytes"] == len(text0.encode())
+    assert out[0]["content_md5"] == hashlib.md5(text0.encode()).hexdigest()
+    assert out[0]["head_hex"] == text0.encode()[:8].hex()
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

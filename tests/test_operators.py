@@ -1,0 +1,195 @@
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.operators import (
+    AggSpec,
+    asof_join,
+    capped_random_per_key,
+    collapse_small_groups,
+    explode_map,
+    explode_with_default,
+    first_by,
+    last_by,
+    latest_per_key,
+    mod_sample,
+    normalize_shares,
+    pivot_agg,
+    running_agg,
+    self_fanout,
+    sessionize,
+    top_n_per_group,
+    wide_agg,
+    with_group_count,
+)
+from python_mozetl_spark.operators.pivot import manual_pivot
+from tests.conftest import assert_df_equals, df_rows
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("a", 2, "z"), ("b", 9, "w")],
+        ["k", "ord", "v"],
+    )
+    out = latest_per_key(df, ["k"], ["ord"], descending=True)
+    assert_df_equals(
+        out, [{"k": "a", "ord": 3, "v": "y"}, {"k": "b", "ord": 9, "v": "w"}]
+    )
+
+
+def test_latest_per_key_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 1, 30)], ["k", "ord", "tie"]
+    )
+    out = latest_per_key(df, ["k"], ["ord", "tie"], descending=True)
+    assert df_rows(out) == [{"k": "a", "ord": 1, "tie": 30}]
+
+
+def test_top_n_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 5)], ["k", "v"]
+    )
+    out = top_n_per_group(df, ["k"], [F.col("v").desc()], n=3, descending=False)
+    got = df_rows(out)
+    assert [r for r in got if r["k"] == "a"] == [
+        {"k": "a", "v": 7},
+        {"k": "a", "v": 8},
+        {"k": "a", "v": 9},
+    ]
+    assert {"k": "b", "v": 5} in got
+
+
+def test_with_group_count_and_running(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["k", "v"])
+    out = with_group_count(df, ["k"])
+    assert {r["k"]: r["group_count"] for r in out.collect()} == {"a": 2, "b": 1}
+    ran = running_agg(df, ["k"], ["v"], F.sum("v"), "cum")
+    assert {(r["k"], r["v"]): r["cum"] for r in ran.collect()} == {
+        ("a", 1): 1,
+        ("a", 2): 3,
+        ("b", 3): 3,
+    }
+
+
+def test_explode_with_default_null_preserving(spark):
+    # E4: rows with null arrays survive with the default (zero-search
+    # client semantics, mozetl/clientsdaily/rollup.py:86-97)
+    df = spark.createDataFrame(
+        [("d1", [{"engine": "g", "count": 4}]), ("d2", None)],
+        "id string, counts array<struct<engine:string,count:long>>",
+    )
+    out = explode_with_default(
+        df, "counts", "c", {"count": F.lit(0)}, keep=["id"]
+    ).select("id", "c_count")
+    assert_df_equals(out, [{"id": "d1", "c_count": 4}, {"id": "d2", "c_count": 0}])
+
+
+def test_explode_map(spark):
+    df = spark.createDataFrame(
+        [("a", {"x": 1, "y": 2})], "id string, m map<string,long>"
+    )
+    out = explode_map(df, "m", keep=["id"])
+    assert sorted(df_rows(out), key=lambda r: r["key"]) == [
+        {"id": "a", "key": "x", "value": 1},
+        {"id": "a", "key": "y", "value": 2},
+    ]
+
+
+def test_self_fanout_pairs(spark):
+    # E5: taar_lite key_all — each element against every other
+    df = spark.createDataFrame([("c1", ["a", "b", "c"])], ["id", "addons"])
+    out = self_fanout(df, "addons", keep=["id"])
+    pairs = {(r["left"], r["right"]) for r in out.collect()}
+    assert pairs == {
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "b"),
+    }
+
+
+def test_agg_spec_wide(spark):
+    df = spark.createDataFrame(
+        [("c1", "d1", 5, 1), ("c1", "d1", 7, 2), ("c2", "d1", 1, 3)],
+        ["client", "day", "ticks", "seq"],
+    )
+    spec = (
+        AggSpec(keys=["client", "day"])
+        .add("ticks", "sum", "ticks_sum")
+        .add("ticks", "mean", "ticks_mean")
+        .add("ticks", "count_distinct", "ticks_distinct")
+        .add_expr(first_by("ticks", F.col("seq"), "first_ticks"))
+        .add_expr(last_by("ticks", F.col("seq"), "last_ticks"))
+    )
+    out = wide_agg(df, spec)
+    rows = {r["client"]: r for r in out.collect()}
+    assert rows["c1"]["ticks_sum"] == 12
+    assert rows["c1"]["ticks_mean"] == 6.0
+    assert rows["c1"]["first_ticks"] == 5  # deterministic, order by seq
+    assert rows["c1"]["last_ticks"] == 7
+    assert rows["c2"]["ticks_distinct"] == 1
+
+
+def test_pivot_equivalence(spark):
+    df = spark.createDataFrame(
+        [("u1", "sap", 2), ("u1", "organic", 3), ("u2", "sap", 5)],
+        ["user", "type", "count"],
+    )
+    a = pivot_agg(df, ["user"], "type", ["sap", "organic"], F.sum("count"))
+    b = manual_pivot(df, ["user"], "type", ["sap", "organic"], F.col("count"))
+    assert df_rows(a) == df_rows(b)
+    assert {r["user"]: r["sap"] for r in a.collect()} == {"u1": 2, "u2": 5}
+
+
+def test_collapse_small_groups(spark):
+    pre = spark.createDataFrame(
+        [("big", 100), ("tiny1", 3), ("tiny2", 2)], ["g", "n"]
+    )
+    out = collapse_small_groups(pre, "g", F.col("n"), threshold=10)
+    assert_df_equals(out, [{"g": "big", "n": 100}, {"g": "Other", "n": 5}])
+
+
+def test_normalize_shares(spark):
+    pre = spark.createDataFrame([("a", 30.0), ("b", 70.0)], ["g", "v"])
+    out = normalize_shares(pre, "v")
+    assert {r["g"]: r["share"] for r in out.collect()} == {"a": 0.3, "b": 0.7}
+
+
+def test_mod_sample_deterministic(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = mod_sample(df, "k", buckets=100, take=7)
+    assert out.count() == 70
+    assert out.agg(F.max(F.pmod("k", F.lit(100)))).first()[0] == 6
+
+
+def test_capped_random_per_key_seeded(spark):
+    df = spark.createDataFrame([("a", i) for i in range(50)], ["k", "v"])
+    out1 = capped_random_per_key(df, ["k"], cap=5, seed=7)
+    out2 = capped_random_per_key(df, ["k"], cap=5, seed=7)
+    assert out1.count() == 5
+    assert df_rows(out1) == df_rows(out2)  # seeded ⇒ reproducible
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1), ("u", "2024-01-01 00:10:00", 2),
+         ("u", "2024-01-01 01:10:00", 3)],
+        ["k", "ts", "id"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, ["k"], "ts", gap_seconds=1800, tiebreak="id")
+    assert {r["id"]: r["session_id"] for r in out.collect()} == {1: 1, 2: 1, 3: 2}
+
+
+def test_asof_join_strict_precedence(spark):
+    left = spark.createDataFrame(
+        [(10, "u", 100), (11, "u", 50)], ["event_id", "user", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u", 99, 1, 1.5), ("u", 100, 2, 2.5), ("u", 120, 3, 3.5)],
+        ["user", "ts", "event_id", "value"],
+    )
+    out = asof_join(
+        left, right, on=["user"], order="ts", tiebreak="event_id",
+        payload=["event_id", "value"], prefix="prev_",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    # left ts=100 (event 10): right ts=100 has event_id 2 < 10 ⇒ ordered
+    # before ⇒ matched; right ts=120 excluded.
+    assert rows[10]["prev_event_id"] == 2 and rows[10]["prev_value"] == 2.5
+    # left ts=50: no preceding right row ⇒ nulls
+    assert rows[11]["prev_event_id"] is None and rows[11]["prev_value"] is None
