@@ -1226,3 +1226,169 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return extract_features(documents_as_media(d))
+
+
+# --------------------------------------------------------------------------
+# I. SQL surface, sampling caps, fanout graph (S3, W4, U5, E5)
+# --------------------------------------------------------------------------
+
+@query(
+    "sql_surface_lateral",
+    "S3/E2: the raw-SQL API surface (temp view + LATERAL VIEW explode, "
+    "the sync_bookmark_validation pattern at "
+    "mozetl/sync/bookmark_validation.py:33-58) — same Catalyst plan as "
+    "the DataFrame form.",
+    ("S3", "E2"),
+    oracle=r"""
+SELECT lang, token, count(*) AS n
+FROM (SELECT lang,
+        unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+      FROM documents)
+WHERE token IN ('spark', 'table', 'query')
+GROUP BY lang, token
+""",
+)
+def sql_surface_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_v")
+    return spark.sql(r"""
+        SELECT lang, token, count(*) AS n
+        FROM documents_v
+        LATERAL VIEW explode(filter(split(trim(text), '\\s+'), x -> x != '')) tok AS token
+        WHERE token IN ('spark', 'table', 'query')
+        GROUP BY lang, token
+    """)
+
+
+@query(
+    "capped_events_per_user",
+    "W4 per-key random cap (the taar_locale privacy reservoir, "
+    "mozetl/taar/taar_locale.py:139-173): seeded shuffle + row_number "
+    "cap.  Output is the per-user kept-count — deterministic regardless "
+    "of which rows the seeded RNG picked, hence oracle-checkable.",
+    ("W4", "U4"),
+    oracle="""
+SELECT user_id, least(count(*), 20) AS n_kept
+FROM events GROUP BY user_id
+""",
+)
+def capped_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators import capped_random_per_key
+
+    e = t(spark, sf_dir, "events")
+    capped = capped_random_per_key(e, ["user_id"], cap=20, seed=42)
+    return capped.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "stratified_mod_sample",
+    "U5 stratified sampling, deterministic form: per-stratum mod-hash "
+    "fractions (50% of purchases, 10% of everything else) — the "
+    "reproducible cousin of sampleBy for pipelines that must re-run "
+    "identically.",
+    ("U5", "U7"),
+    oracle="""
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events
+WHERE (event_type = 'purchase' AND event_id % 10 < 5)
+   OR (event_type <> 'purchase' AND event_id % 10 < 1)
+GROUP BY event_type
+""",
+)
+def stratified_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    keep = F.when(
+        F.col("event_type") == "purchase", F.pmod("event_id", F.lit(10)) < 5
+    ).otherwise(F.pmod("event_id", F.lit(10)) < 1)
+    return (
+        e.where(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+@query(
+    "token_cooccurrence",
+    "E5 self-fanout pair graph (the taar_lite coinstallation pattern, "
+    "mozetl/taar/taar_lite_guidguid.py:123-130) on document tokens: "
+    "double explode, no join for pair generation; top-20 pairs.",
+    ("E5", "A5", "O3"),
+    oracle=r"""
+WITH tk AS (SELECT doc_id,
+        list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS toks
+      FROM documents),
+pairs AS (SELECT a, b FROM tk, unnest(toks) u1(a), unnest(toks) u2(b)
+          WHERE a <> b),
+c AS (SELECT a, b, count(*) AS n FROM pairs GROUP BY a, b)
+SELECT a, b, n FROM c ORDER BY n DESC, a, b LIMIT 20
+""",
+)
+def token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators import self_fanout
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.array_distinct(T.tokens("text")).alias("toks"))
+    pairs = self_fanout(toks, "toks", "a", "b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
+    "dp_lang_source_counts",
+    "A15 differential-privacy count release (the taar_locale Laplace "
+    "job, mozetl/taar/taar_locale.py:176-237) — dense grid with "
+    "zero-fill + executor-side keyed Laplace noise.  The md5-keyed "
+    "inverse-CDF construction makes DP noise itself oracle-checkable.",
+    ("A15", "W4"),
+    oracle="""
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+grid AS (SELECT l.lang, s.source
+         FROM (SELECT DISTINCT lang FROM documents) l
+         CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+d AS (SELECT g.lang, g.source, coalesce(c.n, 0) AS n
+      FROM grid g LEFT JOIN c USING (lang, source)),
+u AS (SELECT lang, source, n,
+        ((('0x' || substr(md5('42' || chr(31) || lang || chr(31) || source), 1, 15))::BIGINT
+          + 0.5) / 1152921504606846976.0) - 0.5 AS uu
+      FROM d)
+SELECT lang, source, CAST(n AS BIGINT) AS n,
+  round(n + (-(1.0 / 1.0) * sign(uu) * ln(1 - 2 * abs(uu))), 6) AS n_noisy
+FROM u
+""",
+)
+def dp_lang_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.privacy import dp_noisy_counts
+
+    d = t(spark, sf_dir, "documents")
+    out = dp_noisy_counts(d, ["lang", "source"], epsilon=1.0, seed=42)
+    return out.select(
+        "lang",
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("n_noisy", 6).alias("n_noisy"),
+    )
+
+
+@query(
+    "embedding_clusters",
+    "F7 ML pipeline (taar_similarity's estimator family): seeded KMeans "
+    "over the embedding column via array_to_vector, cluster histogram. "
+    "No SQL oracle (iterative algorithm) - driver records rows-only.",
+    ("F7", "ML"),
+    oracle=None,
+)
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.similarity_model import fit_clusters
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned = fit_clusters(e, k=8, seed=42)
+    return assigned.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -1,0 +1,53 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.jobs.similarity_model import run_similarity_model
+from python_mozetl_spark.operators.privacy import dp_noisy_counts, laplace_noise
+
+
+def test_dp_noisy_counts_dense_grid_and_determinism(spark):
+    df = spark.createDataFrame(
+        [("de", "a1"), ("de", "a1"), ("en", "a2")], ["locale", "addon"]
+    )
+    out1 = dp_noisy_counts(df, ["locale", "addon"], epsilon=1.0, seed=7)
+    out2 = dp_noisy_counts(df, ["locale", "addon"], epsilon=1.0, seed=7)
+    rows1 = {(r["locale"], r["addon"]): r for r in out1.collect()}
+    rows2 = {(r["locale"], r["addon"]): r for r in out2.collect()}
+    # dense grid: 2 locales × 2 addons, absent combos zero-filled
+    assert set(rows1) == {("de", "a1"), ("de", "a2"), ("en", "a1"), ("en", "a2")}
+    assert rows1[("en", "a1")]["n"] == 0
+    # keyed noise ⇒ bitwise reproducible across runs
+    assert all(rows1[k]["n_noisy"] == rows2[k]["n_noisy"] for k in rows1)
+    # noise actually applied
+    assert all(rows1[k]["n_noisy"] != rows1[k]["n"] for k in rows1)
+    # different seed ⇒ different noise
+    out3 = dp_noisy_counts(df, ["locale", "addon"], epsilon=1.0, seed=8)
+    rows3 = {(r["locale"], r["addon"]): r for r in out3.collect()}
+    assert any(rows3[k]["n_noisy"] != rows1[k]["n_noisy"] for k in rows1)
+
+
+def test_laplace_noise_scale(spark):
+    # empirical |noise| mean ≈ b = sensitivity/epsilon for Laplace
+    df = spark.range(0, 4000).select(F.col("id").cast("string").alias("k"))
+    eps = 0.5
+    out = df.select(
+        F.abs(laplace_noise([F.col("k")], epsilon=eps, seed=1)).alias("a")
+    ).agg(F.avg("a")).first()[0]
+    b = 1.0 / eps
+    assert abs(out - b) / b < 0.15  # ±15% at n=4000
+
+
+@pytest.mark.parametrize("k", [4])
+def test_similarity_model_reproducible(spark, k):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1, d1 = run_similarity_model(emb, k=k, donors_per_cluster=10, seed=42)
+    a2, d2 = run_similarity_model(emb, k=k, donors_per_cluster=10, seed=42)
+    h1 = sorted((r["vec_id"], r["prediction"]) for r in a1.collect())
+    h2 = sorted((r["vec_id"], r["prediction"]) for r in a2.collect())
+    assert h1 == h2  # seeded pipeline ⇒ identical assignment
+    assert a1.select("prediction").distinct().count() == k
+    per_cluster = d1.groupBy("prediction").count().collect()
+    assert all(r["count"] <= 30 for r in per_cluster)  # sampled, not full
+    assert d1.count() < a1.count()
