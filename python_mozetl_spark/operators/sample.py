@@ -49,3 +49,26 @@ def capped_random_per_key(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def salt_keys(df: DataFrame, salt_buckets: int = 16,
+              salt_col: str = "__salt") -> DataFrame:
+    """Skew mitigation: add a salt from a WHOLE-ROW hash so one hot key
+    spreads over ``salt_buckets`` reducers.  Aggregate on (key, salt)
+    first, then re-aggregate on key — two shuffles, but the first is
+    balanced.  AQE's skew handling covers joins; this is for skewed
+    AGGREGATIONS, which AQE does not rebalance.
+    """
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+    )
+
+
+def two_phase_agg(df: DataFrame, key: str, value: Column, alias: str,
+                  salt_buckets: int = 16) -> DataFrame:
+    """Salted two-phase sum for skewed keys: partial sum on
+    (key, salt) then final sum on key."""
+    salted = salt_keys(df, salt_buckets)
+    partial = salted.groupBy(key, "__salt").agg(value.alias("__p"))
+    return partial.groupBy(key).agg(F.sum("__p").alias(alias))

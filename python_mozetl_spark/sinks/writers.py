@@ -71,3 +71,44 @@ def write_json_artifact(obj: object, path: str, datestamp: str | None = None) ->
         root, ext = os.path.splitext(path)
         with open(f"{root}.{datestamp}{ext}", "w", encoding="utf-8") as fh:
             json.dump(obj, fh, sort_keys=True)
+
+
+def write_csv_export(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
+    """K4: driver CSV export with an explicit size guard.
+
+    The reference collects the whole frame and warns about driver memory
+    (mozetl/utils.py:46-66); here the guard is enforced: refuse beyond
+    ``max_rows`` — large exports belong in distributed ``df.write.csv``.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"CSV export of {n} rows exceeds the driver guard ({max_rows}); "
+            "use df.write.csv for large outputs"
+        )
+    df.toPandas().to_csv(path, index=False)
+
+
+def foreach_partition_sink(df: DataFrame, writer_factory, batch_size: int = 200) -> None:
+    """K6: external-store sink as foreachPartition — the idiomatic
+    replacement for the reference's batch-writes-inside-rdd.reduce
+    (mozetl/taar/taar_dynamo.py:178-296), which double-writes on task
+    retry.  ``writer_factory()`` is called once per partition ON THE
+    EXECUTOR and must return a callable ``write(batch: list[Row])``
+    with IDEMPOTENT semantics (e.g. keyed upsert / overwrite-by-pkey):
+    Spark may re-execute partitions, so at-least-once delivery is the
+    contract here, exactly-once only through idempotency.
+    """
+
+    def handle(it):
+        write = writer_factory()
+        batch = []
+        for row in it:
+            batch.append(row)
+            if len(batch) >= batch_size:
+                write(batch)
+                batch = []
+        if batch:
+            write(batch)
+
+    df.foreachPartition(handle)
