@@ -871,6 +871,7 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_id
 """,
+    bench=True,
 )
 def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
@@ -1087,6 +1088,7 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
 FROM p WHERE CAST(inter AS DOUBLE) / un >= 0.8
 """,
+    bench=True,
 )
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
@@ -1391,4 +1393,48 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = fit_clusters(e, k=8, seed=42)
     return assigned.groupBy("prediction").agg(
         F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@query(
+    "multi_distinct",
+    "A6 multi-column countDistinct (the sync totals shape, "
+    "mozetl/sync/bookmark_validation.py:73-79).",
+    ("A6",),
+    oracle="""
+SELECT event_type,
+  count(DISTINCT (user_id, CAST(date_trunc('day', ts) AS TIMESTAMP))) AS active_user_days,
+  count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct(
+            F.col("user_id"), F.date_trunc("day", F.col("ts"))
+        ).alias("active_user_days"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "token_positions",
+    "E6 positional explode (posexplode — the index-preserving flatten "
+    "the reference's RDD flatMaps needed, bhr_collection.py:731-737).",
+    ("E6", "E1"),
+    oracle=r"""
+SELECT doc_id,
+  generate_subscripts(toks, 1) AS pos,
+  unnest(toks) AS token
+FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 5)
+""",
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 5)
+    return d.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "token")
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"), "token"
     )
