@@ -110,6 +110,105 @@ def bucketed_topk(
     return _topk(scored, k)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    precision: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    rounded cosine ≥ ``threshold``) — the brute-force O(n²) pair scan.
+    Correct at any scale but quadratic; use :func:`srp_near_dup_pairs`
+    as the LSH-bucketed scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), precision).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 96,
+    bands: int = 24,
+    precision: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH.
+
+    ``planes`` seeded hyperplanes give a ``planes``-bit sign sketch;
+    band self-join on ``bands`` bit-slices generates candidates, exact
+    cosine verifies.  For cos θ ≥ t the per-plane split probability is
+    arccos(t)/π, so the miss probability at t=0.95 with 24 bands of 4
+    bits is (1-(1-0.102)⁴)²⁴ ≈ 4e-9 — the result matches the
+    brute-force scan in practice.  Shuffle volume is docs×bands tiny
+    (id, bucket) rows plus the candidate pairs, never the O(n²) space.
+    """
+    rng = np.random.default_rng(seed)
+    hyperplanes = rng.standard_normal((planes, dim))
+    rows_per_band = planes // bands
+
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            bits = (mat @ hyperplanes.T) >= 0  # (n, planes)
+            out = {"__id": pdf["__id"].to_numpy()}
+            for b in range(bands):
+                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                key = chunk @ (1 << np.arange(rows_per_band))
+                out[f"band_{b}"] = key + (b << rows_per_band)
+            yield pd.DataFrame(out)
+
+    schema = "__id long, " + ", ".join(f"band_{b} long" for b in range(bands))
+    sk = vecs.mapInPandas(sketch, schema)
+    banded = sk.select(
+        "__id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "bucket"
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a"
+    ).join(
+        vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b"
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), precision).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,

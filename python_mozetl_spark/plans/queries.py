@@ -1438,3 +1438,51 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"), "token"
     )
+
+
+@query(
+    "doc_ngram_jaccard_pairs",
+    "Char-3-gram Jaccard near-dup pairs (>= 0.8) via the same staged "
+    "MinHash-LSH plan as doc_minhash_pairs, shingled on character "
+    "n-grams (catches in-word edits word shingles amplify).  Oracle is "
+    "the brute-force pair scan (banding recall argument identical).",
+    ("ext-dedup", "E5"),
+    oracle=r"""
+WITH g AS (SELECT doc_id, list_distinct(CASE WHEN length(text) >= 3 THEN
+    [substr(text, i, 3) for i in generate_series(1, length(text) - 2)] ELSE [] END) AS gr
+  FROM documents),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.gr, b.gr)) AS inter,
+    len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)) AS un
+  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+FROM p WHERE CAST(inter AS DOUBLE) / un >= 0.8
+""",
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8, n=3)
+
+
+@query(
+    "embedding_near_dup",
+    "Embedding-cosine near-duplicate pairs (rounded cosine >= 0.4), "
+    "exact pair scan — the dedup tier over the embedding column; "
+    "srp_near_dup_pairs is the LSH-bucketed scale path (pytest-verified "
+    "against this exact result).",
+    ("ext-dedup", "ext-sim"),
+    oracle="""
+WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+      AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import embedding_near_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)

@@ -125,3 +125,41 @@ def test_multimodal_features_deterministic(spark, docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ngram_jaccard_pairs_finds_near_dup(docs):
+    from python_mozetl_spark.ext.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.8  # one-word edit
+    assert not any(2 in p for p in pairs)
+
+
+def test_srp_near_dup_matches_brute_force_on_planted_pairs(spark):
+    from python_mozetl_spark.ext.similarity import (
+        embedding_near_dup_pairs,
+        srp_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.standard_normal((20, dim))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # plant two near-identical copies of vector 0
+    rows.append((100, (base[0] + 0.01 * rng.standard_normal(dim)).tolist()))
+    rows.append((101, (base[0] * 1.5).tolist()))  # scaled: cosine 1.0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    srp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in srp_near_dup_pairs(df, dim=dim, threshold=0.95).collect()
+    }
+    assert (0, 100) in srp and (0, 101) in srp and (100, 101) in srp
+    assert srp == brute  # exact recall at this threshold/band config
