@@ -58,3 +58,16 @@ def run_coinstall_graph(
             )
         ).alias("coinstalls")
     )
+
+
+def run_install_ranking(clients: DataFrame,
+                        addons_col: str = "active_addons") -> DataFrame:
+    """Addon install ranking (taar_lite_guidranking.py:22-39): install
+    count per addon guid over clients with ≥1 addon.  One explode +
+    one count aggregation, replacing the reference's SQL-string path."""
+    return (
+        clients.where(F.size(F.col(addons_col)) > 0)
+        .select(F.explode(F.col(addons_col)).alias("addon"))
+        .groupBy(F.col("addon.addon_id").alias("addon_guid"))
+        .agg(F.count(F.lit(1)).alias("install_count"))
+    )

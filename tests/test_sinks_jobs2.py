@@ -105,3 +105,117 @@ def test_two_phase_agg_matches_direct(spark):
     direct = {r["k"]: r["total"] for r in
               df.groupBy("k").agg(F.sum("v").alias("total")).collect()}
     assert salted == direct
+
+
+def test_addon_aggregates(spark):
+    from python_mozetl_spark.jobs.addon_aggregates import run_addon_aggregates
+
+    rows = [
+        ("c1", "release", "57.0.1", "en", 1, 17000,
+         [{"addon_id": "uBlock0@raymondhill.net", "foreign_install": False,
+           "is_system": False, "is_web_extension": True, "install_day": 17100},
+          {"addon_id": "screenshots@mozilla.org", "foreign_install": False,
+           "is_system": True, "is_web_extension": True, "install_day": 17000}]),
+        ("c1", "release", "57.0.1", "en", 1, 17000,
+         [{"addon_id": "uBlock0@raymondhill.net", "foreign_install": False,
+           "is_system": False, "is_web_extension": True, "install_day": 17100}]),
+        ("c2", "beta", "58.0", "de", 2, 17200,
+         [{"addon_id": "someting@cliqz.com", "foreign_install": True,
+           "is_system": False, "is_web_extension": False, "install_day": 17300}]),
+    ]
+    schema = (
+        "client_id string, normalized_channel string, app_version string, "
+        "locale string, sample_id int, profile_creation_date long, "
+        "active_addons array<struct<addon_id:string,foreign_install:boolean,"
+        "is_system:boolean,is_web_extension:boolean,install_day:long>>"
+    )
+    out = {r["client_id"]: r for r in
+           run_addon_aggregates(spark.createDataFrame(rows, schema)).collect()}
+    # c1: distinct() collapses the repeated ping; one self-install + one system
+    assert out["c1"]["n_self_installed_addons"] == 1
+    assert out["c1"]["n_system_addons"] == 1
+    assert out["c1"]["app_version"] == "57"
+    assert out["c1"]["first_addon_install_date"] == "20161026"  # day 17100 UTC
+    assert out["c1"]["profile_creation_date"] == "20160718"  # day 17000 UTC
+    # c2: cliqz + foreign → not self-installed
+    assert out["c2"]["n_self_installed_addons"] == 0
+    assert out["c2"]["n_foreign_installed_addons"] == 1
+
+
+def test_experiments_daily_reuses_rollup(spark):
+    from python_mozetl_spark.jobs.experiments_daily import run_experiments_daily
+    from tests.test_jobs import BASE, MAIN_SUMMARY_SCHEMA
+    from tests.conftest import make_rows
+
+    schema = "experiment_id string, " + MAIN_SUMMARY_SCHEMA
+    rows = make_rows(
+        dict(BASE, experiment_id="exp-a"),
+        [{}, {"document_id": "d2", "active_ticks": 120},
+         {"experiment_id": "pref-flip-screenshots-release-1369150",
+          "document_id": "d3"}],
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = run_experiments_daily(df).collect()
+    assert len(out) == 1  # excluded experiment dropped
+    row = out[0]
+    assert row["experiment_id"] == "exp-a"
+    assert row["pings_aggregated_by_this_row"] == 2
+    assert row["active_ticks_sum"] == 480
+
+
+def test_taar_locale_pipeline_deterministic(spark):
+    from python_mozetl_spark.jobs.taar_locale import run_taar_locale
+
+    wl = ["a1", "a2", "a3"]
+    rows = [("c%d" % i, "en", a) for i in range(8) for a in ("a1", "a2")]
+    rows += [("c0", "en", "a3"), ("c9", "fr", "a9")]  # a9 not whitelisted
+    df = spark.createDataFrame(rows, "client_id string, locale string, addon string")
+    out1 = run_taar_locale(spark, df, {"en": 2, "fr": 1}, wl, num_addons=2)
+    out2 = run_taar_locale(spark, df, {"en": 2, "fr": 1}, wl, num_addons=2)
+    r1 = sorted(map(tuple, out1.collect()))
+    r2 = sorted(map(tuple, out2.collect()))
+    assert r1 == r2  # seeded noise + seeded cap ⇒ reproducible
+    locales = {r[0] for r in r1}
+    assert locales == {"en", "fr"}
+    en_shares = [r[2] for r in r1 if r[0] == "en"]
+    assert abs(sum(en_shares) - 1.0) < 1e-9
+
+
+def test_missing_symbols_report(spark):
+    from python_mozetl_spark.jobs.symbolication import run_missing_symbols_report
+
+    mod = lambda f, v, miss: {  # noqa: E731
+        "filename": f, "version": v, "debug_id": "D", "debug_file": f + ".pdb",
+        "missing_symbols": miss}
+    rows = [
+        ("u1", [mod("xul.dll", "1", True), mod("kernel.dll", "1", False)]),
+        ("u2", [mod("xul.dll", "1", True), mod("xul.dll", "1", True)]),  # dup in crash
+        ("u3", [mod("xul.dll", "2", True), mod("gone (deleted)", "1", True)]),
+        ("u4", [mod("known.dll", "1", True)]),
+    ]
+    schema = (
+        "uuid string, modules array<struct<filename:string,version:string,"
+        "debug_id:string,debug_file:string,missing_symbols:boolean>>"
+    )
+    out = run_missing_symbols_report(
+        spark.createDataFrame(rows, schema), known_modules=["KNOWN.dll"]
+    ).collect()
+    assert [r["filename"] for r in out] == ["xul.dll"]
+    assert out[0]["total_crashes"] == 3  # u1, u2 (deduped), u3
+    assert [(v["version"], v["n_crashes"]) for v in out[0]["versions"]] == [
+        ("1", 2), ("2", 1)]
+
+
+def test_install_ranking(spark):
+    from python_mozetl_spark.jobs.coinstalls import run_install_ranking
+
+    rows = [
+        (["a", "b"],), (["a"],), ([],),
+    ]
+    df = spark.createDataFrame(
+        [([{"addon_id": g} for g in guids],) for (guids,) in rows],
+        "active_addons array<struct<addon_id:string>>",
+    )
+    out = {r["addon_guid"]: r["install_count"]
+           for r in run_install_ranking(df).collect()}
+    assert out == {"a": 2, "b": 1}
