@@ -2,3 +2,7 @@ from python_mozetl_spark.streaming.rollup import (  # noqa: F401
     daily_rollup_stream,
     session_window_stream,
 )
+from python_mozetl_spark.streaming.stateful import (  # noqa: F401
+    batch_running_totals,
+    running_totals_stream,
+)

@@ -61,3 +61,48 @@ def test_session_window_stream(spark):
         assert rows[(100, "2024-01-01 00:05:00")] == 2
         assert rows[(100, "2024-01-02 00:00:30")] == 1
         assert rows[(200, "2024-01-01 23:59:00")] == 1
+
+
+def test_stateful_running_totals_across_microbatches(spark):
+    import glob
+    import os
+
+    from python_mozetl_spark.streaming import (
+        batch_running_totals,
+        running_totals_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        _events(spark).write.mode("overwrite").parquet(src)
+        n_files = len(glob.glob(os.path.join(src, "*.parquet")))
+        batch_df = spark.read.parquet(src)
+        stream_df = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+            .parquet(src)
+        )
+        q = (
+            running_totals_stream(stream_df)
+            .writeStream.format("memory")
+            .queryName("running_totals_t")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert n_files > 1  # the statefulness actually spanned batches
+        # memory sink in update mode appends every emission; totals only
+        # grow, so the max-n_events emission per key is the converged one
+        emitted = spark.table("running_totals_t").collect()
+        final = {}
+        for r in emitted:
+            cur = final.get(r["user_id"], (-1, 0.0))
+            if r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], r["sum_value"])
+        expect = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in batch_running_totals(_events(spark)).collect()
+        }
+        assert final == expect
