@@ -1,0 +1,175 @@
+"""One CLI dispatching every job — the rebuild of mozetl/cli.py:23-47.
+
+Each command is a thin shell: read parquet input(s) → run the jobs/
+pipeline → write the partitioned output.  All cloud-specific plumbing
+of the reference (S3 buckets, Databricks submit, env-var protocols) is
+replaced by plain paths; everything else (dates, sampling, save modes)
+is preserved as options.
+
+    python -m python_mozetl_spark clients_daily \
+        --input /data/main_summary --output /out/clients_daily \
+        --date 2024-01-01
+"""
+
+from __future__ import annotations
+
+import click
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.session import get_session
+from python_mozetl_spark.sinks.writers import (
+    write_json_artifact,
+    write_partitioned_parquet,
+)
+
+
+def _read(spark, path: str, date: str | None = None, date_col: str = "submission_date_s3"):
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if date:
+        df = df.where(F.col(date_col) == date)
+    return df
+
+
+@click.group()
+def entry_point() -> None:
+    """python_mozetl_spark — PySpark-native telemetry ETL engine."""
+
+
+def _common(fn):
+    fn = click.option("--input", "input_path", required=True)(fn)
+    fn = click.option("--output", "output_path", required=True)(fn)
+    fn = click.option("--date", default=None, help="submission_date_s3 filter")(fn)
+    fn = click.option("--master", default="local[*]")(fn)
+    return fn
+
+
+@entry_point.command("clients_daily")
+@_common
+@click.option("--sample-id", default=None, type=int)
+def clients_daily(input_path, output_path, date, master, sample_id):
+    from python_mozetl_spark.jobs.clients_daily import run_clients_daily
+
+    spark = get_session(app_name="clients_daily", master=master)
+    df = _read(spark, input_path, date)
+    if sample_id is not None:
+        df = df.where(F.col("sample_id") == sample_id)
+    out = run_clients_daily(df)
+    write_partitioned_parquet(out, output_path)
+
+
+@entry_point.command("experiments_daily")
+@_common
+def experiments_daily(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.experiments_daily import run_experiments_daily
+
+    spark = get_session(app_name="experiments_daily", master=master)
+    out = run_experiments_daily(_read(spark, input_path, date))
+    write_partitioned_parquet(out, output_path, partition_by=["experiment_id"])
+
+
+@entry_point.command("search_aggregates")
+@_common
+def search_aggregates(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.search_aggregates import run_search_aggregates
+
+    spark = get_session(app_name="search_aggregates", master=master)
+    out = run_search_aggregates(_read(spark, input_path, date))
+    write_partitioned_parquet(out, output_path)
+
+
+@entry_point.command("search_clients_daily")
+@_common
+def search_clients_daily(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.search_aggregates import run_search_clients_daily
+
+    spark = get_session(app_name="search_clients_daily", master=master)
+    out = run_search_clients_daily(_read(spark, input_path, date))
+    write_partitioned_parquet(out, output_path)
+
+
+@entry_point.command("sync_bookmark_validation")
+@_common
+def sync_bookmark_validation(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.sync_bookmark import run_bookmark_validation
+
+    spark = get_session(app_name="sync_bookmark", master=master)
+    validations, totals = run_bookmark_validation(spark, _read(spark, input_path, date))
+    write_partitioned_parquet(validations, f"{output_path}/validations")
+    write_partitioned_parquet(totals, f"{output_path}/totals")
+
+
+@entry_point.command("addon_aggregates")
+@_common
+def addon_aggregates(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.addon_aggregates import run_addon_aggregates
+
+    spark = get_session(app_name="addon_aggregates", master=master)
+    out = run_addon_aggregates(_read(spark, input_path, date))
+    write_partitioned_parquet(out, output_path)
+
+
+@entry_point.command("landfill_sampler")
+@_common
+@click.option("--n-documents", default=1000, type=int)
+def landfill_sampler(input_path, output_path, date, master, n_documents):
+    from python_mozetl_spark.jobs.landfill import run_landfill_sample
+
+    spark = get_session(app_name="landfill_sampler", master=master)
+    run_landfill_sample(
+        _read(spark, input_path, date),
+        per_group=n_documents,
+        output_path=output_path,
+    )
+
+
+@entry_point.command("taar_lite")
+@_common
+def taar_lite(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.coinstalls import run_coinstall_graph
+
+    spark = get_session(app_name="taar_lite", master=master)
+    out = run_coinstall_graph(_read(spark, input_path, date))
+    graph = {
+        r["addon"]: {c["coinstall"]: c["n"] for c in r["coinstalls"]}
+        for r in out.collect()
+    }
+    write_json_artifact(graph, f"{output_path}/guid_coinstallation.json")
+
+
+@entry_point.command("taar_lite_guidranking")
+@_common
+def taar_lite_guidranking(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.coinstalls import run_install_ranking
+
+    spark = get_session(app_name="taar_lite_guidranking", master=master)
+    out = run_install_ranking(_read(spark, input_path, date))
+    ranking = {r["addon_guid"]: r["install_count"] for r in out.collect()}
+    write_json_artifact(ranking, f"{output_path}/guid_install_ranking.json")
+
+
+@entry_point.command("hardware_report")
+@_common
+@click.option("--dimension", "dimensions", multiple=True, default=("os",))
+@click.option("--threshold", default=3, type=int)
+def hardware_report(input_path, output_path, date, master, dimensions, threshold):
+    from python_mozetl_spark.jobs.hardware_report import dimension_report
+
+    spark = get_session(app_name="hardware_report", master=master)
+    df = _read(spark, input_path, date)
+    for dim in dimensions:
+        out = dimension_report(df, dim, threshold=threshold)
+        write_partitioned_parquet(out, f"{output_path}/{dim}")
+
+
+@entry_point.command("missing_symbols")
+@_common
+def missing_symbols(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.symbolication import run_missing_symbols_report
+
+    spark = get_session(app_name="missing_symbols", master=master)
+    out = run_missing_symbols_report(_read(spark, input_path, date, "crash_date"))
+    write_partitioned_parquet(out, output_path)
+
+
+if __name__ == "__main__":
+    entry_point()

@@ -89,6 +89,34 @@ def write_csv_export(df: DataFrame, path: str, max_rows: int = 1_000_000) -> Non
     df.toPandas().to_csv(path, index=False)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 16,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (+ optionally sorted) parquet table for co-located
+    fact-fact joins: two tables bucketed on the same key with the same
+    bucket count join WITHOUT a shuffle (and without the sort, if
+    sorted).  This is the persisted analogue of repartitioning both
+    sides — pay the shuffle once at write time, reuse it every query.
+
+    At 100 TB this is the strategy for repeatedly-joined fact tables
+    (e.g. lineitem⋈orders by orderkey): bucket count chosen so each
+    bucket file lands in the 256MB–1GB band the reference targets
+    (clientsdaily/rollup.py:142-146).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
 def foreach_partition_sink(df: DataFrame, writer_factory, batch_size: int = 200) -> None:
     """K6: external-store sink as foreachPartition — the idiomatic
     replacement for the reference's batch-writes-inside-rdd.reduce

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must actually appear in the plan — pushdown reaching the parquet scan,
+small dims broadcast, bucketed joins shuffle-free.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _formatted_plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+    # column pruning: the scan reads only the 2 projected columns
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_extendedprice" not in schema_line
+
+
+def test_small_dimension_join_is_broadcast(spark):
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["regional_revenue"].build(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wide_agg_is_partial_then_final_hashagg(spark):
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["pricing_summary"].build(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    # two HashAggregate levels around one Exchange = map-side partials
+    assert plan.count("HashAggregate") >= 2
+    agg_ex = [l.strip() for l in plan.splitlines()
+              if l.strip().startswith(("+- HashAggregate", "+- Exchange",
+                                       "HashAggregate", "Exchange"))]
+    assert any("Exchange" in l for l in agg_ex)
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from python_mozetl_spark.sinks.writers import write_bucketed_table
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        try:
+            write_bucketed_table(
+                orders, "t_orders_b", ["o_orderkey"], 4,
+                sort_by=["o_orderkey"], path=os.path.join(d, "o"),
+            )
+            write_bucketed_table(
+                li, "t_lineitem_b", ["l_orderkey"], 4,
+                sort_by=["l_orderkey"], path=os.path.join(d, "l"),
+            )
+            with_buckets = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = spark.table("t_orders_b").join(
+                    spark.table("t_lineitem_b"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                plan = _formatted_plan(j)
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", with_buckets
+                )
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: bucketing IS the shuffle
+            assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -1,6 +1,7 @@
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from python_mozetl_spark.jobs.hardware_report import (
@@ -219,3 +220,47 @@ def test_install_ranking(spark):
     out = {r["addon_guid"]: r["install_count"]
            for r in run_install_ranking(df).collect()}
     assert out == {"a": 2, "b": 1}
+
+
+def test_cli_commands_registered_and_invocable():
+    # the reference's CLI smoke strategy (tests/test_cli.py): every
+    # command importable + help renders
+    from click.testing import CliRunner
+
+    from python_mozetl_spark.cli import entry_point
+
+    runner = CliRunner()
+    out = runner.invoke(entry_point, ["--help"])
+    assert out.exit_code == 0
+    for cmd in [
+        "clients_daily", "experiments_daily", "search_aggregates",
+        "search_clients_daily", "sync_bookmark_validation",
+        "addon_aggregates", "landfill_sampler", "taar_lite",
+        "taar_lite_guidranking", "hardware_report", "missing_symbols",
+    ]:
+        assert cmd in out.output
+        h = runner.invoke(entry_point, [cmd, "--help"])
+        assert h.exit_code == 0, cmd
+
+
+def test_cli_hardware_report_end_to_end(spark, tmp_path):
+    from click.testing import CliRunner
+
+    from python_mozetl_spark.cli import entry_point
+
+    src = str(tmp_path / "clients")
+    spark.createDataFrame(
+        [("c%d" % i, "windows") for i in range(8)] + [("c9", "rare-os")],
+        "client_id string, os string",
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "report")
+    r = CliRunner().invoke(
+        entry_point,
+        ["hardware_report", "--input", src, "--output", out_dir,
+         "--dimension", "os", "--master", "local[2]"],
+    )
+    assert r.exit_code == 0, r.output
+    got = {row["os"]: row["share"]
+           for row in spark.read.parquet(f"{out_dir}/os").collect()}
+    assert got["windows"] == pytest.approx(8 / 9)
+    assert got["Other"] == pytest.approx(1 / 9)
