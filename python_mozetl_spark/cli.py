@@ -161,6 +161,47 @@ def hardware_report(input_path, output_path, date, master, dimensions, threshold
         write_partitioned_parquet(out, f"{output_path}/{dim}")
 
 
+@entry_point.command("bhr_collection")
+@_common
+@click.option("--thread-filter", default="Gecko")
+@click.option("--sample-fraction", default=0.5, type=float)
+def bhr_collection(input_path, output_path, date, master, thread_filter,
+                   sample_fraction):
+    from python_mozetl_spark.jobs.bhr import run_bhr_collection
+
+    spark = get_session(app_name="bhr_collection", master=master)
+    out = run_bhr_collection(
+        _read(spark, input_path, date),
+        thread_filter=thread_filter,
+        sample_fraction=sample_fraction,
+    )
+    write_partitioned_parquet(out, output_path)
+
+
+@entry_point.command("graphics_dashboard")
+@_common
+@click.option("--dimension", "dimensions", multiple=True,
+              default=("OS", "vendorID", "deviceID"))
+def graphics_dashboard(input_path, output_path, date, master, dimensions):
+    from python_mozetl_spark.jobs.graphics_dashboard import run_graphics_dashboard
+
+    spark = get_session(app_name="graphics_dashboard", master=master)
+    tables = run_graphics_dashboard(_read(spark, input_path, date), dims=dimensions)
+    for dim, df in tables.items():
+        write_partitioned_parquet(df, f"{output_path}/{dim}")
+
+
+@entry_point.command("profile_export")
+@_common
+@click.option("--sample-rate", default=None, type=float)
+def profile_export(input_path, output_path, date, master, sample_rate):
+    from python_mozetl_spark.jobs.profile_export import export_profiles
+
+    spark = get_session(app_name="profile_export", master=master)
+    out = export_profiles(_read(spark, input_path, date), sample_rate=sample_rate)
+    write_partitioned_parquet(out, output_path)
+
+
 @entry_point.command("missing_symbols")
 @_common
 def missing_symbols(input_path, output_path, date, master):

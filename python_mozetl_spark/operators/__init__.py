@@ -10,6 +10,7 @@ from python_mozetl_spark.operators.asof import asof_join  # noqa: F401
 from python_mozetl_spark.operators.collapse import (  # noqa: F401
     collapse_small_groups,
     normalize_shares,
+    top_n_groups,
 )
 from python_mozetl_spark.operators.explode import (  # noqa: F401
     explode_entries,

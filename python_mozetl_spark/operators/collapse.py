@@ -65,3 +65,38 @@ def normalize_shares(
     if precision is not None:
         share = F.round(share, precision)
     return df.withColumn(alias, share)
+
+
+def top_n_groups(
+    df: DataFrame,
+    group_col: str,
+    count_col: Column | None = None,
+    top_n: int = 10,
+    other_label: str = "Other",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """A13 variant: keep the ``top_n`` heaviest groups (per ``keys``
+    partition), fold the tail into ``other_label`` and re-aggregate —
+    the graphics dashboard's top-N + Other pattern
+    (mozetl/graphics/graphics_telemetry_dashboard.py:278-292).
+
+    Rank ties break on the group label so the result is deterministic.
+    """
+    weight = count_col if count_col is not None else F.col("n")
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ranked = df.withColumn(
+        "__rk",
+        F.row_number().over(w.orderBy(weight.desc(), F.col(group_col))),
+    )
+    relabeled = ranked.withColumn(
+        group_col,
+        F.when(F.col("__rk") <= top_n, F.col(group_col)).otherwise(
+            F.lit(other_label)
+        ),
+    ).drop("__rk")
+    value_cols = [
+        c for c in relabeled.columns if c != group_col and c not in keys
+    ]
+    return relabeled.groupBy(*keys, group_col).agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    )

@@ -1486,3 +1486,57 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+@query(
+    "status_cube",
+    "CUBE grouping sets over (returnflag, linestatus) — the full "
+    "grouping-set lattice Spark gives for free (SURVEY notes the "
+    "reference never had it; A-family extension).",
+    ("A1", "ext-sql"),
+    oracle="""
+SELECT coalesce(CAST(l_returnflag AS VARCHAR), 'ALL') AS returnflag,
+  coalesce(CAST(l_linestatus AS VARCHAR), 'ALL') AS linestatus,
+  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "quantity_percentiles",
+    "Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB `quantile_cont`); the reference only had describe() — "
+    "median/p90 are the quality-scoring primitives a training pipeline "
+    "thresholds on.",
+    ("A12", "ext-text"),
+    oracle="""
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+  round(quantile_cont(l_quantity, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+    )

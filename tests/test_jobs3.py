@@ -1,0 +1,149 @@
+"""BHR, graphics dashboard, and profile-export job parity tests."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+PING_SCHEMA = (
+    "build_id string, os_name string, "
+    "modules array<struct<debug_name:string,breakpad_id:string>>, "
+    "hangs array<struct<thread:string,duration:long,"
+    "stack:array<struct<module_index:int,offset:string>>>>"
+)
+
+
+def _pings(spark):
+    mods = [{"debug_name": "xul.pdb", "breakpad_id": "ABC"},
+            {"debug_name": "ntdll.pdb", "breakpad_id": "DEF"}]
+    rows = [
+        ("20240115093000", "Windows_NT", mods, [
+            {"thread": "Gecko", "duration": 500,
+             "stack": [{"module_index": 0, "offset": "0x10"},
+                       {"module_index": 1, "offset": "0x20"}]},
+            {"thread": "Gecko", "duration": 700,
+             "stack": [{"module_index": 0, "offset": "0x10"},
+                       {"module_index": 1, "offset": "0x20"}]},
+            {"thread": "Gecko", "duration": 50,  # below lower bound
+             "stack": [{"module_index": 0, "offset": "0x10"}]},
+            {"thread": "Other", "duration": 900,  # wrong thread
+             "stack": [{"module_index": 0, "offset": "0x10"}]},
+            {"thread": "Gecko", "duration": 400,
+             "stack": [{"module_index": 99, "offset": "0x30"}]},  # bad index
+        ]),
+    ]
+    return spark.createDataFrame(rows, PING_SCHEMA)
+
+
+def test_bhr_hang_aggregates(spark):
+    from python_mozetl_spark.jobs.bhr import run_bhr_collection
+
+    out = run_bhr_collection(_pings(spark), sample_fraction=1.0).collect()
+    by_stack = {tuple((f["module"], f["offset"]) for f in r["stack"]): r
+                for r in out}
+    key = (("xul.pdb\\ABC", "0x10"), ("ntdll.pdb\\DEF", "0x20"))
+    assert by_stack[key]["total_hang_ms"] == 1200.0
+    assert by_stack[key]["hang_count"] == 2
+    assert by_stack[key]["build_date"] == "20240115"
+    # out-of-range module index resolves to null module, hang still kept
+    bad = (((None, "0x30")),)
+    assert ((None, "0x30"),) in by_stack
+    assert by_stack[((None, "0x30"),)]["hang_count"] == 1
+    del bad
+
+
+def test_bhr_symbolicate(spark):
+    from python_mozetl_spark.jobs.bhr import (
+        explode_hangs,
+        hang_aggregates,
+        resolve_stacks,
+        symbolicate,
+    )
+
+    agg = hang_aggregates(resolve_stacks(explode_hangs(_pings(spark))))
+    symbols = spark.createDataFrame(
+        [("xul.pdb\\ABC", "nsThread::Run")], "module string, symbol string"
+    )
+    got = {r["module"]: r["resolved_symbol"]
+           for r in symbolicate(agg, symbols).collect()}
+    assert got["xul.pdb\\ABC"] == "nsThread::Run"
+    assert got["ntdll.pdb\\DEF"] == "ntdll.pdb\\DEF"  # unresolved keeps raw
+
+
+GFX_SCHEMA = (
+    "os_name string, os_version string, os_service_pack_major int, "
+    "build_version string, "
+    "adapters array<struct<vendorID:string,deviceID:string,"
+    "driverVersion:string,driverVendor:string>>"
+)
+
+
+def test_graphics_validate_and_pyramid(spark):
+    from python_mozetl_spark.jobs.graphics_dashboard import (
+        run_graphics_dashboard,
+        validate_pings,
+    )
+
+    adapter = [{"vendorID": "0x8086", "deviceID": "0x1916",
+                "driverVersion": "20.1", "driverVendor": None}]
+    intel_osc = [{"vendorID": "Intel Open Source Technology Center",
+                  "deviceID": "0x3e92", "driverVersion": None,
+                  "driverVendor": "mesa"}]
+    rows = [
+        ("Windows_NT", "10.0", 1, "109.0.1", adapter),
+        ("Windows_NT", "10.0", 1, "109.0.1", adapter),
+        ("Linux", "5.10", None, "110.0", intel_osc),
+        ("Darwin", "22.1", None, "110.0", adapter),
+        ("Windows_NT", "10.0", 1, None, adapter),     # no build → invalid
+        ("Windows_NT", "10.0", 1, "109.0.1", None),   # no adapters → invalid
+    ]
+    df = spark.createDataFrame(rows, GFX_SCHEMA)
+    valid = validate_pings(df)
+    got = {r["OS"]: r for r in valid.collect()}
+    assert set(got) == {"Windows-10.0.1", "Linux", "Darwin-22.1"}
+    assert got["Windows-10.0.1"]["FxVersion"] == "109"
+    assert got["Linux"]["OSVersion"] is None
+    # Intel OSC vendor merged to 0x8086; device key is vendor/device
+    assert got["Linux"]["vendorID"] == "0x8086"
+    assert got["Linux"]["deviceID"] == "0x8086/0x3e92"
+    # driverVersion null → Unknown
+    assert got["Linux"]["driverVersion"] == "0x8086/Unknown"
+
+    shares = run_graphics_dashboard(df, dims=("OSName",))["OSName"]
+    by = {r["OSName"]: r["share"] for r in shares.collect()}
+    assert by["Windows"] == pytest.approx(0.5)
+    assert by["Linux"] == pytest.approx(0.25)
+
+
+def test_top_n_groups_collapse(spark):
+    from python_mozetl_spark.operators import top_n_groups
+
+    df = spark.createDataFrame(
+        [("a", 50), ("b", 30), ("c", 10), ("d", 5), ("e", 5)], ["g", "n"]
+    )
+    out = {r["g"]: r["n"] for r in
+           top_n_groups(df, "g", F.col("n"), top_n=2).collect()}
+    assert out == {"a": 50, "b": 30, "Other": 20}
+
+
+def test_profile_export_latest_and_json(spark):
+    from python_mozetl_spark.jobs.profile_export import export_profiles
+
+    rows = [
+        ("c1", "2024-01-02", 100, "de"),
+        ("c1", "2024-01-05", 200, "de"),   # latest → exported
+        ("c2", "not-a-date", 300, "en"),   # invalid date → dropped
+        ("", "2024-01-01", 400, "fr"),     # empty client → dropped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "client_id string, subsession_start_date string, "
+        "subsession_length long, locale string",
+    )
+    out = export_profiles(df).collect()
+    assert len(out) == 1
+    payload = json.loads(out[0]["json_payload"])
+    assert out[0]["client_id"] == "c1"
+    assert payload["subsession_start_date"] == "2024-01-05"
+    assert payload["subsession_length"] == 200
