@@ -110,6 +110,85 @@ def bucketed_topk(
     return _topk(scored, k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector its ``nprobe`` nearest centroid cells (by
+    cosine) — the IVF coarse quantizer.  Arrow-batched NumPy: one
+    matmul per batch against the (small, closure-shipped) centroid
+    matrix; output explodes to one row per (vector, probed cell).
+    """
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {cell_col} int"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0] = 1.0
+            sims = (mat @ cmat.T) / np.outer(vnorm, cnorm)
+            # nprobe nearest cells per row
+            order = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(pdf)
+            rep = pdf.iloc[np.repeat(np.arange(n), nprobe)].reset_index(drop=True)
+            rep[cell_col] = order.ravel().astype("int32")
+            yield rep
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    precision: int = 4,
+) -> DataFrame:
+    """IVF ANN with multi-probe: corpus vectors live in their single
+    nearest cell; each query probes its ``nprobe`` nearest cells and
+    scores only those cells' members.
+
+    The scale path proper: candidate volume ≈ |corpus| × nprobe /
+    n_cells per query batch, the join shuffles on the cell id, and the
+    centroid matrix is closure-broadcast.  nprobe = n_cells degrades
+    gracefully to exact brute force (tested equivalence).
+    """
+    c_cells = ivf_assign(corpus, centroids, vec_col, nprobe=1).select(
+        F.col("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+    )
+    q_cells = ivf_assign(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col("cell"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    scored = (
+        q_cells.join(c_cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), precision).alias(
+                "score"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _topk(scored, k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -111,3 +111,17 @@ def predicted_lang(text: Column | str, default: str = "und") -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, s).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit(default))
+
+
+# GPT-2-style pre-tokenizer pattern, simplified to the subset that
+# behaves identically under Java regex (Spark) and RE2 (DuckDB) — no
+# lookahead, no unicode classes.  The engine surface (regex pre-split
+# before a BPE merge table) is what matters for token accounting.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: regex-extracted subword-ready pieces
+    (word-with-leading-space convention, contractions split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)

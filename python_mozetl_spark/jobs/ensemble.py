@@ -1,0 +1,98 @@
+"""Ensemble-weight training (TAAR ensemble).
+
+Re-expresses mozetl/taar/taar_ensemble.py:417-493: k-fold split via
+uniform-random ranges (U6), stacked per-fold training, a weighted
+elastic-net LogisticRegression fit, and the coefficient dict artifact.
+
+Two deliberate departures (SURVEY §7.3):
+- the reference reloads the production `taar` recommender package
+  inside executors via env vars (:156-231); here recommender scores
+  are *columns* supplied by a pluggable mapping, so training is
+  testable with no external service;
+- the RDD union of per-fold lists (:478-481) is
+  ``functools.reduce(DataFrame.unionByName, ...)`` (U2) and the split
+  is seeded, so the whole job is reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_fold_split(df: DataFrame, k_folds: int = 4, seed: int = 42) -> list[DataFrame]:
+    """Seeded uniform k-fold partition (taar_ensemble.py:417-432)."""
+    h = 1.0 / k_folds
+    with_rand = df.withColumn("__rand", F.rand(seed))
+    return [
+        with_rand.where(
+            (F.col("__rand") >= i * h) & (F.col("__rand") < (i + 1) * h)
+        ).drop("__rand")
+        for i in range(k_folds)
+    ]
+
+
+def score_features(df: DataFrame, scorers: Mapping[str, Column]) -> DataFrame:
+    """Attach each recommender's score as a column — the pluggable
+    replacement for executor-side recommender calls."""
+    out = df
+    for name, col in scorers.items():
+        out = out.withColumn(name, col.cast("double"))
+    return out
+
+
+def fit_ensemble_weights(
+    training: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "label",
+    weight_col: str | None = None,
+    reg_param: float = 0.01,
+    elastic_net_param: float = 0.5,
+    k_folds: int = 4,
+    seed: int = 42,
+) -> dict[str, float]:
+    """k-fold restack + LR fit → {feature: ensemble weight}.
+
+    The stacked union replays every fold (each row appears once per
+    fold arrangement, mirroring the reference's stacked datasets) and
+    one LogisticRegression fit produces the blended weights.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    folds = k_fold_split(training, k_folds, seed)
+    stacked = reduce(DataFrame.unionByName, folds)
+    assembled = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features"
+    ).transform(stacked)
+    lr = LogisticRegression(
+        maxIter=50,
+        regParam=reg_param,
+        elasticNetParam=elastic_net_param,
+        featuresCol="features",
+        labelCol=label_col,
+    )
+    if weight_col:
+        lr = lr.setWeightCol(weight_col)
+    model = lr.fit(assembled)
+    return {
+        name: float(coef)
+        for name, coef in zip(feature_cols, model.coefficients)
+    }
+
+
+def run_ensemble(
+    training: DataFrame,
+    scorers: Mapping[str, Column],
+    label_col: str = "label",
+    **fit_kwargs,
+) -> dict[str, float]:
+    """Full pipeline: score columns → k-fold stack → LR → weights
+    artifact (write with sinks.writers.write_json_artifact)."""
+    scored = score_features(training, scorers)
+    return fit_ensemble_weights(
+        scored, feature_cols=list(scorers), label_col=label_col, **fit_kwargs
+    )

@@ -1540,3 +1540,86 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
     )
+
+
+@query(
+    "doc_bpe_token_stats",
+    "BPE-ish token accounting: regex pre-tokenizer (GPT-2-style "
+    "word-with-leading-space pieces, contractions split), identical "
+    "under Java regex and RE2.  Cost model input for training "
+    "pipelines: token count vs whitespace-word count per doc.",
+    ("ext-text",),
+    oracle=r"""
+WITH b AS (SELECT doc_id,
+    regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s') AS toks,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+  FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_bpe_tokens,
+  CAST(len(words) AS BIGINT) AS n_words,
+  round(CAST(len(toks) AS DOUBLE) / greatest(len(words), 1), 4) AS tokens_per_word
+FROM b
+""",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = T.bpe_tokens("text")
+    words = T.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_bpe_tokens"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.round(
+            F.size(toks).cast("double")
+            / F.greatest(F.size(words), F.lit(1)).cast("double"),
+            4,
+        ).alias("tokens_per_word"),
+    )
+
+
+@query(
+    "embedding_ivf_topk",
+    "IVF ANN with multi-probe coarse quantizer (mapInPandas NumPy "
+    "assignment + cell-key join).  Centroids are the deterministic "
+    "per-label mean vectors; probing ALL cells makes the result exact, "
+    "so the oracle is the brute-force scan — the same degradation "
+    "guarantee the pytest checks (nprobe=n_cells == brute force).",
+    ("ext-sim", "pandas-udf"),
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv, cv), 4) AS score
+      FROM q, c WHERE query_id <> neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS rn FROM s)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 3
+""",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from python_mozetl_spark.ext.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    # deterministic centroids: per-label mean vectors (one small agg)
+    dim = len(e.select("embedding").first()[0])
+    means = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("mv"))
+        .orderBy("label")
+        .collect()
+    )
+    centroids = np.array([[p["m"] for p in r["mv"]] for r in means])
+    assert centroids.shape[1] == dim
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 10), centroids, k=3,
+        nprobe=len(centroids),
+    ).select("query_id", "neighbor_id", "score", "rank")

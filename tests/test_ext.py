@@ -163,3 +163,43 @@ def test_srp_near_dup_matches_brute_force_on_planted_pairs(spark):
     }
     assert (0, 100) in srp and (0, 101) in srp and (100, 101) in srp
     assert srp == brute  # exact recall at this threshold/band config
+
+
+def _clustered_vectors(n_per=15, dim=8, n_clusters=3, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    rows, idx = [], 0
+    for c in range(n_clusters):
+        for _ in range(n_per):
+            rows.append((idx, (centers[c] + 0.3 * rng.standard_normal(dim)).tolist()))
+            idx += 1
+    return rows, centers
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    from python_mozetl_spark.ext.similarity import brute_force_topk, ivf_topk
+
+    rows, centers = _clustered_vectors()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(df, queries, k=3).collect()
+    ivf = ivf_topk(df, queries, centers, k=3, nprobe=len(centers)).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([tuple(r) for r in ivf], key=lambda x: (x[0], x[3])) == sorted(
+        [tuple(r) for r in exact], key=lambda x: (x[0], x[3])
+    )
+    del key
+
+
+def test_ivf_topk_single_probe_high_recall_on_clustered_data(spark):
+    from python_mozetl_spark.ext.similarity import brute_force_topk, ivf_topk
+
+    rows, centers = _clustered_vectors()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(df, queries, k=3).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(df, queries, centers, k=3, nprobe=1).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8  # well-separated clusters: probe-1 nearly exact

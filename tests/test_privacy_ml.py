@@ -51,3 +51,41 @@ def test_similarity_model_reproducible(spark, k):
     per_cluster = d1.groupBy("prediction").count().collect()
     assert all(r["count"] <= 30 for r in per_cluster)  # sampled, not full
     assert d1.count() < a1.count()
+
+
+def test_k_fold_split_partitions(spark):
+    from python_mozetl_spark.jobs.ensemble import k_fold_split
+
+    df = spark.range(1000)
+    folds = k_fold_split(df, k_folds=4, seed=7)
+    sizes = [f.count() for f in folds]
+    assert sum(sizes) == 1000  # exact partition, no overlap/loss
+    assert all(150 < s < 350 for s in sizes)
+    # seeded: same split on re-run
+    again = [f.count() for f in k_fold_split(df, k_folds=4, seed=7)]
+    assert sizes == again
+
+
+def test_ensemble_weights_favor_informative_feature(spark):
+    import random
+
+    from python_mozetl_spark.jobs.ensemble import run_ensemble
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(400):
+        informative = rng.uniform(-1, 1)
+        noise = rng.uniform(-1, 1)
+        label = 1 if informative + rng.gauss(0, 0.1) > 0 else 0
+        rows.append((informative, noise, label))
+    df = spark.createDataFrame(rows, "f_good double, f_noise double, label int")
+    weights = run_ensemble(
+        df,
+        scorers={"s_good": F.col("f_good"), "s_noise": F.col("f_noise")},
+        reg_param=0.01,
+        elastic_net_param=0.0,
+    )
+    assert set(weights) == {"s_good", "s_noise"}
+    assert weights["s_good"] > 1.0
+    assert abs(weights["s_noise"]) < 0.5 * weights["s_good"]
