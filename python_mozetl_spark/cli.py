@@ -202,6 +202,25 @@ def profile_export(input_path, output_path, date, master, sample_rate):
     write_partitioned_parquet(out, output_path)
 
 
+@entry_point.command("graphics_trends")
+@_common
+@click.option("--existing", default=None, help="prior trend cache (parquet)")
+@click.option("--as-of", "as_of", required=True, help="YYYY-MM-DD bound")
+def graphics_trends(input_path, output_path, date, master, existing, as_of):
+    import datetime as _dt
+
+    from python_mozetl_spark.jobs.graphics_trends import run_weekly_trends
+
+    spark = get_session(app_name="graphics_trends", master=master)
+    prior = spark.read.parquet(existing) if existing else None
+    out = run_weekly_trends(
+        _read(spark, input_path, date),
+        prior,
+        _dt.datetime.fromisoformat(as_of),
+    )
+    write_partitioned_parquet(out, output_path)
+
+
 @entry_point.command("missing_symbols")
 @_common
 def missing_symbols(input_path, output_path, date, master):

@@ -147,3 +147,47 @@ def test_profile_export_latest_and_json(spark):
     assert out[0]["client_id"] == "c1"
     assert payload["subsession_start_date"] == "2024-01-05"
     assert payload["subsession_length"] == 200
+
+
+def test_weekly_trend_sunday_aligned_and_incremental(spark):
+    from datetime import datetime
+
+    from python_mozetl_spark.jobs.graphics_trends import (
+        run_weekly_trends,
+        weekly_trend,
+    )
+
+    rows = [
+        # 2024-01-07 is a Sunday
+        ("2024-01-07 00:00:01", "click"),
+        ("2024-01-10 12:00:00", "click"),
+        ("2024-01-13 23:59:59", "view"),   # same Sun-Sat week
+        ("2024-01-14 00:00:01", "click"),  # next week (Sunday again)
+        ("2024-01-06 10:00:00", "click"),  # previous week (Saturday)
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    weeks = weekly_trend(df).collect()
+    starts = {str(r["week_start"]) for r in weeks}
+    assert starts == {
+        "2023-12-31 00:00:00", "2024-01-07 00:00:00", "2024-01-14 00:00:00"
+    }  # all Sundays
+    wk1 = {r["event_type"]: r["total"] for r in weeks
+           if str(r["week_start"]) == "2024-01-07 00:00:00"}
+    assert wk1 == {"click": 2, "view": 1}
+
+    # incremental: first run as of mid-January drops the incomplete week
+    cache = run_weekly_trends(df, None, datetime(2024, 1, 16))
+    assert {str(r["week_start"]) for r in cache.collect()} == {
+        "2023-12-31 00:00:00", "2024-01-07 00:00:00"
+    }
+    # second run later: completed week merges in; re-aggregated weeks
+    # REPLACE, not duplicate
+    cache2 = run_weekly_trends(df, cache, datetime(2024, 1, 22))
+    rows2 = cache2.collect()
+    assert {str(r["week_start"]) for r in rows2} == {
+        "2023-12-31 00:00:00", "2024-01-07 00:00:00", "2024-01-14 00:00:00"
+    }
+    assert len(rows2) == len({(str(r["week_start"]), r["event_type"])
+                              for r in rows2})

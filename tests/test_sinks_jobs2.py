@@ -238,6 +238,7 @@ def test_cli_commands_registered_and_invocable():
         "addon_aggregates", "landfill_sampler", "taar_lite",
         "taar_lite_guidranking", "hardware_report", "missing_symbols",
         "bhr_collection", "graphics_dashboard", "profile_export",
+        "graphics_trends",
     ]:
         assert cmd in out.output
         h = runner.invoke(entry_point, [cmd, "--help"])
