@@ -106,3 +106,32 @@ def test_stateful_running_totals_across_microbatches(spark):
             for r in batch_running_totals(_events(spark)).collect()
         }
         assert final == expect
+
+
+def test_weekly_trend_same_definition_streams(spark):
+    # the trends transformation is mode-agnostic: same function, file
+    # stream + watermark, equals the batch result
+    import os
+
+    from python_mozetl_spark.jobs.graphics_trends import weekly_trend
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        _events(spark).write.mode("overwrite").parquet(src)
+        batch = weekly_trend(spark.read.parquet(src))
+        stream_df = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            weekly_trend(stream_df.withWatermark("ts", "10 days"))
+            .writeStream.format("memory")
+            .queryName("weekly_trend_t")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(map(str, r)) for r in
+                     spark.table("weekly_trend_t").collect())
+        want = sorted(tuple(map(str, r)) for r in batch.collect())
+        assert got == want and len(got) > 0
