@@ -231,5 +231,71 @@ def missing_symbols(input_path, output_path, date, master):
     write_partitioned_parquet(out, output_path)
 
 
+@entry_point.command("taar_locale")
+@_common
+@click.option("--limits-json", required=True,
+              help="JSON file: {locale: max_addons_per_client}")
+@click.option("--whitelist-json", required=True,
+              help="JSON file: [addon_id, ...]")
+@click.option("--epsilon", default=0.4, type=float)
+@click.option("--num-addons", default=10, type=int)
+def taar_locale(input_path, output_path, date, master, limits_json,
+                whitelist_json, epsilon, num_addons):
+    import json as _json
+
+    from python_mozetl_spark.jobs.taar_locale import run_taar_locale
+
+    spark = get_session(app_name="taar_locale", master=master)
+    with open(limits_json) as fh:
+        limits = _json.load(fh)
+    with open(whitelist_json) as fh:
+        whitelist = _json.load(fh)
+    out = run_taar_locale(
+        spark, _read(spark, input_path, date), limits, whitelist,
+        epsilon=epsilon, num_addons=num_addons,
+    )
+    artifact = {}
+    for r in out.collect():
+        artifact.setdefault(r["locale"], {})[r["addon"]] = r["share"]
+    write_json_artifact(artifact, f"{output_path}/top_addons_by_locale.json")
+
+
+@entry_point.command("taar_similarity")
+@_common
+@click.option("--clusters", default=8, type=int)
+@click.option("--donors-per-cluster", default=50, type=int)
+def taar_similarity(input_path, output_path, date, master, clusters,
+                    donors_per_cluster):
+    from python_mozetl_spark.jobs.similarity_model import run_similarity_model
+
+    spark = get_session(app_name="taar_similarity", master=master)
+    assigned, donors = run_similarity_model(
+        _read(spark, input_path, date), k=clusters,
+        donors_per_cluster=donors_per_cluster,
+    )
+    write_partitioned_parquet(assigned, f"{output_path}/assignments")
+    write_partitioned_parquet(donors, f"{output_path}/donors")
+
+
+@entry_point.command("shield_privacy_prefs")
+@_common
+def shield_privacy_prefs(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.shield import run_privacy_prefs
+
+    spark = get_session(app_name="shield_privacy_prefs", master=master)
+    out = run_privacy_prefs(_read(spark, input_path, date, "submission_date"))
+    write_partitioned_parquet(out, output_path, partition_by=["submission_date"])
+
+
+@entry_point.command("system_check")
+@_common
+def system_check(input_path, output_path, date, master):
+    from python_mozetl_spark.jobs.shield import run_system_check
+
+    spark = get_session(app_name="system_check", master=master)
+    out = run_system_check(_read(spark, input_path, date))
+    write_partitioned_parquet(out, output_path)
+
+
 if __name__ == "__main__":
     entry_point()

@@ -191,3 +191,25 @@ def test_weekly_trend_sunday_aligned_and_incremental(spark):
     }
     assert len(rows2) == len({(str(r["week_start"]), r["event_type"])
                               for r in rows2})
+
+
+def test_shield_privacy_prefs_union(spark):
+    from python_mozetl_spark.jobs.shield import run_privacy_prefs
+
+    rows = [
+        ("c1", "20240101", "pref-flip-privacy",
+         {"name": "toggle", "value": "on"}, None),
+        ("c1", "20240101", "pref-flip-privacy", None, "enrolled"),
+        ("c2", "20240101", "other-study",
+         {"name": "toggle", "value": "off"}, None),  # wrong study
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "client_id string, submission_date string, study_name string, "
+        "event struct<name:string,value:string>, state string",
+    )
+    out = run_privacy_prefs(df).collect()
+    assert len(out) == 2
+    by_type = {r["ping_type"]: r for r in out}
+    assert by_type["event"]["event"] == "toggle"
+    assert by_type["state"]["state"] == "enrolled"

@@ -238,7 +238,8 @@ def test_cli_commands_registered_and_invocable():
         "addon_aggregates", "landfill_sampler", "taar_lite",
         "taar_lite_guidranking", "hardware_report", "missing_symbols",
         "bhr_collection", "graphics_dashboard", "profile_export",
-        "graphics_trends",
+        "graphics_trends", "taar_locale", "taar_similarity",
+        "shield_privacy_prefs", "system_check",
     ]:
         assert cmd in out.output
         h = runner.invoke(entry_point, [cmd, "--help"])
