@@ -27,15 +27,26 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) — the MinHash unit."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-shingles over an ALREADY-MATERIALIZED token array
+    column.  ``toks`` must be a plain column attribute (stage it
+    through its own ``select`` first): the slice lambda re-evaluates
+    its input expression per index, so passing the raw ``tokens(text)``
+    tree here makes the regex split O(n_tokens) per row instead of
+    O(1) — a measured 3.5x slowdown on the MinHash path."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) — the MinHash unit.
+
+    Convenience single-expression form; hot paths should stage
+    ``tokens(text)`` through a projection and use
+    :func:`shingles_from_tokens` (see ext/dedup.py)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:

@@ -1442,10 +1442,11 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_ngram_jaccard_pairs",
-    "Char-3-gram Jaccard near-dup pairs (>= 0.8) via the same staged "
-    "MinHash-LSH plan as doc_minhash_pairs, shingled on character "
-    "n-grams (catches in-word edits word shingles amplify).  Oracle is "
-    "the brute-force pair scan (banding recall argument identical).",
+    "Char-3-gram Jaccard near-dup pairs (>= 0.8) via document-"
+    "frequency-ordered PREFIX FILTERING (Bayardo/PPJoin) — 100% recall "
+    "by construction, unlike MinHash banding which degrades to an "
+    "all-pairs join on high-background-similarity char n-grams.  "
+    "Oracle is the brute-force pair scan.",
     ("ext-dedup", "E5"),
     oracle=r"""
 WITH g AS (SELECT doc_id, list_distinct(CASE WHEN length(text) >= 3 THEN
