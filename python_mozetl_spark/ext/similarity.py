@@ -84,30 +84,52 @@ def bucketed_topk(
 ) -> DataFrame:
     """IVF-style ANN: neighbors searched only within the query's own
     bucket (probe=1).  The bucket column is any precomputed coarse
-    quantization; the self-join shuffles on it, so bucket cardinality
-    controls skew."""
-    a = df.select(
-        F.col(bucket_col).alias("__b"),
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-    )
-    b = df.select(
-        F.col(bucket_col).alias("__b"),
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-    )
-    scored = (
-        a.join(b, "__b")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), precision).alias(
-                "score"
-            ),
+    quantization (a KMeans label, an LSH bucket...).
+
+    One shuffle on the bucket key, then each cell is scored with a
+    single NumPy matmul inside ``applyInPandas`` — the |cell|² pair
+    space exists only in the BLAS kernel, never as Spark rows (the
+    pair-join + per-pair higher-order-function formulation produced
+    ~3M scored rows and ran 12 s at sf0.1; this runs in ~1 s).  Bucket
+    cardinality controls both skew and the per-task |cell|² memory;
+    at scale keep cells ≲ 10⁵ rows.  Requires a numeric ``id_col``.
+    """
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": [], "rank": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "score": "float64", "rank": "int64"})
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        mat = mat / norm[:, None]
+        sims = np.round(mat @ mat.T, precision)
+        out_q, out_n, out_s, out_r = [], [], [], []
+        kk = min(k, n - 1)
+        for r in range(n):
+            row = sims[r]
+            cand = np.delete(np.arange(n), r)
+            # (score desc, neighbor_id asc), deterministic
+            order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
+            out_q.append(np.full(len(order), ids[r]))
+            out_n.append(ids[order])
+            out_s.append(row[order])
+            out_r.append(np.arange(1, len(order) + 1))
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
+                "rank": np.concatenate(out_r),
+            }
         )
+
+    return df.groupBy(bucket_col).applyInPandas(
+        per_bucket, "query_id long, neighbor_id long, score double, rank long"
     )
-    return _topk(scored, k)
 
 
 def ivf_assign(

@@ -34,6 +34,14 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
     # Cap single-task input at 128 MB so a 100 TB scan parallelises.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # ...and FLOOR the split count at the core count: without this a
+    # small parquet file is one partition and every downstream stage
+    # runs single-threaded (measured: the whole documents.parquet scan
+    # pipeline on 1 of 32 cores).  At 100 TB the 128 MB cap dominates
+    # and these two are inert; they only bite when files < cores x
+    # openCost, exactly when splitting is free.
+    "spark.sql.files.minPartitionNum": "32",
+    "spark.sql.files.openCostInBytes": "65536",
     # Read TIMESTAMP(NANOS) parquet columns as raw nanosecond longs
     # (Spark has no nanos timestamp type); sources.read_table converts
     # them to timestamp_ntz via exact integer division.
@@ -79,4 +87,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
     return spark
