@@ -58,6 +58,29 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(ln >= n, grams).otherwise(F.array()))
 
 
+def quality_metrics_from_tokens(
+    toks: Column, text: Column | str
+) -> dict[str, Column]:
+    """Quality signals over an already-staged token attribute — use
+    when the caller stages ``tokens(text)`` through a projection so
+    the regex split runs once instead of once per metric."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "n_unique_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+        "stopword_ratio": n_stop.cast("double") / F.greatest(n_tok, F.lit(1)),
+        "mean_token_len": mean_tok_len,
+    }
+
+
 def quality_metrics(text: Column | str) -> dict[str, Column]:
     """Deterministic document-quality signals (rounded by caller)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -98,19 +121,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+def lang_scores_from_tokens(lower_toks: Column) -> dict[str, Column]:
+    """Marker scores over an already-staged lowercase token attribute
+    (one tokenize pass instead of one per language)."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         marr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+        out[lang] = F.size(F.filter(lower_toks, lambda t: F.array_contains(marr, t)))
     return out
 
 
-def predicted_lang(text: Column | str, default: str = "und") -> Column:
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return lang_scores_from_tokens(toks)
+
+
+def predicted_lang_from_scores(
+    scores: dict[str, Column], default: str = "und"
+) -> Column:
     """argmax over marker scores; ties broken by language-code order,
     all-zero → ``default``."""
-    scores = lang_scores(text)
     best = None
     best_score = None
     for lang in sorted(scores):  # deterministic tie order
@@ -122,6 +152,12 @@ def predicted_lang(text: Column | str, default: str = "und") -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, s).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit(default))
+
+
+def predicted_lang(text: Column | str, default: str = "und") -> Column:
+    """argmax over marker scores; ties broken by language-code order,
+    all-zero → ``default``."""
+    return predicted_lang_from_scores(lang_scores(text), default)
 
 
 # GPT-2-style pre-tokenizer pattern, simplified to the subset that

@@ -35,7 +35,7 @@ from python_mozetl_spark.operators import (
     sessionize,
     top_n_per_group,
 )
-from python_mozetl_spark.session import tune_session
+from python_mozetl_spark.session import spread, tune_session
 from python_mozetl_spark.sources import read_table
 
 TABLES = [
@@ -962,11 +962,12 @@ FROM tk
 """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    toks = T.tokens("text")
+    d = spread(t(spark, sf_dir, "documents"))
+    staged = d.select("doc_id", "text", T.tokens("text").alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
-    return d.select(
+    return staged.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
         n_uniq.cast("bigint").alias("n_unique_tokens"),
@@ -1003,8 +1004,9 @@ FROM m
 """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    m = T.quality_metrics("text")
+    d = spread(t(spark, sf_dir, "documents"))
+    staged = d.select("doc_id", "text", T.tokens("text").alias("__toks"))
+    m = T.quality_metrics_from_tokens(F.col("__toks"), "text")
     swr = m["stopword_ratio"]
     mtl = m["mean_token_len"]
     score = (
@@ -1012,7 +1014,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(m["n_tokens"] / F.lit(100.0), F.lit(1.0))
         + 0.3 * F.least(mtl / F.lit(8.0), F.lit(1.0))
     )
-    return d.select(
+    return staged.select(
         "doc_id",
         m["n_tokens"].alias("n_tokens"),
         F.round(swr, 6).alias("stopword_ratio"),
@@ -1044,8 +1046,16 @@ FROM s
 """,
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", T.predicted_lang("text").alias("predicted_lang"))
+    d = spread(t(spark, sf_dir, "documents"))
+    staged = d.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("__toks")
+    )
+    return staged.select(
+        "doc_id",
+        T.predicted_lang_from_scores(
+            T.lang_scores_from_tokens(F.col("__toks"))
+        ).alias("predicted_lang"),
+    )
 
 
 @query(

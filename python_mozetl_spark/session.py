@@ -78,6 +78,22 @@ def get_session(
     return builder.getOrCreate()
 
 
+def spread(df, min_parallelism: int | None = None):
+    """Round-robin repartition a DataFrame up to the session's
+    parallelism — but only when its current partition count is below
+    it.  Use before CPU-heavy per-row stages (tokenize/hash/sketch
+    pipelines): a small parquet file is a single row group and
+    therefore ONE task no matter how the scan is split, which
+    serializes the whole downstream chain; one tiny shuffle buys
+    full-core execution.  On a real multi-executor input (partitions
+    >= cores) this is a no-op, so it cannot add a shuffle at scale."""
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine defaults to an existing session.
 
