@@ -138,6 +138,38 @@ def test_ngram_jaccard_pairs_finds_near_dup(docs):
     assert not any(2 in p for p in pairs)
 
 
+def test_ngram_jaccard_strategies_agree(spark):
+    """The prefix-filter scale path and the dense-vocab bitmap/matmul
+    path must produce identical pair sets (both claim exactness)."""
+    from python_mozetl_spark.ext.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run(strategy):
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.7, strategy=strategy
+            ).collect()
+        )
+
+    bitmap, prefix = run("bitmap"), run("prefix")
+    assert bitmap == prefix
+    assert len(bitmap) > 0  # planted near-dups exist at sf0.001
+
+
+def test_spread_is_noop_on_well_partitioned_input(spark):
+    from python_mozetl_spark.session import spread
+
+    well = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
+    assert spread(well) is well  # no extra shuffle at scale
+    narrow = spark.range(1000).coalesce(1)
+    assert (
+        spread(narrow).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
 def test_srp_near_dup_matches_brute_force_on_planted_pairs(spark):
     from python_mozetl_spark.ext.similarity import (
         embedding_near_dup_pairs,
