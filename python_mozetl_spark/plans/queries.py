@@ -1634,3 +1634,99 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.where(F.col("vec_id") < 10), centroids, k=3,
         nprobe=len(centroids),
     ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@query(
+    "priority_grouping_sets",
+    "Arbitrary GROUPING SETS — (status, priority), (status), () — the "
+    "general grouping-set lattice beyond ROLLUP/CUBE (§2.6 extension; "
+    "Spark computes all sets in one pass with a grouping-id expand).",
+    ("A1", "ext-sql"),
+    oracle="""
+SELECT coalesce(CAST(o_orderstatus AS VARCHAR), 'ALL') AS status,
+  coalesce(CAST(o_orderpriority AS VARCHAR), 'ALL') AS priority,
+  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT coalesce(CAST(o_orderstatus AS STRING), 'ALL') AS status,
+          coalesce(CAST(o_orderpriority AS STRING), 'ALL') AS priority,
+          count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@query(
+    "customer_value_ranks",
+    "Ranking-function vocabulary the reference never used (§2.7 'not "
+    "present — free in Spark'): rank / dense_rank / ntile(4) / "
+    "percent_rank per nation over customer account balance, with a "
+    "unique (balance, custkey) total order for determinism.",
+    ("W1", "ext-sql"),
+    oracle="""
+SELECT c_nationkey, c_custkey,
+  CAST(rank()       OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+  CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+  round(percent_rank() OVER w, 6) AS prank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@query(
+    "order_burst_interval_join",
+    "Interval/range join (§2.5 'not present in reference'): count each "
+    "high-value order's user events in the 3 days after the order "
+    "timestamp (user_id == o_custkey % 500 aligns the synthetic key "
+    "spaces).  Spark plans the equi-key + range predicate as a hash "
+    "join with a residual range filter — the scalable shape (never a "
+    "cartesian); the range alone would need a broadcast-range join.",
+    ("J-range", "ext-sql"),
+    oracle="""
+SELECT o_orderkey,
+  CAST(count(e.event_id) AS BIGINT) AS n_events_3d,
+  round(coalesce(sum(e.value), 0), 2) AS value_3d
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey % 500
+  AND e.ts >= o.o_orderdate
+  AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+WHERE o.o_totalprice > 400000
+GROUP BY o_orderkey
+""",
+)
+def order_burst_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    e = t(spark, sf_dir, "events")
+    joined = o.join(
+        e,
+        (e.user_id == o.o_custkey % 500)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("event_id").cast("bigint").alias("n_events_3d"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("value_3d"),
+    )
