@@ -74,6 +74,15 @@ def query(name: str, doc: str, tags: tuple[str, ...], oracle: str | None = None,
     return deco
 
 
+# Fact tables get spread() on read: a single-row-group local file is
+# one task however the scan splits, which serializes partial
+# aggregation / per-row expression work; spread self-gates (no-op once
+# partitions >= cores) so it is inert on a real multi-file table.
+# Dimensions (region/nation/part/supplier) stay unspread — they are
+# broadcast sides and a repartition would only add a stage.
+_SPREAD_TABLES = {"lineitem", "orders", "events", "documents", "customer", "embeddings"}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     df = read_table(spark, sf_dir, name)
@@ -84,6 +93,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
         )
+    if name in _SPREAD_TABLES:
+        df = spread(df)
     return df
 
 
