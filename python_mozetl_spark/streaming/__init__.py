@@ -1,5 +1,6 @@
 from python_mozetl_spark.streaming.rollup import (  # noqa: F401
     daily_rollup_stream,
+    dedup_stream,
     session_window_stream,
 )
 from python_mozetl_spark.streaming.stateful import (  # noqa: F401

@@ -46,6 +46,28 @@ def daily_rollup_stream(
     )
 
 
+def dedup_stream(
+    records: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ext.dedup.exact_duplicates' keep-one semantics: first record per
+    key wins, duplicates arriving within the watermark horizon are
+    dropped, and per-key state is evicted once event time passes the
+    watermark (bounded state — the property that makes exact dedup
+    runnable on an unbounded 100 TB/day stream; an unwatermarked
+    dropDuplicates would grow state forever).
+
+    On a batch DataFrame this degrades to ``dropDuplicates(key_cols)``
+    over the same columns, which is how the twin test pins it.
+    """
+    return records.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     keys: list[str] | None = None,

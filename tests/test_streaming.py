@@ -135,3 +135,35 @@ def test_weekly_trend_same_definition_streams(spark):
                      spark.table("weekly_trend_t").collect())
         want = sorted(tuple(map(str, r)) for r in batch.collect())
         assert got == want and len(got) > 0
+
+
+def test_dedup_stream_drops_in_stream_duplicates(spark):
+    from python_mozetl_spark.streaming import dedup_stream
+
+    rows = [
+        (1, "2024-01-01 00:05:00", "fp_a"),
+        (2, "2024-01-01 00:06:00", "fp_a"),  # dup of fp_a within watermark
+        (3, "2024-01-01 00:07:00", "fp_b"),
+        (4, "2024-01-01 01:00:00", "fp_a"),  # still within 1-day watermark
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(rows, ["rec_id", "ts", "fingerprint"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.write.mode("overwrite").parquet(d)
+        stream_df = spark.readStream.schema(df.schema).parquet(d)
+        q = (
+            dedup_stream(stream_df, ["fingerprint"])
+            .writeStream.format("memory")
+            .queryName("dedup_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_t").collect()
+        fps = sorted(r["fingerprint"] for r in got)
+        assert fps == ["fp_a", "fp_b"]  # one survivor per key
+        # batch twin: same keep-one-per-key cardinality
+        batch = spark.read.parquet(d).dropDuplicates(["fingerprint"])
+        assert batch.count() == len(got)
