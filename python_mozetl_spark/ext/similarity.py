@@ -237,10 +237,15 @@ def embedding_near_dup_pairs(
     - For truly large corpora use :func:`srp_near_dup_pairs`, the
       LSH-bucketed scale path (pytest-verified equal on this data).
     """
+    pdf = None
     if strategy == "auto":
-        strategy = "matmul" if df.count() <= matmul_max_rows else "join"
+        # one job decides AND collects: limit(max+1) bounds the driver
+        # transfer, an overflow row means "too big -> exact join path"
+        pdf = df.select(id_col, vec_col).limit(matmul_max_rows + 1).toPandas()
+        strategy = "matmul" if len(pdf) <= matmul_max_rows else "join"
     if strategy == "matmul":
-        pdf = df.select(id_col, vec_col).toPandas()
+        if pdf is None:
+            pdf = df.select(id_col, vec_col).toPandas()
         ids = pdf[id_col].to_numpy()
         mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         norm = np.linalg.norm(mat, axis=1)

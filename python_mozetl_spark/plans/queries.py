@@ -1220,6 +1220,7 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
 FROM r WHERE rn <= 3
 """,
+    bench=True,
 )
 def embedding_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.similarity import bucketed_topk
@@ -1480,6 +1481,7 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
 FROM p WHERE CAST(inter AS DOUBLE) / un >= 0.8
 """,
+    bench=True,
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.dedup import ngram_jaccard_pairs
@@ -1502,6 +1504,7 @@ WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
 """,
+    bench=True,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.similarity import embedding_near_dup_pairs
