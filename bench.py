@@ -4,10 +4,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a warm-up (JIT/codegen/page-cache) and a
-timed run; the timed action is a full materialization
-(``df.write.format("noop")``) so the measured cost is the whole plan,
-not a partial collect.
+Each query is executed four times: a warm-up (JIT/codegen/page-cache)
+and THREE timed runs, reporting the per-query MEDIAN — single runs at
+sf0.1 carry 30%+ scheduler jitter (doc_minhash_pairs drifted 2.07→2.77 s
+between identical runs in round 1), so medians are what make
+round-over-round comparison signal.  The timed action is a full
+materialization (``df.write.format("noop")``) so the measured cost is
+the whole plan, not a partial collect.
 """
 
 from __future__ import annotations
@@ -34,9 +37,12 @@ def run() -> None:
     for name in names:
         q = REGISTRY[name]
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-        t0 = time.time()
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)  # median of 3
 
     total = round(sum(timings.values()), 3)
     print(

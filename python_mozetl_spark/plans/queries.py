@@ -1631,8 +1631,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.similarity import ivf_topk
 
     e = t(spark, sf_dir, "embeddings")
-    # deterministic centroids: per-label mean vectors (one small agg)
-    dim = len(e.select("embedding").first()[0])
+    # deterministic centroids: per-label mean vectors (one small agg;
+    # the dimension falls out of the same collect — no extra first() job)
     means = (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
@@ -1643,7 +1643,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     centroids = np.array([[p["m"] for p in r["mv"]] for r in means])
-    assert centroids.shape[1] == dim
+    assert centroids.ndim == 2  # ragged label means would break IVF assign
     return ivf_topk(
         e, e.where(F.col("vec_id") < 10), centroids, k=3,
         nprobe=len(centroids),

@@ -34,19 +34,29 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
     # Cap single-task input at 128 MB so a 100 TB scan parallelises.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # ...and FLOOR the split count at the core count: without this a
-    # small parquet file is one partition and every downstream stage
-    # runs single-threaded (measured: the whole documents.parquet scan
-    # pipeline on 1 of 32 cores).  At 100 TB the 128 MB cap dominates
-    # and these two are inert; they only bite when files < cores x
-    # openCost, exactly when splitting is free.
-    "spark.sql.files.minPartitionNum": "32",
+    # ...and FLOOR the split count at the core count (set per-session in
+    # get_session from the actual core count — a literal here would
+    # under-split >32-core machines and over-split small ones).  At
+    # 100 TB the 128 MB cap dominates and the floor is inert; it only
+    # bites when files < cores x openCost, exactly when splitting is
+    # free.
     "spark.sql.files.openCostInBytes": "65536",
     # Read TIMESTAMP(NANOS) parquet columns as raw nanosecond longs
     # (Spark has no nanos timestamp type); sources.read_table converts
     # them to timestamp_ntz via exact integer division.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def _core_count(master: str) -> int:
+    """Parallelism implied by the master URL: ``local[N]`` → N,
+    ``local[*]``/cluster masters → the machine's core count (on a real
+    cluster ``tune_session`` re-floors from ``defaultParallelism``)."""
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[len("local[") : -1]
+        if inner.isdigit():
+            return max(1, int(inner))
+    return os.cpu_count() or 8
 
 
 def get_session(
@@ -67,6 +77,7 @@ def get_session(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    conf["spark.sql.files.minPartitionNum"] = str(_core_count(master))
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     else:
