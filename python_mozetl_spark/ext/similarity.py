@@ -81,55 +81,83 @@ def bucketed_topk(
     vec_col: str = "embedding",
     k: int = 3,
     precision: int = 4,
+    max_cell_rows: int = 100_000,
+    chunk_rows: int = 4096,
 ) -> DataFrame:
     """IVF-style ANN: neighbors searched only within the query's own
     bucket (probe=1).  The bucket column is any precomputed coarse
     quantization (a KMeans label, an LSH bucket...).
 
-    One shuffle on the bucket key, then each cell is scored with a
-    single NumPy matmul inside ``applyInPandas`` — the |cell|² pair
+    One shuffle on the bucket key, then each cell is scored with
+    chunked NumPy matmuls inside ``applyInPandas`` — the |cell|² pair
     space exists only in the BLAS kernel, never as Spark rows (the
     pair-join + per-pair higher-order-function formulation produced
-    ~3M scored rows and ran 12 s at sf0.1; this runs in ~1 s).  Bucket
-    cardinality controls both skew and the per-task |cell|² memory;
-    at scale keep cells ≲ 10⁵ rows.  Requires a numeric ``id_col``.
+    ~3M scored rows and ran 12 s at sf0.1; this runs in ~1 s).
+
+    Scale guard rails: the kernel matmul is chunked (``chunk_rows``
+    query rows at a time) so peak score-matrix memory is
+    |cell|×chunk, never |cell|²; and a cell larger than
+    ``max_cell_rows`` raises — the |cell|×dim frame itself is the
+    irreducible cost of exact in-cell scoring, so an oversized cell
+    means the coarse quantizer needs refining (more clusters / finer
+    LSH), not a bigger buffer.
+
+    Rounding: the kernel emits RAW scores for a provably sufficient
+    candidate superset — everything within one rounding-grid step of
+    the k-th-largest raw score per query (if raw_j < raw_k − 10⁻ᵖ then
+    round(raw_j) < round(raw_k), so nothing outside the margin can
+    enter the rounded top-k).  Ranking then happens JVM-side on
+    ``F.round``-ed scores, so ties round HALF_UP exactly like the
+    DuckDB oracle (``np.round`` is half-even).  Requires a numeric
+    ``id_col``.
     """
+    margin = 1.5 * 10.0 ** (-precision)
+
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "score": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"})
         if n < 2:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "score": [], "rank": []}
-            ).astype({"query_id": "int64", "neighbor_id": "int64",
-                      "score": "float64", "rank": "int64"})
+            return empty
+        if n > max_cell_rows:
+            raise ValueError(
+                f"bucketed_topk cell {pdf[bucket_col].iloc[0]!r} has {n} rows "
+                f"(max_cell_rows={max_cell_rows}): refine the coarse quantizer "
+                "or raise max_cell_rows explicitly"
+            )
         ids = pdf[id_col].to_numpy()
         mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         norm = np.linalg.norm(mat, axis=1)
         norm[norm == 0] = 1.0
         mat = mat / norm[:, None]
-        sims = np.round(mat @ mat.T, precision)
-        out_q, out_n, out_s, out_r = [], [], [], []
         kk = min(k, n - 1)
-        for r in range(n):
-            row = sims[r]
-            cand = np.delete(np.arange(n), r)
-            # (score desc, neighbor_id asc), deterministic
-            order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
-            out_q.append(np.full(len(order), ids[r]))
-            out_n.append(ids[order])
-            out_s.append(row[order])
-            out_r.append(np.arange(1, len(order) + 1))
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "score": np.concatenate(out_s),
-                "rank": np.concatenate(out_r),
-            }
-        )
+        outs = []
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            block = mat[s:e] @ mat.T  # (chunk, n) raw cosines
+            block[np.arange(e - s), np.arange(s, e)] = -2.0  # mask self
+            kth = np.partition(block, n - kk, axis=1)[:, n - kk]
+            qi, nj = np.nonzero(block >= (kth[:, None] - margin))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": ids[s + qi],
+                        "neighbor_id": ids[nj],
+                        "score": block[qi, nj],
+                    }
+                )
+            )
+        return pd.concat(outs) if outs else empty
 
-    return df.groupBy(bucket_col).applyInPandas(
-        per_bucket, "query_id long, neighbor_id long, score double, rank long"
+    scored = (
+        df.groupBy(bucket_col)
+        .applyInPandas(per_bucket, "query_id long, neighbor_id long, score double")
+        .select(
+            "query_id", "neighbor_id", F.round("score", precision).alias("score")
+        )
     )
+    return _topk(scored, k)
 
 
 def ivf_assign(
@@ -219,58 +247,80 @@ def embedding_near_dup_pairs(
     precision: int = 4,
     strategy: str = "auto",
     matmul_max_rows: int = 200_000,
+    matmul_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
     rounded cosine ≥ ``threshold``).
 
     - ``matmul`` (default when the corpus fits the driver/broadcast
-      budget): normalize once, ship the corpus matrix in the closure,
-      score each Arrow batch against it with ONE BLAS matmul and emit
-      only the surviving pairs.  The O(n²) pair space exists only
-      inside the NumPy kernel — never as Spark rows (the per-pair
-      higher-order-function join ran 98 s at sf0.1; this runs in ~1 s).
-      Requires a numeric ``id_col`` (the ``id_a < id_b`` mask is taken
-      in NumPy).
+      budget): normalize once, ship the corpus matrix to executors via
+      ``sparkContext.broadcast`` (one transfer per executor, not one
+      per task-closure serialization), score each Arrow batch against
+      it with ONE BLAS matmul and emit only the surviving pairs.  The
+      O(n²) pair space exists only inside the NumPy kernel — never as
+      Spark rows (the per-pair higher-order-function join ran 98 s at
+      sf0.1; this runs in ~1 s).  Requires a numeric ``id_col`` (the
+      ``id_a < id_b`` mask is taken in NumPy).
     - ``join``: the pure-DataFrame pair scan — correct at any scale,
       quadratic rows; the fallback when the corpus is too large to
-      closure-ship and exactness is still required.
+      broadcast and exactness is still required.
+    - ``auto`` decides from a tiny planning job (count + max dim):
+      the matrix byte size ``n × dim × 8`` must fit
+      ``matmul_max_bytes`` AND ``n ≤ matmul_max_rows`` — a byte gate,
+      not just a row gate, so wide embeddings can't sneak a
+      multi-GB matrix onto the driver.  Nothing is collected until
+      the matmul path is chosen.
     - For truly large corpora use :func:`srp_near_dup_pairs`, the
       LSH-bucketed scale path (pytest-verified equal on this data).
+
+    Rounding: the kernel masks on ``raw ≥ threshold − 1.5·10⁻ᵖ`` (a
+    safe superset: HALF_UP rounding moves a value by at most half a
+    grid step) and emits RAW cosines; the exact filter is applied
+    JVM-side on ``F.round``-ed values so ties round HALF_UP exactly
+    like the join path and the DuckDB oracle (``np.round`` is
+    half-even).
     """
-    pdf = None
+    spark = df.sparkSession
     if strategy == "auto":
-        # one job decides AND collects: limit(max+1) bounds the driver
-        # transfer, an overflow row means "too big -> exact join path"
-        pdf = df.select(id_col, vec_col).limit(matmul_max_rows + 1).toPandas()
-        strategy = "matmul" if len(pdf) <= matmul_max_rows else "join"
+        st = df.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("d")
+        ).first()
+        n_rows, dim = st["n"], st["d"] or 0
+        fits = n_rows <= matmul_max_rows and n_rows * dim * 8 <= matmul_max_bytes
+        strategy = "matmul" if fits else "join"
     if strategy == "matmul":
-        if pdf is None:
-            pdf = df.select(id_col, vec_col).toPandas()
+        pdf = df.select(id_col, vec_col).toPandas()
         ids = pdf[id_col].to_numpy()
         mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         norm = np.linalg.norm(mat, axis=1)
         norm[norm == 0] = 1.0
         mat = mat / norm[:, None]
+        bc = spark.sparkContext.broadcast((ids, mat))
+        lo = threshold - 1.5 * 10.0 ** (-precision)
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cids, cmat = bc.value
             for b in batches:
                 bids = b[id_col].to_numpy()
                 bm = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
                 bnorm = np.linalg.norm(bm, axis=1)
                 bnorm[bnorm == 0] = 1.0
-                sims = np.round((bm / bnorm[:, None]) @ mat.T, precision)
-                mask = (sims >= threshold) & (ids[None, :] > bids[:, None])
+                sims = (bm / bnorm[:, None]) @ cmat.T  # raw cosines
+                mask = (sims >= lo) & (cids[None, :] > bids[:, None])
                 ai, bj = np.nonzero(mask)
                 yield pd.DataFrame(
                     {
                         "id_a": bids[ai],
-                        "id_b": ids[bj],
+                        "id_b": cids[bj],
                         "cosine": sims[ai, bj],
                     }
                 )
 
-        return df.select(id_col, vec_col).mapInPandas(
-            score, "id_a long, id_b long, cosine double"
+        return (
+            df.select(id_col, vec_col)
+            .mapInPandas(score, "id_a long, id_b long, cosine double")
+            .select("id_a", "id_b", F.round("cosine", precision).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
         )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
@@ -390,11 +440,14 @@ def cosine_topk_pandas(
                 {
                     "query_id": np.repeat(qids, nc),
                     "neighbor_id": np.tile(pdf[id_col].to_numpy(), nq),
-                    "score": np.round(sims.ravel(), precision),
+                    "score": sims.ravel(),  # raw; rounded JVM-side below
                 }
             )
 
     out = corpus.select(id_col, vec_col).mapInPandas(
         score_batches, "query_id long, neighbor_id long, score double"
     )
-    return out.where(F.col("query_id") != F.col("neighbor_id"))
+    # HALF_UP like every other path (np.round is half-even)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", precision).alias("score")
+    ).where(F.col("query_id") != F.col("neighbor_id"))

@@ -113,6 +113,63 @@ def test_bucketed_topk_stays_in_bucket(spark):
     assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(0, 1), (1, 0)}
 
 
+def test_bucketed_topk_chunked_kernel_and_cell_bound(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], i % 2) for i in range(40)],
+        ["vec_id", "embedding", "label"],
+    )
+    full = sorted(map(tuple, bucketed_topk(df, "label", k=3).collect()))
+    chunked = sorted(
+        map(tuple, bucketed_topk(df, "label", k=3, chunk_rows=3).collect())
+    )
+    assert full == chunked  # chunking is invisible in the result
+    with pytest.raises(Exception, match="max_cell_rows"):
+        bucketed_topk(df, "label", k=3, max_cell_rows=5).collect()
+
+
+def test_embedding_near_dup_byte_gate_falls_back_to_join(spark):
+    from python_mozetl_spark.ext.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((12, 8))
+    rows = [(i, base[i].tolist()) for i in range(12)]
+    rows.append((50, (base[0] * 2.0).tolist()))  # cosine 1.0 with id 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    matmul = sorted(
+        map(tuple, embedding_near_dup_pairs(df, strategy="matmul").collect())
+    )
+    # auto with a 1-byte budget must route to the distributed join path
+    forced = sorted(
+        map(
+            tuple,
+            embedding_near_dup_pairs(df, strategy="auto", matmul_max_bytes=1).collect(),
+        )
+    )
+    assert matmul == forced and (0, 50, 1.0) in matmul
+
+
+def test_ngram_indicator_byte_gate_falls_back_to_prefix(spark):
+    from python_mozetl_spark.ext.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bitmap = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.7, strategy="bitmap"
+        ).collect()
+    )
+    # joint rows x vocab gate: 1-byte budget must fall back to prefix
+    gated = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.7, indicator_max_bytes=1
+        ).collect()
+    )
+    assert bitmap == gated and len(bitmap) > 0
+
+
 def test_multimodal_features_deterministic(spark, docs):
     media = documents_as_media(docs.withColumn("doc_id", F.col("doc_id").cast("long")))
     out = {r["media_id"]: r for r in extract_features(media).collect()}
