@@ -347,6 +347,7 @@ def srp_near_dup_pairs(
     bands: int = 24,
     precision: int = 4,
     seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding near-dup pairs via signed-random-projection LSH.
 
@@ -383,15 +384,20 @@ def srp_near_dup_pairs(
             "bucket"
         ),
     )
-    # bucket fanout instead of a self-join so the sketch mapInPandas
-    # runs once (self-join sides are not exchange-reused)
+    # bounded bucket fanout instead of a self-join so the sketch
+    # mapInPandas runs once (self-join sides are not exchange-reused)
+    # and a degenerate bucket cannot collect every id into one task
+    from python_mozetl_spark.ext.dedup import bounded_bucket_pairs
+
     cand = (
-        banded.groupBy("bucket")
-        .agg(F.collect_list("__id").alias("__ids"))
-        .where(F.size("__ids") > 1)
-        .select(F.explode("__ids").alias("id_a"), F.col("__ids"))
-        .select("id_a", F.explode("__ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
+        bounded_bucket_pairs(
+            banded.select("bucket", F.struct(F.col("__id")).alias("__p")),
+            "bucket",
+            "__p",
+            "__id",
+            max_bucket,
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = cand.join(

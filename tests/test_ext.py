@@ -170,6 +170,63 @@ def test_ngram_indicator_byte_gate_falls_back_to_prefix(spark):
     assert bitmap == gated and len(bitmap) > 0
 
 
+def test_lsh_bucket_cap_preserves_pairs_on_skewed_fixture(spark):
+    """A degenerate corpus (many identical docs -> one giant band
+    bucket) must produce the SAME pair set whether buckets fit in one
+    task array or get chunk-grid split (max_bucket smaller than the
+    bucket)."""
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs, simhash_near_pairs
+
+    rows = [(i, "the same boilerplate sentence repeated everywhere") for i in range(12)]
+    rows += [(100 + i, f"unique document number {i} about topic {i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairset(max_bucket):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.9, max_bucket=max_bucket
+            ).collect()
+        }
+
+    capped, uncapped = pairset(3), pairset(10_000)
+    assert capped == uncapped
+    assert {(a, b) for a in range(12) for b in range(12) if a < b} <= capped
+
+    def sim_pairset(max_bucket):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(
+                docs, "doc_id", "text", max_hamming=3, max_bucket=max_bucket
+            ).collect()
+        }
+
+    assert sim_pairset(3) == sim_pairset(10_000)
+
+
+def test_srp_bucket_cap_preserves_pairs(spark):
+    from python_mozetl_spark.ext.similarity import srp_near_dup_pairs
+
+    rng = np.random.default_rng(13)
+    dim = 8
+    v = rng.standard_normal(dim)
+    rows = [(i, (v * (1.0 + 0.001 * i)).tolist()) for i in range(10)]  # all cosine 1
+    rows += [(100 + i, rng.standard_normal(dim).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pairset(max_bucket):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in srp_near_dup_pairs(
+                df, dim=dim, threshold=0.95, max_bucket=max_bucket
+            ).collect()
+        }
+
+    capped = pairset(2)
+    assert capped == pairset(10_000)
+    assert {(a, b) for a in range(10) for b in range(10) if a < b} <= capped
+
+
 def test_multimodal_features_deterministic(spark, docs):
     media = documents_as_media(docs.withColumn("doc_id", F.col("doc_id").cast("long")))
     out = {r["media_id"]: r for r in extract_features(media).collect()}
