@@ -1744,3 +1744,55 @@ def order_burst_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_id").cast("bigint").alias("n_events_3d"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("value_3d"),
     )
+
+# --------------------------------------------------------------------------
+# R2. Raw-JSON ping source (SURVEY §2.1 S5) over the committed fixture
+# --------------------------------------------------------------------------
+
+_PINGS_PATH = "/root/repo/fixtures/events_pings.json"
+_PINGS_SCHEMA = (
+    "event_id bigint, ts_us bigint, "
+    "meta struct<user_id: bigint, event_type: string>, "
+    "value double, props string"
+)
+
+
+@query(
+    "json_ping_rollup",
+    "Schema-ful raw-JSON file scan (S5): spark.read.json(path, schema) "
+    "over the committed NDJSON ping fixture — the reference's landfill "
+    "sampler ingestion (mozetl/main.py:10-24, landfill/sampler.py:49-55) "
+    "as a declarative source (no inference pass, PERMISSIVE nulls), "
+    "nested-struct projection + JSON-string extraction + rollup on top. "
+    "Fixture-pathed, not sf-scaled: it grades the source format.",
+    ("S5", "S6"),
+    oracle=f"""
+SELECT meta.event_type AS event_type,
+  count(*) AS n,
+  CAST(count(value) AS BIGINT) AS n_valued,
+  round(sum(coalesce(value, 0)), 2) AS total_value,
+  CAST(max(ts_us) AS BIGINT) AS last_ts_us,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM read_json('{_PINGS_PATH}', format='newline_delimited',
+  columns={{'event_id': 'BIGINT', 'ts_us': 'BIGINT',
+           'meta': 'STRUCT(user_id BIGINT, event_type VARCHAR)',
+           'value': 'DOUBLE', 'props': 'VARCHAR'}})
+GROUP BY meta.event_type
+""",
+)
+def json_ping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.sources import read_json_pings
+
+    tune_session(spark)
+    pings = read_json_pings(spark, _PINGS_PATH, _PINGS_SCHEMA)
+    return pings.groupBy(
+        F.col("meta.event_type").alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").cast("bigint").alias("n_valued"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
+        F.max("ts_us").cast("bigint").alias("last_ts_us"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        .cast("bigint")
+        .alias("k_sum"),
+    )

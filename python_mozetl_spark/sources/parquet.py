@@ -29,20 +29,45 @@ def read_table(
     name: str | None = None,
     merge_schema: bool = False,
     columns: list[str] | None = None,
+    format: str = "parquet",
+    schema: str | None = None,
 ) -> DataFrame:
-    """Read a parquet table; optionally project immediately.
+    """Read a table through Spark's pluggable DataSource API (S1/S4);
+    optionally project immediately.
+
+    ``format`` is any registered source ("parquet", "json", "orc",
+    "csv", a connector's short name...) — the reference swaps storage
+    backends the same way (bhr_collection.py:534-555 parquet vs json);
+    here it is literally the format string.  ``schema`` (DDL string)
+    skips inference — REQUIRED for json/csv at scale, where inference
+    is a full extra pass over the data.
 
     Early projection is redundant with Catalyst column pruning but keeps
     intent visible (reference habit: rollup.py:47 "two_columns").
     """
-    path = f"{root}/{name}.parquet" if name else root
-    reader = spark.read
+    path = f"{root}/{name}.{format}" if name else root
+    reader = spark.read.format(format)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
     if columns:
         df = df.select(*columns)
     return df
+
+
+def read_json_pings(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Schema-ful newline-delimited JSON scan (S5) — the reference's
+    raw ping ingestion (mozetl/main.py:10-24,
+    mozetl/landfill/sampler.py:49-55) re-expressed as a declarative
+    source: an explicit schema means NO inference pass, malformed rows
+    land in nulls instead of failing the scan (PERMISSIVE), and
+    Catalyst prunes unreferenced JSON fields at parse time.
+    """
+    return spark.read.schema(schema).json(path)
 
 
 def read_partitioned(

@@ -193,3 +193,32 @@ def test_asof_join_strict_precedence(spark):
     assert rows[10]["prev_event_id"] == 2 and rows[10]["prev_value"] == 2.5
     # left ts=50: no preceding right row ⇒ nulls
     assert rows[11]["prev_event_id"] is None and rows[11]["prev_value"] is None
+
+
+def test_read_table_pluggable_formats(spark, tmp_path):
+    """S4: the same read_table entry point serves any registered
+    DataSource format via its format string — parquet, json, orc —
+    exactly how a warehouse connector would plug in."""
+    from python_mozetl_spark.sources import read_json_pings, read_table
+
+    src = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None)], ["id", "tag", "score"]
+    )
+    root = str(tmp_path)
+    src.write.json(f"{root}/t.json")
+    src.write.orc(f"{root}/t.orc")
+    ddl = "id bigint, tag string, score double"
+    via_json = read_table(spark, root, "t", format="json", schema=ddl)
+    via_orc = read_table(spark, root, "t", format="orc")
+    want = {(1, "a", 2.5), (2, "b", None)}
+    assert {tuple(r) for r in via_json.select("id", "tag", "score").collect()} == want
+    assert {tuple(r) for r in via_orc.select("id", "tag", "score").collect()} == want
+
+    # S5 scan of the committed ping fixture: explicit schema, no inference
+    pings = read_json_pings(
+        spark,
+        "/root/repo/fixtures/events_pings.json",
+        "event_id bigint, meta struct<user_id: bigint, event_type: string>",
+    )
+    assert pings.schema.simpleString().startswith("struct<event_id:bigint,meta:")
+    assert pings.where(F.col("meta.user_id").isNotNull()).count() > 500
