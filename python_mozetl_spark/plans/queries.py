@@ -1796,3 +1796,153 @@ def json_ping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("k_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# R2. taar_similarity tail: donor pair scores + LR curves (SURVEY M5)
+# --------------------------------------------------------------------------
+
+# the deterministic donor-feature view shared by both taar queries:
+# cluster = nationkey mod 3, donors = every 30th customer
+_TAAR_D = """
+  SELECT c_nationkey % 3 AS cluster, c_custkey,
+         c_mktsegment AS segment, CAST(c_nationkey % 5 AS VARCHAR) AS nk_band,
+         c_acctbal AS acctbal, CAST(c_custkey % 97 AS DOUBLE) AS key_mod
+  FROM customer WHERE c_custkey % 30 = 0
+"""
+
+_TAAR_SCORE = """
+  abs((
+    (CASE WHEN abs(coalesce(a.acctbal,0)) + abs(coalesce(b.acctbal,0)) = 0 THEN 0
+          ELSE abs(coalesce(a.acctbal,0) - coalesce(b.acctbal,0))
+               / (abs(coalesce(a.acctbal,0)) + abs(coalesce(b.acctbal,0))) END
+     + CASE WHEN abs(coalesce(a.key_mod,0)) + abs(coalesce(b.key_mod,0)) = 0 THEN 0
+          ELSE abs(coalesce(a.key_mod,0) - coalesce(b.key_mod,0))
+               / (abs(coalesce(a.key_mod,0)) + abs(coalesce(b.key_mod,0))) END
+     + 0.001)
+    * ((CASE WHEN coalesce(a.segment,'') <> coalesce(b.segment,'') THEN 1 ELSE 0 END
+      + CASE WHEN coalesce(a.nk_band,'') <> coalesce(b.nk_band,'') THEN 1 ELSE 0 END) / 2.0)
+  ))
+"""
+
+def _taar_scores_oracle() -> str:
+    intra = f"""
+  SELECT 'intra' AS label, a.c_custkey AS id_a, b.c_custkey AS id_b,
+         {_TAAR_SCORE} AS score
+  FROM rn a JOIN rn b
+    ON a.cluster = b.cluster AND a.rn % 2 = 1 AND b.rn = a.rn + 1"""
+    inters = "\nUNION ALL\n".join(
+        f"""
+  SELECT 'inter' AS label, a.c_custkey AS id_a, b.c_custkey AS id_b,
+         {_TAAR_SCORE} AS score
+  FROM (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM d
+        WHERE cluster = {c}) a
+  JOIN (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM d
+        WHERE cluster <> {c}) b ON a.rn = b.rn"""
+        for c in (0, 1, 2)
+    )
+    return f"""
+WITH d AS ({_TAAR_D}),
+rn AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY c_custkey) AS rn
+       FROM d),
+scores AS ({intra}
+UNION ALL
+{inters})
+SELECT label, id_a, id_b, round(score, 6) AS score FROM scores
+"""
+
+
+def _taar_donor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") % 30 == 0)
+    return c.select(
+        (F.col("c_nationkey") % 3).alias("cluster"),
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_nationkey") % 5).cast("string").alias("nk_band"),
+        F.col("c_acctbal").alias("acctbal"),
+        (F.col("c_custkey") % 97).cast("double").alias("key_mod"),
+    )
+
+
+def _taar_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.similarity_model import donor_pair_scores
+
+    feats = _taar_donor_features(spark, sf_dir)
+    return donor_pair_scores(
+        feats,
+        "cluster",
+        "c_custkey",
+        ["segment", "nk_band"],
+        ["acctbal", "key_mod"],
+        [0, 1, 2],
+    )
+
+
+@query(
+    "taar_donor_scores",
+    "taar_similarity donor pairwise scoring (taar_similarity.py:216-310): "
+    "hamming-over-categorical x canberra-over-continuous similarity as one "
+    "JVM expression over deterministic index-paired donors — intra-cluster "
+    "pairs (rank 2i-1 with 2i) and per-cluster inter pairs (i-th member "
+    "with i-th non-member), replacing the seeded randomSplit/zipWithIndex "
+    "RDD pairing with an oracle-checkable equivalent.",
+    ("F5", "J7", "ext-ml"),
+    oracle=_taar_scores_oracle(),
+)
+def taar_donor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _taar_scores_df(spark, sf_dir).select(
+        "label", "id_a", "id_b", F.round("score", 6).alias("score")
+    )
+
+
+@query(
+    "taar_lr_curves",
+    "taar_similarity LR curves (taar_similarity.py:262-342): Gaussian KDE "
+    "of intra- vs inter-cluster donor scores on a linear grid — the "
+    "mllib KernelDensity stage as a broadcast-grid cross join + one hash "
+    "agg per curve, fully distributed and exactly SQL-mirrorable.",
+    ("F5", "F7", "ext-ml"),
+    oracle=f"""
+WITH d AS ({_TAAR_D}),
+rn AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY c_custkey) AS rn
+       FROM d),
+scores AS (
+  SELECT 'intra' AS label, round({_TAAR_SCORE}, 6) AS score
+  FROM rn a JOIN rn b
+    ON a.cluster = b.cluster AND a.rn % 2 = 1 AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT 'inter' AS label, round({_TAAR_SCORE}, 6) AS score
+  FROM (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM d
+        WHERE cluster = 0) a
+  JOIN (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM d
+        WHERE cluster <> 0) b ON a.rn = b.rn
+  UNION ALL
+  SELECT 'inter' AS label, round({_TAAR_SCORE}, 6) AS score
+  FROM (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM d
+        WHERE cluster = 1) a
+  JOIN (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM d
+        WHERE cluster <> 1) b ON a.rn = b.rn
+  UNION ALL
+  SELECT 'inter' AS label, round({_TAAR_SCORE}, 6) AS score
+  FROM (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM d
+        WHERE cluster = 2) a
+  JOIN (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rn FROM d
+        WHERE cluster <> 2) b ON a.rn = b.rn),
+b AS (SELECT min(score) AS lo, max(score) AS hi FROM scores),
+grid AS (SELECT lo + i * (abs(hi - lo) / 50) AS x FROM b, range(50) t(i)),
+num AS (SELECT x, avg(exp(-pow(x - score, 2) / (2 * 0.35 * 0.35))
+                      / (0.35 * sqrt(2 * pi()))) AS nd
+        FROM grid, (SELECT score FROM scores WHERE label = 'intra') GROUP BY x),
+den AS (SELECT x, avg(exp(-pow(x - score, 2) / (2 * 0.35 * 0.35))
+                      / (0.35 * sqrt(2 * pi()))) AS dd
+        FROM grid, (SELECT score FROM scores WHERE label = 'inter') GROUP BY x)
+SELECT round(num.x, 6) AS x, round(nd, 4) AS num_density, round(dd, 4) AS den_density
+FROM num JOIN den ON num.x = den.x
+""",
+)
+def taar_lr_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.similarity_model import lr_curves
+
+    return lr_curves(
+        spark, _taar_scores_df(spark, sf_dir), kernel_bandwidth=0.35, num_pdf_points=50
+    )

@@ -89,3 +89,60 @@ def test_ensemble_weights_favor_informative_feature(spark):
     assert set(weights) == {"s_good", "s_noise"}
     assert weights["s_good"] > 1.0
     assert abs(weights["s_noise"]) < 0.5 * weights["s_good"]
+
+
+def test_pair_similarity_pins_reference_distances(spark):
+    """Mirrors reference tests/test_taar_similarity.py:222-274: identical
+    users -> 0; all-categorical-different, continuous-identical -> 0.001;
+    categorical-identical -> 0 regardless of continuous; completely
+    different -> >= 1; None fields must not break the score."""
+    import math
+
+    from python_mozetl_spark.jobs.similarity_model import pair_similarity
+
+    CAT = ["city", "os", "locale"]
+    CONT = ["hours", "bookmarks", "tabs", "uris", "tlds"]
+    cols = ["uid", *CAT, *CONT]
+    users = spark.createDataFrame(
+        [
+            (1, "Boston", "Windows", "en-US", 10.0, 1.0, 2.0, 3.0, 4.0),
+            (2, "notsoB", "swodniW", "SU-ne", 10.0, 1.0, 2.0, 3.0, 4.0),
+            (3, "Boston", "Windows", "en-US", 0.0, 0.0, 0.0, 0.0, 0.0),
+            (4, "notsoB", "swodniW", "SU-ne", 0.0, 0.0, 0.0, 0.0, 0.0),
+            (5, None, "swodniW", "SU-ne", 10.0, 1.0, None, 3.0, 4.0),
+        ],
+        cols,
+    )
+    pairs = (
+        users.alias("a")
+        .crossJoin(users.alias("b"))
+        .select(
+            F.col("a.uid").alias("ua"),
+            F.col("b.uid").alias("ub"),
+            pair_similarity(CAT, CONT).alias("score"),
+        )
+    )
+    s = {(r["ua"], r["ub"]): r["score"] for r in pairs.collect()}
+    assert math.isclose(s[(1, 1)], 0.0)
+    assert math.isclose(s[(1, 2)], 0.001)  # j_c=0, j_d=1 -> 0.001
+    assert math.isclose(s[(1, 3)], 0.0)  # same categorical -> j_d=0
+    assert s[(1, 4)] >= 1.0  # j_c=5, j_d=1 -> 5.001
+    assert s[(1, 5)] is not None and s[(1, 5)] > 0
+
+
+def test_lr_curves_density_properties(spark):
+    """KDE twin of mllib KernelDensity: densities positive, numerator
+    curve peaks nearer the (tight) intra score mass than the
+    denominator curve on separated populations."""
+    from python_mozetl_spark.jobs.similarity_model import lr_curves
+
+    rows = [("intra", i, 100 + i, 0.05 + 0.001 * i) for i in range(20)]
+    rows += [("inter", i, 200 + i, 2.0 + 0.01 * i) for i in range(20)]
+    scores = spark.createDataFrame(rows, ["label", "id_a", "id_b", "score"])
+    out = lr_curves(spark, scores, kernel_bandwidth=0.35, num_pdf_points=40)
+    pdf = out.orderBy("x").toPandas()
+    assert len(pdf) == 40
+    assert (pdf["num_density"] >= 0).all() and (pdf["den_density"] >= 0).all()
+    x_num_peak = pdf.loc[pdf["num_density"].idxmax(), "x"]
+    x_den_peak = pdf.loc[pdf["den_density"].idxmax(), "x"]
+    assert x_num_peak < 1.0 < x_den_peak
