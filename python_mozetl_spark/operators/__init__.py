@@ -7,6 +7,11 @@ from python_mozetl_spark.operators.aggregate import (  # noqa: F401
     wide_agg,
 )
 from python_mozetl_spark.operators.asof import asof_join  # noqa: F401
+from python_mozetl_spark.operators.convert import (  # noqa: F401
+    ColumnSpec,
+    FrameConfig,
+    convert_frame,
+)
 from python_mozetl_spark.operators.collapse import (  # noqa: F401
     collapse_small_groups,
     normalize_shares,

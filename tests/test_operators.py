@@ -222,3 +222,39 @@ def test_read_table_pluggable_formats(spark, tmp_path):
     )
     assert pings.schema.simpleString().startswith("struct<event_id:bigint,meta:")
     assert pings.where(F.col("meta.user_id").isNotNull()).count() > 500
+
+
+def test_convert_frame_config_table(spark):
+    """DataFrameConfig/convert_pings twin (mozetl/basic/transform.py:
+    12-67): a declarative column table with nested paths, try_cast
+    null-on-error cleaning, and a pushed-down row filter."""
+    from python_mozetl_spark.operators import ColumnSpec, FrameConfig, convert_frame
+    from python_mozetl_spark.sources import read_json_pings
+
+    pings = read_json_pings(
+        spark,
+        "/root/repo/fixtures/events_pings.json",
+        "event_id bigint, ts_us bigint, "
+        "meta struct<user_id: bigint, event_type: string>, "
+        "value double, props string",
+    )
+    config = FrameConfig(
+        columns=(
+            ColumnSpec("event_id"),
+            ColumnSpec("user_id", path="meta.user_id"),
+            ColumnSpec("event_type", path="meta.event_type",
+                       clean=lambda c: F.upper(c)),
+            ColumnSpec("value", clean=lambda c: F.coalesce(c, F.lit(0.0))),
+            # cleaning failure -> null, like the reference's except-to-None
+            ColumnSpec("k", path="get_json_object(props, '$.k')", dtype="bigint"),
+            ColumnSpec("bad", path="props", dtype="double"),
+        ),
+        row_filter=F.col("user_id").isNotNull(),
+    )
+    out = convert_frame(pings, config)
+    assert out.columns == ["event_id", "user_id", "event_type", "value", "k", "bad"]
+    rows = out.orderBy("event_id").limit(3).collect()
+    assert rows[0]["event_type"] == rows[0]["event_type"].upper()
+    assert all(r["bad"] is None for r in rows)  # uncastable JSON string -> null
+    assert all(r["value"] is not None for r in rows)
+    assert out.count() > 500
