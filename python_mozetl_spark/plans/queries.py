@@ -1946,3 +1946,49 @@ def taar_lr_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lr_curves(
         spark, _taar_scores_df(spark, sf_dir), kernel_bandwidth=0.35, num_pdf_points=50
     )
+
+
+@query(
+    "doc_winnow_copy_pairs",
+    "Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken "
+    "SIGMOD'03: k-gram md5 rolling hashes, sliding-window minima) + "
+    "shared-fingerprint pair counts via the bounded bucket pairing — "
+    "the position-robust local-copy detector complementing MinHash's "
+    "global resemblance.  Pure higher-order functions, one staged hash "
+    "pass, fingerprint buckets bounded like every LSH tier.",
+    ("ext-dedup", "ext-text"),
+    oracle="""
+WITH h AS (SELECT doc_id,
+    CASE WHEN length(text) >= 8 THEN
+      list_transform(generate_series(1, length(text) - 7),
+                     i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT)
+    ELSE [] END AS hs
+  FROM documents),
+sel AS (SELECT doc_id,
+    CASE WHEN len(hs) >= 4 THEN
+      list_transform(generate_series(1, len(hs) - 3), j -> list_min(hs[j:j+3]))
+    WHEN len(hs) >= 1 THEN [list_min(hs)] ELSE [] END AS fps
+  FROM h),
+f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY id_a, id_b HAVING count(*) >= 50
+""",
+)
+def doc_winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import bounded_bucket_pairs, winnow_fingerprints
+
+    d = t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+    shared = bounded_bucket_pairs(
+        fps.select(F.col("fp").alias("bucket"), F.struct("doc_id").alias("__p")),
+        "bucket",
+        "__p",
+        "doc_id",
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return (
+        shared.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= 50)
+    )

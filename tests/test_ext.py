@@ -349,3 +349,54 @@ def test_ivf_topk_single_probe_high_recall_on_clustered_data(spark):
            for r in ivf_topk(df, queries, centers, k=3, nprobe=1).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8  # well-separated clusters: probe-1 nearly exact
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """Winnowing guarantee: docs sharing a substring of length >=
+    window + k - 1 share a fingerprint; short docs degrade to one/zero
+    fingerprints; identical docs have identical fingerprint sets."""
+    from python_mozetl_spark.ext.dedup import winnow_fingerprints
+
+    shared = "a very long shared passage that is plenty of characters"
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "totally different opening " + shared + " and closing"),
+        (2, "no overlap with anything else at all here"),
+        (3, "tiny"),  # < k chars -> no fingerprints
+        (4, "exactly8"),  # one k-gram -> one fingerprint (global min)
+        (5, "prefix one " + shared + " suffix alpha"),  # dup of 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1]  # shared passage -> shared fingerprint
+    assert not (by_doc[2] & by_doc[0])
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    assert by_doc[5] == by_doc[0]  # identical docs, identical sets
+
+
+def test_bounded_bucket_pairs_exactly_once_per_bucket(spark):
+    """Pairs must appear exactly once per shared bucket (shared-bucket
+    COUNTS depend on it), in both the small-bucket and chunk-grid
+    paths."""
+    from python_mozetl_spark.ext.dedup import bounded_bucket_pairs
+
+    rows = [(b, i) for b in range(3) for i in range(7)]  # 3 buckets x 7 ids
+    banded = spark.createDataFrame(rows, ["bucket", "id"]).select(
+        "bucket", F.struct("id").alias("__p")
+    )
+    for cap in (10_000, 3):
+        out = bounded_bucket_pairs(banded, "bucket", "__p", "id", cap).select(
+            F.col("a.id").alias("x"), F.col("b.id").alias("y")
+        )
+        rows_out = [(r["x"], r["y"]) for r in out.collect()]
+        assert all(x < y for x, y in rows_out)
+        from collections import Counter
+
+        counts = Counter(rows_out)
+        # every unordered pair appears exactly once per bucket = 3 times
+        assert set(counts.values()) == {3}, (cap, counts)
+        assert len(counts) == 21  # C(7,2)
