@@ -10,3 +10,8 @@ from python_mozetl_spark.ext.similarity import (  # noqa: F401
     bucketed_topk,
     cosine_topk_pandas,
 )
+from python_mozetl_spark.ext.sketches import (  # noqa: F401
+    hll_distinct,
+    hll_merge,
+    kmv_distinct,
+)

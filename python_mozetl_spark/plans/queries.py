@@ -1992,3 +1992,36 @@ def doc_winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= 50)
     )
+
+
+@query(
+    "kmv_distinct_users",
+    "KMV (k-minimum-values) distinct-count sketch per event type: the "
+    "k smallest distinct md5 hashes give estimate (k-1)/h_(k) — "
+    "bounded-memory, mergeable cardinality estimation whose ESTIMATE "
+    "is itself deterministic and oracle-equal because the hash family "
+    "is md5 (same trick as the graded DP noise).  The reaggregation "
+    "primitive COUNT(DISTINCT) can never be.",
+    ("ext-sketch", "A5"),
+    oracle="""
+WITH h AS (SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS h
+  FROM events),
+r AS (SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+k AS (SELECT event_type, count(*) AS n, max(h) AS kth
+      FROM r WHERE rn <= 64 GROUP BY event_type)
+SELECT event_type,
+  round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE) ELSE 63.0 / kth END, 4)
+    AS est_distinct
+FROM k
+""",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.sketches import kmv_distinct
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return kmv_distinct(e, "uid", ["event_type"], k=64)

@@ -400,3 +400,62 @@ def test_bounded_bucket_pairs_exactly_once_per_bucket(spark):
         # every unordered pair appears exactly once per bucket = 3 times
         assert set(counts.values()) == {3}, (cap, counts)
         assert len(counts) == 21  # C(7,2)
+
+
+def test_kmv_sketch_accuracy_and_exact_below_k(spark):
+    from python_mozetl_spark.ext.sketches import kmv_distinct
+
+    rows = [("big", f"u{i}") for i in range(2000)]
+    rows += [("small", f"v{i}") for i in range(20)] * 3  # dups collapse
+    df = spark.createDataFrame(rows, ["g", "uid"])
+    est = {r["g"]: r["est_distinct"] for r in
+           kmv_distinct(df, "uid", ["g"], k=64).collect()}
+    assert est["small"] == 20.0  # below k -> exact
+    assert abs(est["big"] - 2000) / 2000 < 0.4  # ~3 sigma at k=64
+
+
+def test_kmv_sketch_merges_exactly(spark):
+    """k-min of a union == k-min of pooled per-part k-mins: merging
+    day-level sketches must give bit-identical estimates to sketching
+    the raw union."""
+    from pyspark.sql import Window as W
+
+    from python_mozetl_spark.ext.sketches import kmv_distinct, kmv_hashes
+
+    rows = [("g", d, f"u{i}") for d in range(4) for i in range(300 + 50 * d)]
+    df = spark.createDataFrame(rows, ["g", "day", "uid"])
+    direct = kmv_distinct(df, "uid", ["g"], k=32).collect()[0]["est_distinct"]
+
+    per_day = kmv_hashes(df, "uid", ["g", "day"], k=32)  # day-level sketches
+    pooled = (
+        per_day.select("g", "__h")
+        .dropDuplicates(["g", "__h"])
+        .withColumn("__rn", F.row_number().over(W.partitionBy("g").orderBy("__h")))
+        .where(F.col("__rn") <= 32)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("__h").alias("kth"))
+        .select(
+            F.round(
+                F.when(F.col("n") < 32, F.col("n").cast("double")).otherwise(
+                    F.lit(31.0) / F.col("kth")
+                ),
+                4,
+            ).alias("est")
+        )
+        .collect()[0]["est"]
+    )
+    assert pooled == direct
+
+
+def test_hll_sketch_accuracy_and_union_merge(spark):
+    from python_mozetl_spark.ext.sketches import hll_distinct, hll_merge
+
+    rows = [("g", d, f"u{i}") for d in range(4) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "day", "uid"])
+    est = hll_distinct(df, "uid", ["g"], lgk=12).collect()[0]["est_distinct"]
+    assert abs(est - 500) / 500 < 0.05
+    sketches = df.groupBy("g", "day").agg(
+        F.hll_sketch_agg(F.col("uid"), F.lit(12)).alias("sk")
+    )
+    merged = hll_merge(sketches, "sk", ["g"]).collect()[0]["est_distinct"]
+    assert merged == est  # same keys per day -> union estimate identical
