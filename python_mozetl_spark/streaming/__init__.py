@@ -3,6 +3,10 @@ from python_mozetl_spark.streaming.rollup import (  # noqa: F401
     dedup_stream,
     session_window_stream,
 )
+from python_mozetl_spark.streaming.joins import (  # noqa: F401
+    enrich_stream,
+    interval_join_stream,
+)
 from python_mozetl_spark.streaming.stateful import (  # noqa: F401
     batch_running_totals,
     running_totals_stream,

@@ -167,3 +167,88 @@ def test_dedup_stream_drops_in_stream_duplicates(spark):
         # batch twin: same keep-one-per-key cardinality
         batch = spark.read.parquet(d).dropDuplicates(["fingerprint"])
         assert batch.count() == len(got)
+
+
+def test_enrich_stream_static_broadcast_join(spark):
+    import os
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "passive")], ["event_type", "category"]
+    )
+    from python_mozetl_spark.streaming import enrich_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        _events(spark).write.mode("overwrite").parquet(src)
+        stream_df = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            enrich_stream(stream_df, dim, ["event_type"])
+            .writeStream.format("memory")
+            .queryName("enrich_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["event_id"], r["category"]) for r in spark.table("enrich_t").collect()
+        )
+        batch = sorted(
+            (r["event_id"], r["category"])
+            for r in enrich_stream(spark.read.parquet(src), dim, ["event_type"]).collect()
+        )
+        assert got == batch and got[0][1] is not None
+
+
+def test_interval_join_stream_matches_batch_twin(spark):
+    """Stream-stream inner interval join (watermarks on both sides)
+    equals the identical join run in batch mode — clicks paired with
+    views by the same user within 1 hour."""
+    import os
+
+    from python_mozetl_spark.streaming import interval_join_stream
+
+    rows = [
+        (1, "2024-01-01 00:05:00", 100, "click", 1.0),
+        (2, "2024-01-01 00:40:00", 100, "view", 2.0),  # within 1h of click 1
+        (3, "2024-01-01 02:00:00", 100, "view", 3.0),  # outside 1h
+        (4, "2024-01-01 00:30:00", 200, "view", 4.0),  # other user
+        (5, "2024-01-01 00:20:00", 200, "click", 5.0),
+        (6, "2024-01-01 00:50:00", 200, "view", 6.0),  # within 1h of click 5
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as d:
+        clicks_dir, views_dir = os.path.join(d, "c"), os.path.join(d, "v")
+        df.where(F.col("event_type") == "click").write.parquet(clicks_dir)
+        df.where(F.col("event_type") == "view").write.parquet(views_dir)
+        schema = df.schema
+
+        def join_of(c, v):
+            return interval_join_stream(
+                c, v, "user_id", max_delay="1 hour", watermark="3 hours"
+            ).select("l_event_id", "r_event_id")
+
+        q = (
+            join_of(
+                spark.readStream.schema(schema).parquet(clicks_dir),
+                spark.readStream.schema(schema).parquet(views_dir),
+            )
+            .writeStream.format("memory")
+            .queryName("ivj_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("ivj_t").collect())
+        batch = sorted(
+            tuple(r)
+            for r in join_of(
+                spark.read.parquet(clicks_dir), spark.read.parquet(views_dir)
+            ).collect()
+        )
+        assert got == batch == [(1, 2), (5, 4), (5, 6)]
