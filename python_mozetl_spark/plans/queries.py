@@ -2025,3 +2025,29 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
     return kmv_distinct(e, "uid", ["event_type"], k=64)
+
+
+@query(
+    "multimodal_frame_sample",
+    "Frame sampling over binary media payloads (every 2nd 32-byte "
+    "frame, per-frame md5/length metadata) — the video/audio decode "
+    "plumbing as variable-fanout mapInPandas; codec stubbed at the "
+    "documented plug-point, Spark semantics fully graded.  Oracle "
+    "equality relies on the corpus being ASCII (char slice == byte "
+    "slice), which holds for the synthetic documents.",
+    ("ext-multimodal", "pandas-udf"),
+    oracle="""
+SELECT doc_id AS media_id, i AS frame_idx,
+  CAST(length(substr(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS BIGINT) AS frame_bytes,
+  md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_md5
+FROM documents,
+  unnest(generate_series(0,
+    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT) - 1, -1))) AS t(i)
+WHERE i % 2 = 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.multimodal import documents_as_media, sample_frames
+
+    d = t(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(d), frame_bytes=32, every_n=2)

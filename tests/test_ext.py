@@ -459,3 +459,16 @@ def test_hll_sketch_accuracy_and_union_merge(spark):
     )
     merged = hll_merge(sketches, "sk", ["g"]).collect()[0]["est_distinct"]
     assert merged == est  # same keys per day -> union estimate identical
+
+
+def test_sample_frames_fanout_and_determinism(spark, docs):
+    from python_mozetl_spark.ext.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(docs.withColumn("doc_id", F.col("doc_id").cast("long")))
+    out = sample_frames(media, frame_bytes=16, every_n=2).collect()
+    text0 = DOCS[0][1].encode()
+    n_frames0 = (len(text0) + 15) // 16
+    rows0 = sorted(r for r in out if r["media_id"] == 0)
+    assert [r["frame_idx"] for r in rows0] == list(range(0, n_frames0, 2))
+    assert rows0[0]["frame_md5"] == hashlib.md5(text0[:16]).hexdigest()
+    assert all(r["frame_bytes"] <= 16 for r in out)
