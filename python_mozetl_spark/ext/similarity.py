@@ -264,12 +264,13 @@ def embedding_near_dup_pairs(
     - ``join``: the pure-DataFrame pair scan — correct at any scale,
       quadratic rows; the fallback when the corpus is too large to
       broadcast and exactness is still required.
-    - ``auto`` decides from a tiny planning job (count + max dim):
-      the matrix byte size ``n × dim × 8`` must fit
-      ``matmul_max_bytes`` AND ``n ≤ matmul_max_rows`` — a byte gate,
-      not just a row gate, so wide embeddings can't sneak a
-      multi-GB matrix onto the driver.  Nothing is collected until
-      the matmul path is chosen.
+    - ``auto`` decides from Catalyst's PLANNING-TIME size estimate of
+      the (id, vector) projection (parquet-footer derived, zero jobs —
+      a 100 TB corpus fails the budget before anything is scanned),
+      then hard-checks actual rows and matrix bytes ``n × dim × 8``
+      after the collect — a byte gate, not just a row gate, so wide
+      embeddings can't sneak a multi-GB matrix onto the driver (the
+      hard check bails to the ``join`` path).
     - For truly large corpora use :func:`srp_near_dup_pairs`, the
       LSH-bucketed scale path (pytest-verified equal on this data).
 
@@ -280,16 +281,19 @@ def embedding_near_dup_pairs(
     like the join path and the DuckDB oracle (``np.round`` is
     half-even).
     """
+    from python_mozetl_spark.session import plan_size_bytes
+
     spark = df.sparkSession
     if strategy == "auto":
-        st = df.agg(
-            F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("d")
-        ).first()
-        n_rows, dim = st["n"], st["d"] or 0
-        fits = n_rows <= matmul_max_rows and n_rows * dim * 8 <= matmul_max_bytes
-        strategy = "matmul" if fits else "join"
+        est = plan_size_bytes(df.select(id_col, vec_col))
+        strategy = "matmul" if est <= matmul_max_bytes else "join"
     if strategy == "matmul":
         pdf = df.select(id_col, vec_col).toPandas()
+        if len(pdf) > matmul_max_rows or (
+            len(pdf) and len(pdf) * len(pdf[vec_col].iloc[0]) * 8 > matmul_max_bytes
+        ):
+            strategy = "join"  # hard post-collect check beat the estimate
+    if strategy == "matmul":
         ids = pdf[id_col].to_numpy()
         mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         norm = np.linalg.norm(mat, axis=1)

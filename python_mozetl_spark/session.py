@@ -105,6 +105,17 @@ def spread(df, min_parallelism: int | None = None):
     return df
 
 
+def plan_size_bytes(df) -> int:
+    """Catalyst's planning-time size estimate for a DataFrame (bytes),
+    derived from source file sizes with column pruning — NO job runs.
+    This is what the ext/ strategy gates consult before deciding to
+    collect anything: on a 100 TB input the estimate fails the budget
+    immediately, without the full pre-scan a count()/sum() stats job
+    would cost.  Conservative (file-size based), so gates pair it with
+    a hard post-collect check."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine defaults to an existing session.
 
