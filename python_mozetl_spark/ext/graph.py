@@ -1,0 +1,73 @@
+"""Graph resolution for dedup pipelines.
+
+Near-dup operators emit PAIRS; a training-data pipeline needs
+CLUSTERS — pick one canonical document per group of transitively
+connected near-duplicates.  That is connected components, the one
+genuinely iterative algorithm in the dedup family.
+
+:func:`connected_components` is min-label propagation expressed as
+DataFrame ops: every vertex starts as its own label; each round a
+vertex takes the minimum label among itself and its neighbors;
+converged when no label changes.  Rounds = graph diameter — near-dup
+clusters are near-cliques (diameter 1-2), so 2-3 rounds in practice.
+Per round: one join + one aggregation (both shuffling on the vertex
+key, AQE-coalesced), one tiny count for the convergence check — the
+same driver-loop-on-aggregates altitude as the KMeans fit (SURVEY §7),
+with ``localCheckpoint`` truncating the lineage so the plan does not
+grow with the iteration count.  For adversarial long-chain graphs the
+alternating large-star/small-star variant (Kiveris et al., "Connected
+Components in MapReduce") halves the round count; near-dup workloads
+never need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(vertex, component) for every vertex appearing in ``edges``,
+    where component = the minimum vertex id reachable from it.
+
+    Raises if not converged within ``max_iter`` rounds (diameter
+    ``> max_iter`` means the input is not a near-dup graph — use the
+    alternating-star variant).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b"), F.col("a"))).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("c", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = sym.join(labels, sym["b"] == labels["v"]).select(
+            F.col("a").alias("v"), F.col("c")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("v")
+            .agg(F.min("c").alias("c"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("v").alias("vertex"), F.col("c").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the near-dup regime — use alternating "
+        "large-star/small-star"
+    )

@@ -2051,3 +2051,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return sample_frames(documents_as_media(d), frame_bytes=32, every_n=2)
+
+
+@query(
+    "doc_dup_components",
+    "Near-duplicate CLUSTER resolution: connected components over the "
+    "MinHash near-dup pair graph (min-label propagation as iterative "
+    "DataFrame rounds with a driver convergence check — the KMeans "
+    "altitude), assigning every involved doc its canonical min-id. "
+    "The step that turns pair lists into 'keep one per cluster' "
+    "training-data dedup.  Oracle: recursive CTE reachability over the "
+    "brute-force pair scan.",
+    ("ext-dedup", "F7", "J2"),
+    oracle=f"""
+WITH RECURSIVE
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tk),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+walk(v, r) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, walk.r FROM e JOIN walk ON walk.v = e.b)
+SELECT v AS vertex, min(r) AS component FROM walk GROUP BY v
+""",
+)
+def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
+    from python_mozetl_spark.ext.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8)
+    return connected_components(pairs)

@@ -472,3 +472,14 @@ def test_sample_frames_fanout_and_determinism(spark, docs):
     assert [r["frame_idx"] for r in rows0] == list(range(0, n_frames0, 2))
     assert rows0[0]["frame_md5"] == hashlib.md5(text0[:16]).hexdigest()
     assert all(r["frame_bytes"] <= 16 for r in out)
+
+
+def test_connected_components_chains_and_islands(spark):
+    from python_mozetl_spark.ext.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
