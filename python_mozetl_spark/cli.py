@@ -299,3 +299,20 @@ def system_check(input_path, output_path, date, master):
 
 if __name__ == "__main__":
     entry_point()
+
+
+@entry_point.command("dedup_pipeline")
+@_common
+@click.option("--threshold", default=0.8, type=float, help="near-dup Jaccard bound")
+@click.option("--id-col", default="doc_id")
+@click.option("--text-col", default="text")
+def dedup_pipeline(input_path, output_path, date, master, threshold, id_col, text_col):
+    """Corpus cleaning: exact dedup -> MinHash near-dup -> cluster
+    resolution; writes (doc_id, status, canonical_id) partitioned by
+    status so the kept set is one partition read."""
+    from python_mozetl_spark.jobs.dedup_pipeline import clean_corpus
+
+    spark = get_session(app_name="dedup_pipeline", master=master)
+    df = _read(spark, input_path, date)
+    out = clean_corpus(df, id_col=id_col, text_col=text_col, threshold=threshold)
+    write_partitioned_parquet(out, output_path, partition_by=["status"])

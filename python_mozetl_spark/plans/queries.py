@@ -2086,3 +2086,46 @@ def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8)
     return connected_components(pairs)
+
+
+@query(
+    "doc_clean_corpus",
+    "The end-to-end dedup pipeline (jobs/dedup_pipeline.py): exact "
+    "fingerprint dedup, then MinHash LSH near-dup over the survivors, "
+    "then connected-component cluster resolution — one status row per "
+    "doc (kept / exact_dup / near_dup) with its one-hop canonical id. "
+    "The 'switch your training-data prep to this engine' flagship.",
+    ("ext-dedup", "F7", "U3"),
+    oracle=f"""
+WITH RECURSIVE
+f AS (SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+g AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY fp),
+ex AS (SELECT f.doc_id, g.keeper FROM f JOIN g USING (fp)),
+kept1 AS (SELECT doc_id FROM ex WHERE doc_id = keeper),
+tk AS (SELECT d.doc_id, {_DUCK_TOKS} AS w FROM documents d JOIN kept1 USING (doc_id)),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tk),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+walk(v, r) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, walk.r FROM e JOIN walk ON walk.v = e.b),
+comp AS (SELECT v, min(r) AS c FROM walk GROUP BY v)
+SELECT ex.doc_id,
+  CASE WHEN ex.doc_id <> ex.keeper THEN 'exact_dup'
+       WHEN comp.c IS NOT NULL AND comp.c <> ex.doc_id THEN 'near_dup'
+       ELSE 'kept' END AS status,
+  CAST(CASE WHEN ex.doc_id <> ex.keeper THEN ex.keeper
+            WHEN comp.c IS NOT NULL THEN comp.c
+            ELSE ex.doc_id END AS BIGINT) AS canonical_id
+FROM ex LEFT JOIN comp ON comp.v = ex.doc_id
+""",
+)
+def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.dedup_pipeline import clean_corpus
+
+    return clean_corpus(t(spark, sf_dir, "documents"))

@@ -213,3 +213,21 @@ def test_shield_privacy_prefs_union(spark):
     by_type = {r["ping_type"]: r for r in out}
     assert by_type["event"]["event"] == "toggle"
     assert by_type["state"]["state"] == "enrolled"
+
+
+def test_clean_corpus_statuses(spark):
+    from python_mozetl_spark.jobs.dedup_pipeline import clean_corpus
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again today"),
+        (1, "  The   quick brown fox jumps over the lazy dog again and again today "),
+        (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (3, "completely different text about spark query engines and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["status"], r["canonical_id"])
+           for r in clean_corpus(docs, threshold=0.5).collect()}
+    assert got[0] == ("kept", 0)
+    assert got[1] == ("exact_dup", 0)   # ws/case canonicalization
+    assert got[2] == ("near_dup", 0)    # one-word edit, cluster rep 0
+    assert got[3] == ("kept", 3)
