@@ -95,3 +95,47 @@ def keyed_window(
 ) -> WindowSpec:
     """Escape hatch: a partitioned+ordered WindowSpec for custom use."""
     return Window.partitionBy(*keys).orderBy(*_order_cols(order_by, descending))
+
+
+def robust_outlier_stats(
+    df,
+    value_col: str,
+    keys: list[str],
+    z: float = 3.5,
+):
+    """Per-group robust outlier statistics: median, MAD (median absolute
+    deviation), and the modified z-score acceptance band
+    ``median ± z·MAD/0.6745`` (Iglewicz-Hoaglin).  Median/MAD shrug off
+    the heavy tails that wreck mean/stddev filters — the standard
+    numeric-quality gate before training-data aggregation.
+
+    Two exact-percentile aggregations (each one shuffle on the group
+    key) plus a counting pass; at 100 TB swap ``percentile`` for
+    ``percentile_approx`` per group if exactness is not required.
+    Returns (keys..., med, mad, lo, hi, n, n_outliers).
+    """
+    from pyspark.sql import functions as F
+
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(med, keys)
+    mad = with_med.groupBy(*keys).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    width = F.lit(z / 0.6745) * F.col("mad")
+    return (
+        with_med.join(mad, keys)
+        .withColumn("lo", F.col("med") - width)
+        .withColumn("hi", F.col("med") + width)
+        .groupBy(*keys, "med", "mad", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -2129,3 +2129,46 @@ def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.jobs.dedup_pipeline import clean_corpus
 
     return clean_corpus(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "price_outlier_stats",
+    "Robust per-group outlier gate (Iglewicz-Hoaglin modified z-score): "
+    "median + MAD acceptance band over order totals per priority — the "
+    "heavy-tail-proof numeric quality filter a training pipeline runs "
+    "before aggregation (mean/stddev gates break on the very outliers "
+    "they hunt).",
+    ("A12", "W3", "ext-text"),
+    oracle="""
+WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+             FROM orders GROUP BY o_orderpriority),
+mad AS (SELECT o.o_orderpriority, med,
+          quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+        FROM orders o JOIN med USING (o_orderpriority)
+        GROUP BY o.o_orderpriority, med)
+SELECT o.o_orderpriority,
+  round(med, 4) AS med, round(mad, 4) AS mad,
+  round(med - (3.5 / 0.6745) * mad, 4) AS lo,
+  round(med + (3.5 / 0.6745) * mad, 4) AS hi,
+  count(*) AS n,
+  CAST(sum(CASE WHEN o_totalprice < med - (3.5 / 0.6745) * mad
+                  OR o_totalprice > med + (3.5 / 0.6745) * mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o JOIN mad USING (o_orderpriority)
+GROUP BY o.o_orderpriority, med, mad
+""",
+)
+def price_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.windows import robust_outlier_stats
+
+    o = t(spark, sf_dir, "orders")
+    out = robust_outlier_stats(o, "o_totalprice", ["o_orderpriority"], z=3.5)
+    return out.select(
+        "o_orderpriority",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        F.col("n"),
+        F.col("n_outliers"),
+    )

@@ -258,3 +258,13 @@ def test_convert_frame_config_table(spark):
     assert all(r["bad"] is None for r in rows)  # uncastable JSON string -> null
     assert all(r["value"] is not None for r in rows)
     assert out.count() > 500
+
+
+def test_robust_outlier_stats_flags_planted_outliers(spark):
+    from python_mozetl_spark.operators.windows import robust_outlier_stats
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 9, 1000.0]]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    r = robust_outlier_stats(df, "x", ["g"]).collect()[0]
+    assert r["n"] == 10 and r["n_outliers"] == 1  # only the 1000
+    assert r["med"] == 11.0 and r["lo"] < 9 and r["hi"] < 100
