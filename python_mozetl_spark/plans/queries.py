@@ -2172,3 +2172,43 @@ def price_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("n_outliers"),
     )
+
+
+@query(
+    "doc_pack_chunks",
+    "LLM sequence packing (concat-and-chunk): documents laid end-to-end "
+    "per source shard, sliced into 512-token context windows via one "
+    "window cumsum + chunk-range explode — boundary docs contribute to "
+    "both neighbors, every chunk is exactly full except each shard's "
+    "tail.  Token counts are the whitespace tokenizer's (doc_token_stats "
+    "vocabulary).",
+    ("ext-pack", "W3", "E1"),
+    oracle=r"""
+WITH d AS (SELECT source, doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+         AS BIGINT) AS n
+  FROM documents),
+c AS (SELECT source, doc_id, n,
+    sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS e
+  FROM d WHERE n > 0),
+x AS (SELECT source, doc_id, n, e, e - n AS b,
+        unnest(generate_series(CAST(floor((e - n) / 512) AS BIGINT),
+                               CAST(floor((e - 1) / 512) AS BIGINT))) AS chunk_id
+      FROM c)
+SELECT source, chunk_id, doc_id, CAST(n AS BIGINT) AS n_tokens,
+  CAST(least(e, (chunk_id + 1) * 512) - greatest(b, chunk_id * 512) AS BIGINT)
+    AS chunk_tokens,
+  CAST(greatest(b, chunk_id * 512) - chunk_id * 512 AS BIGINT) AS begin_offset
+FROM x
+""",
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.packing import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(T.tokens("text")).alias("n_tok")
+    )
+    return pack_sequences(d, "n_tok", "doc_id", cap=512, shard_col="source").select(
+        "source", "chunk_id", "doc_id", "n_tokens", "chunk_tokens", "begin_offset"
+    )

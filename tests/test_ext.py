@@ -483,3 +483,24 @@ def test_connected_components_chains_and_islands(spark):
     )
     got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_pack_sequences_invariants(spark):
+    from python_mozetl_spark.ext.packing import pack_sequences
+
+    rows = [(i, 1 + (i * 37) % 90) for i in range(40)] + [(100, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = pack_sequences(df, "n_tok", "doc_id", cap=128).collect()
+    assert not any(r["doc_id"] == 100 for r in out)  # zero-token doc dropped
+    # every chunk full except the last; per-doc chunk_tokens sums to n_tok
+    by_chunk = {}
+    by_doc = {}
+    for r in out:
+        by_chunk[r["chunk_id"]] = by_chunk.get(r["chunk_id"], 0) + r["chunk_tokens"]
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["chunk_tokens"]
+    last = max(by_chunk)
+    assert all(v == 128 for c, v in by_chunk.items() if c != last)
+    assert 0 < by_chunk[last] <= 128
+    total = sum(n for _, n in rows)
+    assert sum(by_doc.values()) == total
+    assert by_doc == {i: n for i, n in rows if n > 0}
