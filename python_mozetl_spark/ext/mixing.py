@@ -1,0 +1,65 @@
+"""Source mixing for training-data pipelines.
+
+A training mix specifies per-source weights — "2.5 epochs of wiki, 0.3
+of web crawl" — meaning each source's documents are replicated
+⌊weight⌋ times plus a ⌈weight⌉-th partial epoch holding a
+weight-fractional sample.  :func:`weighted_mix` implements this with
+the repo's md5-keyed determinism (the DP-noise/KMV trick): the
+fractional keep-decision is ``md5(epoch ‖ id) mod 10⁶ < frac·10⁶``, so
+the sampled multiset is a pure function of (id, weights) — identical
+across engines, retries and cluster sizes, and therefore
+oracle-checkable AND resumable (a re-run of a failed shard keeps the
+same rows).
+
+Shape: one ``explode(sequence(0, ⌈w⌉−1))`` per row (epoch fanout — at
+most ⌈max weight⌉×, no shuffle) + one hash filter.  No randomness, no
+``sample()``; the weight table rides in the plan as a literal CASE
+expression, never a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.functions import hashing as H
+
+_MOD = 1_000_000
+
+
+def _weight_expr(source_col: str, weights: dict[str, float]) -> Column:
+    expr = F.lit(0.0)
+    for src, w in sorted(weights.items()):
+        expr = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(expr)
+    return expr
+
+
+def weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """One output row per (input row, kept epoch), column ``epoch``
+    added.  A source absent from ``weights`` gets weight 0 (dropped).
+
+    Full epochs ``0..⌊w⌋−1`` keep every row; the final partial epoch
+    keeps a deterministic ``w−⌊w⌋`` fraction keyed on
+    ``md5(salt‖epoch‖id)``.
+    """
+    w = _weight_expr(source_col, weights)
+    kept = df.withColumn("__w", w).where(F.col("__w") > 0)
+    epochs = kept.withColumn(
+        "epoch",
+        F.explode(F.sequence(F.lit(0), F.ceil(F.col("__w")).cast("int") - 1)),
+    )
+    frac = F.col("__w") - F.floor(F.col("__w"))
+    is_partial = F.col("epoch") >= F.floor(F.col("__w"))  # the ceil-th epoch
+    keep_key = H.md5_int64(
+        F.concat_ws("|", F.lit(salt), F.col("epoch").cast("string"),
+                    F.col(id_col).cast("string"))
+    ) % _MOD
+    return epochs.where(
+        (~is_partial) | (keep_key < F.round(frac * _MOD, 0).cast("bigint"))
+    ).drop("__w")

@@ -2212,3 +2212,42 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, "n_tok", "doc_id", cap=512, shard_col="source").select(
         "source", "chunk_id", "doc_id", "n_tokens", "chunk_tokens", "begin_offset"
     )
+
+
+@query(
+    "doc_source_mix",
+    "Training-mix materialization: per-source epoch weights (2.5 / 1.0 "
+    "/ 0.4 / 0) as full-epoch replication + md5-keyed fractional "
+    "sampling — the deterministic 'source mixing' step of an LLM data "
+    "pipeline (same md5-mod trick as the graded DP noise and KMV "
+    "sketch, so the sampled multiset itself is oracle-equal and "
+    "retry-stable).",
+    ("ext-mix", "U5", "E1"),
+    oracle="""
+WITH w AS (SELECT doc_id, source,
+    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+         WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+         WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.4
+         ELSE 0 END AS w
+  FROM documents),
+e AS (SELECT doc_id, source, w,
+        unnest(generate_series(0, CAST(ceil(w) AS BIGINT) - 1)) AS epoch
+      FROM w WHERE w > 0)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM e
+WHERE epoch < floor(w)
+   OR ('0x' || substr(md5('mix|' || CAST(epoch AS VARCHAR) || '|'
+        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < CAST(round((w - floor(w)) * 1000000, 0) AS BIGINT)
+""",
+)
+def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import weighted_mix
+
+    weights = {f"src{i}": 2.5 for i in range(5)}
+    weights |= {f"src{i}": 1.0 for i in range(5, 10)}
+    weights |= {f"src{i}": 0.4 for i in range(10, 15)}
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return weighted_mix(d, "source", "doc_id", weights).select(
+        "doc_id", "source", F.col("epoch").cast("bigint").alias("epoch")
+    )

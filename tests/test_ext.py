@@ -504,3 +504,21 @@ def test_pack_sequences_invariants(spark):
     total = sum(n for _, n in rows)
     assert sum(by_doc.values()) == total
     assert by_doc == {i: n for i, n in rows if n > 0}
+
+
+def test_weighted_mix_epochs_and_determinism(spark):
+    from python_mozetl_spark.ext.mixing import weighted_mix
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 80 else "c")) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = weighted_mix(df, "source", "doc_id", {"a": 2.0, "b": 0.5})
+    got = [(r["doc_id"], r["epoch"]) for r in out.collect()]
+    a_rows = [g for g in got if g[0] < 40]
+    b_rows = [g for g in got if 40 <= g[0] < 80]
+    assert len(a_rows) == 80  # exactly 2 full epochs
+    assert sorted({e for _, e in a_rows}) == [0, 1]
+    assert 8 <= len(b_rows) <= 32  # ~50% of 40, deterministic hash
+    assert not any(g[0] >= 80 for g in got)  # weight-0 source dropped
+    again = [(r["doc_id"], r["epoch"]) for r in
+             weighted_mix(df, "source", "doc_id", {"a": 2.0, "b": 0.5}).collect()]
+    assert sorted(got) == sorted(again)  # retry-stable
