@@ -83,3 +83,42 @@ def test_bucketed_join_has_no_shuffle(spark):
         finally:
             spark.sql("DROP TABLE IF EXISTS t_orders_b")
             spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_json_source_prunes_fields_and_pushes_filter(spark):
+    """The schema-ful JSON source must read a declared schema (no
+    inference pass) and let Catalyst prune unused fields at parse
+    time — ReadSchema carries only what the query touches."""
+    from python_mozetl_spark.sources import read_json_pings
+
+    pings = read_json_pings(
+        spark,
+        "/root/repo/fixtures/events_pings.json",
+        "event_id bigint, ts_us bigint, "
+        "meta struct<user_id: bigint, event_type: string>, "
+        "value double, props string",
+    )
+    q = pings.where(F.col("event_id") > 100).select("event_id", F.col("meta.user_id"))
+    plan = _formatted_plan(q)
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "event_id" in schema_line and "meta" in schema_line
+    assert "props" not in schema_line and "ts_us" not in schema_line
+    assert "PushedFilters" in plan
+
+
+def test_lsh_band_exchange_appears_once_statically(spark):
+    """The bounded bucket pairing must hang every consumer off ONE band
+    exchange subtree: the expensive signature pipeline (tokenize + md5)
+    appears once per scan in the minhash plan — the scan count is the
+    signature-subtree consumers (small + 2 grid sides) plus the two
+    shingle verify joins, and regressing it means the guard rail
+    started recomputing sketches."""
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = minhash_lsh_pairs(docs, "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()  # simple format
+    assert plan.count("FileScan parquet") <= 5
+    # the md5-based signature expression must not be inlined per-band:
+    # staged projections keep one conv(md5(...)) per scan of the subtree
+    assert plan.count("md5") <= plan.count("FileScan parquet")
