@@ -1,10 +1,16 @@
 from python_mozetl_spark.ext.dedup import (  # noqa: F401
+    bounded_bucket_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
     simhash_near_pairs,
     simhash_signatures,
+    winnow_fingerprints,
 )
+from python_mozetl_spark.ext.graph import connected_components  # noqa: F401
+from python_mozetl_spark.ext.mixing import weighted_mix  # noqa: F401
+from python_mozetl_spark.ext.packing import pack_sequences  # noqa: F401
 from python_mozetl_spark.ext.similarity import (  # noqa: F401
     brute_force_topk,
     bucketed_topk,
