@@ -1,0 +1,174 @@
+"""Corpus-quality gates for LLM training-data pipelines.
+
+Two families the dedup tiers (ext/dedup.py) don't cover:
+
+- :func:`repetition_stats` — Gopher/C4-style within-document
+  repetition signals (top-token share, duplicate/top n-gram shares)
+  plus a thresholded keep flag.  Repetitive boilerplate is the classic
+  low-quality signature that survives exact dedup.
+- :func:`decontaminate` — benchmark decontamination: flag training
+  documents sharing any word n-gram with a held-out evaluation set
+  (the GPT-3 appendix-C overlap rule).
+
+The reference has no corpus-quality layer; these extend the engine per
+SURVEY §2's training-data mandate.  Everything is built-in-function
+composition — no Python UDFs.
+
+Scale shape: each signal is one explode to (id, gram) followed by hash
+aggregations, so shuffle volume is O(total tokens) with map-side
+partial combine — the same budget as tokenization itself.  Nothing is
+ever collected per-document; no windows over unbounded groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.functions.text import (
+    all_shingles_from_tokens,
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def ngram_occurrence_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-document n-gram occurrence stats.
+
+    Returns ``(id_col, total, n_distinct, top)``: total n-gram
+    occurrences, distinct n-grams, and the occurrence count of the
+    most frequent n-gram.  Documents with fewer than ``n`` tokens are
+    absent (join back with a left join and coalesce to 0).
+
+    One explode + two hash aggregations; both aggregate on keys that
+    start with the document id, so the second agg is shuffle-free
+    after the first (same partitioning).
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = toks.select(
+        id_col,
+        F.explode(
+            all_shingles_from_tokens(F.col("__toks"), n)
+            if n > 1
+            else F.col("__toks")
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_top_token_frac: float = 0.10,
+    max_top_bigram_frac: float = 0.06,
+    max_dup_bigram_frac: float = 0.20,
+    precision: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition gate.
+
+    Per document: ``top_token_frac`` (share of tokens that are the
+    single most frequent token), ``top_bigram_frac`` (share of bigram
+    occurrences that are the most frequent bigram), ``dup_bigram_frac``
+    (share of bigram occurrences whose bigram appears more than once),
+    and ``keep`` — true iff every signal is at or under its threshold.
+    Documents too short to have bigrams get 0.0 fracs and keep=true.
+
+    Fractions are rounded to ``precision`` BEFORE thresholding so the
+    keep flag is reproducible across engines.
+    """
+    uni = ngram_occurrence_stats(df, id_col, text_col, 1).select(
+        id_col,
+        F.col("total").alias("n_tokens"),
+        F.col("top").alias("top_tok"),
+    )
+    # dup share needs sum(c for c > 1), an extra conditional agg
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    bi_grams = toks.select(
+        id_col,
+        F.explode(all_shingles_from_tokens(F.col("__toks"), 2)).alias("gram"),
+    )
+    per_gram = bi_grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    bi = per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("total_bi"),
+        F.max("c").cast("bigint").alias("top_bi"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_bi"),
+    )
+    base = df.select(id_col)
+    j = (
+        base.join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("top_tok", F.lit(0)).alias("top_tok"),
+            F.coalesce("total_bi", F.lit(0)).alias("total_bi"),
+            F.coalesce("top_bi", F.lit(0)).alias("top_bi"),
+            F.coalesce("dup_bi", F.lit(0)).alias("dup_bi"),
+        )
+    )
+
+    def frac(num, den):
+        return F.round(
+            num.cast("double") / F.greatest(den, F.lit(1)).cast("double"),
+            precision,
+        )
+
+    out = j.select(
+        id_col,
+        F.col("n_tokens"),
+        frac(F.col("top_tok"), F.col("n_tokens")).alias("top_token_frac"),
+        frac(F.col("top_bi"), F.col("total_bi")).alias("top_bigram_frac"),
+        frac(F.col("dup_bi"), F.col("total_bi")).alias("dup_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least
+    one word ``n``-gram with the benchmark set, with the count of
+    distinct shared n-grams.
+
+    Returns ``(id_col, n_shared)`` for contaminated documents only
+    (anti-join against this output to drop them).
+
+    Scale shape: the benchmark n-gram set is distinct-ed and BROADCAST
+    (an eval set is small by construction — millions of n-grams at
+    most); the training side streams through one explode into a
+    broadcast-hash semi-ish join, then one hash agg on the id.  The
+    100 TB side never shuffles on the gram.
+    """
+    bgrams = (
+        benchmark.select(tokens(text_col).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("gram"))
+        .distinct()
+    )
+    tgrams = train.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col,
+        F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("gram"),
+    )
+    hits = tgrams.join(F.broadcast(bgrams), "gram")
+    # per-doc grams are already distinct (shingles_from_tokens), so a
+    # plain count is the distinct shared-gram count
+    return hits.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shared"))

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from python_mozetl_spark.functions.vectors import cosine_similarity
+from python_mozetl_spark.functions.vectors import cosine_similarity, quantize_int8
 
 
 def _topk(scored: DataFrame, k: int, query_id: str = "query_id",
@@ -72,6 +72,36 @@ def brute_force_topk(
         )
     )
     return _topk(scored, k)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    precision: int = 4,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (symmetric max-abs
+    scalar quantization, :func:`~python_mozetl_spark.functions.vectors.
+    quantize_int8`).
+
+    The compression step an ANN index runs before sharding a 100 TB
+    float32 corpus: 4× less shuffle/cache/broadcast volume for a
+    bounded recall loss (pin recall vs :func:`brute_force_topk` in
+    tests, not in prod).  Quantization AND scoring are whole-stage-
+    codegen JVM expressions; dot products over int8 are exact integer
+    sums, so the result is bit-reproducible and oracle-checkable.
+    """
+    q8 = quantize_int8(F.col(vec_col))
+    return brute_force_topk(
+        corpus.withColumn(vec_col, q8),
+        queries.withColumn(vec_col, q8),
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        precision=precision,
+    )
 
 
 def bucketed_topk(

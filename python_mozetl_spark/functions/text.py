@@ -49,6 +49,18 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), k)
 
 
+def all_shingles_from_tokens(toks: Column, k: int) -> Column:
+    """ALL k-word shingles in document order, duplicates preserved —
+    the repetition-counting unit (``shingles_from_tokens`` distinct-s,
+    which is right for set-similarity but destroys occurrence counts).
+    Same staging rule: pass a materialized token attribute, not the
+    raw ``tokens(text)`` tree."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams."""
     c = F.col(text) if isinstance(text, str) else text
@@ -158,6 +170,41 @@ def predicted_lang(text: Column | str, default: str = "und") -> Column:
     """argmax over marker scores; ties broken by language-code order,
     all-zero → ``default``."""
     return predicted_lang_from_scores(lang_scores(text), default)
+
+
+# PII scrubbing: ordered regex table.  Patterns restricted to the
+# syntax subset that behaves identically under Java regex (Spark) and
+# RE2 (DuckDB) — character classes, bounded repetition, \b word
+# boundaries; no lookaround, no backreferences.  Order matters: emails
+# are scrubbed before IPs/phones so their digit runs can't be
+# re-matched by the later numeric patterns.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts, evaluated against the SAME
+    progressively-scrubbed text the replacement pass sees (so an email
+    whose local part looks like a phone number is counted once, as an
+    email)."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for kind, pat in PII_PATTERNS:
+        out[kind] = F.regexp_count(c, F.lit(pat)).cast("bigint")
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return out
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact PII in-place: each pattern kind replaced by its
+    ``[KIND]`` placeholder, applied in PII_PATTERNS order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
 
 
 # GPT-2-style pre-tokenizer pattern, simplified to the subset that

@@ -2251,3 +2251,207 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mix(d, "source", "doc_id", weights).select(
         "doc_id", "source", F.col("epoch").cast("bigint").alias("epoch")
     )
+
+
+@query(
+    "doc_repetition_filter",
+    "Gopher/C4-style repetition quality gate: per-doc top-token share, "
+    "top-bigram share, duplicate-bigram share, thresholded keep flag. "
+    "One explode to (doc, gram) + hash aggs — shuffle volume O(tokens), "
+    "map-side partials; nothing collected per doc.",
+    ("ext-quality", "E1", "A2"),
+    oracle=r"""
+WITH toks AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS l
+  FROM documents),
+uni AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY 1, 2
+  ) GROUP BY 1),
+bi AS (SELECT doc_id, sum(c) AS total_bi, max(c) AS top_bi,
+        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bi FROM (
+    SELECT doc_id, gram, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(l), 1)),
+                            i -> l[i] || ' ' || l[i+1])) AS gram
+      FROM toks WHERE len(l) >= 2
+    ) GROUP BY 1, 2
+  ) GROUP BY 1),
+j AS (SELECT d.doc_id,
+        coalesce(n_tokens, 0) AS n_tokens, coalesce(top_tok, 0) AS top_tok,
+        coalesce(total_bi, 0) AS total_bi, coalesce(top_bi, 0) AS top_bi,
+        coalesce(dup_bi, 0) AS dup_bi
+      FROM documents d LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)),
+f AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        round(top_tok / greatest(n_tokens, 1)::DOUBLE, 6) AS top_token_frac,
+        round(top_bi / greatest(total_bi, 1)::DOUBLE, 6) AS top_bigram_frac,
+        round(dup_bi / greatest(total_bi, 1)::DOUBLE, 6) AS dup_bigram_frac
+      FROM j)
+SELECT *, CAST(top_token_frac <= 0.12 AND top_bigram_frac <= 0.06
+               AND dup_bigram_frac <= 0.12 AS INT) AS keep_flag
+FROM f
+""",
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import repetition_stats
+
+    d = t(spark, sf_dir, "documents")
+    return repetition_stats(
+        d,
+        "doc_id",
+        "text",
+        max_top_token_frac=0.12,
+        max_top_bigram_frac=0.06,
+        max_dup_bigram_frac=0.12,
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+        F.col("keep").cast("int").alias("keep_flag"),
+    )
+
+
+@query(
+    "doc_decontaminate",
+    "Benchmark decontamination (GPT-3 appendix-C overlap rule): "
+    "training docs sharing any word 4-gram with the held-out slice "
+    "(doc_id % 37 == 0), with distinct shared-gram counts.  The "
+    "benchmark gram set is distinct-ed and BROADCAST; the 100 TB train "
+    "side streams through one explode + broadcast join + one hash agg "
+    "— never shuffles on the gram.",
+    ("ext-quality", "J4", "J5"),
+    oracle=r"""
+WITH toks AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS l
+  FROM documents),
+g AS (SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, greatest(len(l) - 2, 1)),
+               i -> array_to_string(l[i:i+3], ' ')))) AS gram
+      FROM toks WHERE len(l) >= 4),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM g JOIN b USING (gram)
+WHERE doc_id % 37 <> 0
+GROUP BY doc_id
+""",
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import decontaminate
+
+    d = t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.where(F.col("doc_id") % 37 != 0),
+        d.where(F.col("doc_id") % 37 == 0),
+        "doc_id",
+        "text",
+        n=4,
+    )
+
+
+@query(
+    "event_pii_scrub",
+    "PII redaction over reconstructed raw log lines (email / IPv4 / "
+    "phone regex table, ordered, Java-regex == RE2 subset): per-type "
+    "redaction counts plus an md5 checksum over the scrubbed text "
+    "proving byte-identical redaction cross-engine.  Pure codegen "
+    "regexp expressions — no UDF, one hash agg.",
+    ("ext-quality", "P9", "A2"),
+    oracle=r"""
+WITH raw AS (SELECT event_type,
+    'user ' || user_id || ' <u' || user_id || '@example.com> from 10.'
+      || (user_id % 200) || '.0.' || (event_id % 250) || ' call 415-'
+      || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') || '-'
+      || lpad(CAST((user_id * 7) % 10000 AS VARCHAR), 4, '0')
+      || ' ' || event_type AS line
+  FROM events),
+s1 AS (SELECT event_type, line,
+    len(regexp_extract_all(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM raw),
+s2 AS (SELECT event_type, n_email,
+    len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+    regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IPV4]', 'g') AS t2
+  FROM s1),
+s3 AS (SELECT event_type, n_email, n_ipv4,
+    len(regexp_extract_all(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phone,
+    regexp_replace(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g') AS scrubbed
+  FROM s2)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(n_email) AS BIGINT) AS emails,
+  CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+  CAST(sum(n_phone) AS BIGINT) AS phones,
+  CAST(sum(('0x' || substr(md5(scrubbed), 1, 15))::BIGINT % 1000003) AS BIGINT)
+    AS scrub_checksum
+FROM s3
+GROUP BY event_type
+""",
+)
+def event_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("user "), F.col("user_id").cast("string"),
+        F.lit(" <u"), F.col("user_id").cast("string"),
+        F.lit("@example.com> from 10."),
+        (F.col("user_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("event_id") % 250).cast("string"),
+        F.lit(" call 415-"),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("user_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.col("event_type"),
+    )
+    staged = e.select("event_type", line.alias("__line"))
+    counts = T.pii_counts(F.col("__line"))
+    scrubbed = staged.select(
+        "event_type",
+        counts["email"].alias("__n_email"),
+        counts["ipv4"].alias("__n_ipv4"),
+        counts["phone"].alias("__n_phone"),
+        (H.md5_int64(T.scrub_pii(F.col("__line"))) % 1000003).alias("__ck"),
+    )
+    return scrubbed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("__n_email").cast("bigint").alias("emails"),
+        F.sum("__n_ipv4").cast("bigint").alias("ipv4s"),
+        F.sum("__n_phone").cast("bigint").alias("phones"),
+        F.sum("__ck").cast("bigint").alias("scrub_checksum"),
+    )
+
+
+@query(
+    "embedding_quantized_topk",
+    "ANN over int8-quantized vectors: symmetric max-abs scalar "
+    "quantization (4x corpus compression — the shuffle/cache volume "
+    "cut that matters at 100 TB) then exact integer-dot cosine top-5 "
+    "for the vec_id % 53 == 0 query slice.  Quantization and scoring "
+    "are whole-stage-codegen expressions; integer dots make the "
+    "result bit-reproducible.",
+    ("ext-sim", "F5"),
+    oracle="""
+WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mx AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) AS mxv FROM m),
+q8 AS (SELECT vec_id,
+        CASE WHEN mxv > 0
+             THEN list_transform(v, x -> round(x * 127.0 / mxv, 0))
+             ELSE list_transform(v, x -> 0.0) END AS qv
+       FROM mx),
+s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        round(list_cosine_similarity(a.qv, b.qv), 4) AS score
+      FROM q8 a, q8 b
+      WHERE a.vec_id % 53 = 0 AND a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS rn FROM s)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+""",
+)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import quantized_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return quantized_topk(
+        e, e.where(F.col("vec_id") % 53 == 0), id_col="vec_id", k=5
+    ).select("query_id", "neighbor_id", "score", "rank")

@@ -1,0 +1,141 @@
+"""Corpus-quality gates: repetition stats, decontamination, PII
+scrubbing, int8 quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.ext.quality import (
+    decontaminate,
+    ngram_occurrence_stats,
+    repetition_stats,
+)
+from python_mozetl_spark.ext.similarity import brute_force_topk, quantized_topk
+from python_mozetl_spark.functions.text import pii_counts, scrub_pii
+from python_mozetl_spark.functions.vectors import quantize_int8
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # "a a a a b" → top_token 4/5; bigrams: aa aa aa ab → top 3/4,
+            # dup 3/4
+            (1, "a a a a b"),
+            # all-distinct tokens → top_token 1/6, no repeated bigram
+            (2, "u v w x y z"),
+            # single token → no bigrams at all
+            (3, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    r1 = rows[1]
+    assert r1["n_tokens"] == 5
+    assert r1["top_token_frac"] == pytest.approx(0.8)
+    assert r1["top_bigram_frac"] == pytest.approx(0.75)
+    assert r1["dup_bigram_frac"] == pytest.approx(0.75)
+    assert r1["keep"] is False
+    r2 = rows[2]
+    assert r2["top_token_frac"] == pytest.approx(round(1 / 6, 6))
+    assert r2["dup_bigram_frac"] == 0.0
+    # 1/6 > 0.10 default top-token threshold: still dropped
+    assert r2["keep"] is False
+    r3 = rows[3]
+    assert r3["n_tokens"] == 1
+    assert r3["top_bigram_frac"] == 0.0 and r3["dup_bigram_frac"] == 0.0
+
+
+def test_ngram_occurrence_stats_short_doc_absent(spark):
+    df = spark.createDataFrame([(1, "only two"), (2, "x")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           ngram_occurrence_stats(df, "doc_id", "text", 2).collect()}
+    assert got[1]["total"] == 1 and got[1]["top"] == 1
+    assert 2 not in got  # too short for bigrams → absent by contract
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # shares "quick brown fox jumps" and "brown fox jumps over"
+            (1, "a quick brown fox jumps over walls daily"),
+            (2, "completely unrelated text with no overlap here at all"),
+            # shares exactly one 4-gram ("over the lazy dog")
+            (3, "start pad over the lazy dog ends"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_shared"]
+           for r in decontaminate(train, bench, "doc_id", "text", n=4).collect()}
+    assert got == {1: 2, 3: 1}  # doc 2 clean → absent
+
+
+def test_scrub_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("reach me at jo.doe+x@mail.example.org or 415-555-0199 "
+             "from 192.168.001.42 thanks",),
+            ("no pii here",),
+            # an IP glued to punctuation still matches via \b
+            ("ips: 10.0.0.1, 10.0.0.2.",),
+        ],
+        ["text"],
+    )
+    c = pii_counts("text")
+    out = df.select(
+        scrub_pii("text").alias("s"),
+        c["email"].alias("e"), c["ipv4"].alias("i"), c["phone"].alias("p"),
+    ).collect()
+    assert out[0]["s"] == (
+        "reach me at [EMAIL] or [PHONE] from [IPV4] thanks"
+    )
+    assert (out[0]["e"], out[0]["i"], out[0]["p"]) == (1, 1, 1)
+    assert out[1]["s"] == "no pii here"
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (0, 0, 0)
+    assert out[2]["s"] == "ips: [IPV4], [IPV4]."
+    assert out[2]["i"] == 2
+
+
+def test_pii_email_not_double_counted_as_phone(spark):
+    # digits-only local part would match the phone pattern if the email
+    # pass didn't run first
+    df = spark.createDataFrame([("mail 415-555-0199@example.com end",)], ["text"])
+    c = pii_counts("text")
+    r = df.select(scrub_pii("text").alias("s"), c["email"].alias("e"),
+                  c["phone"].alias("p")).collect()[0]
+    assert r["e"] == 1 and r["p"] == 0
+    assert r["s"] == "mail [EMAIL] end"
+
+
+def test_quantize_int8_range_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])], ["id", "v"]
+    )
+    got = {r["id"]: r["q"] for r in
+           df.select("id", quantize_int8(F.col("v")).alias("q")).collect()}
+    # scale = 127/2: [63.5→64 HALF_UP, -127, 31.75→32]
+    assert got[1] == [64, -127, 32]
+    assert got[2] == [0, 0, 0]
+
+
+def test_quantized_topk_high_recall_vs_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(df, q, k=5).select("query_id", "neighbor_id")
+    quant = quantized_topk(df, q, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    overlap = exact.intersect(quant).count()
+    assert n_exact == 50
+    # int8 quantization should preserve nearly all of the exact top-5
+    assert overlap / n_exact >= 0.9
