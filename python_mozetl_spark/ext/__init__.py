@@ -10,11 +10,15 @@ from python_mozetl_spark.ext.dedup import (  # noqa: F401
 )
 from python_mozetl_spark.ext.graph import connected_components  # noqa: F401
 from python_mozetl_spark.ext.mixing import weighted_mix  # noqa: F401
-from python_mozetl_spark.ext.packing import pack_sequences  # noqa: F401
+from python_mozetl_spark.ext.packing import (  # noqa: F401
+    pack_sequences,
+    sliding_window_chunks,
+)
 from python_mozetl_spark.ext.quality import (  # noqa: F401
     decontaminate,
     ngram_occurrence_stats,
     repetition_stats,
+    unigram_logprob,
 )
 from python_mozetl_spark.ext.similarity import (  # noqa: F401
     brute_force_topk,

@@ -73,3 +73,56 @@ def pack_sequences(
         .cast("bigint")
         .alias("begin_offset"),
     )
+
+
+def sliding_window_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Within-document overlapping token windows — the RAG/indexing
+    chunker (complement of :func:`pack_sequences`, which packs ACROSS
+    documents; this slides WITHIN one).
+
+    Chunk ``j`` covers tokens ``[j*stride, min(j*stride+window, n))``;
+    ``num_chunks = 1 + ceil(max(0, n-window)/stride)`` so the tail is
+    always covered and a doc shorter than ``window`` is one chunk.
+    Zero-token docs are dropped.
+
+    Returns ``(id_col, chunk_idx, begin_token, n_chunk_tokens,
+    chunk_text)``.  One projection + one explode, embarrassingly
+    parallel — no shuffle, no window function, no Python.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    from python_mozetl_spark.functions.text import tokens
+
+    staged = docs.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks").cast("bigint"))
+    n = F.col("__n")
+    num_chunks = 1 + F.floor(
+        (F.greatest(n - window, F.lit(0)) + (stride - 1)) / stride
+    ).cast("bigint")
+    exploded = staged.where(n > 0).select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), num_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    begin = F.col("chunk_idx") * stride
+    end = F.least(begin + window, F.col("__n"))
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        begin.cast("bigint").alias("begin_token"),
+        (end - begin).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), (begin + 1).cast("int"), (end - begin).cast("int")),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -172,3 +172,39 @@ def decontaminate(
     # per-doc grams are already distinct (shingles_from_tokens), so a
     # plain count is the distinct shared-gram count
     return hits.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shared"))
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, precision: int = 6
+) -> DataFrame:
+    """Unigram-LM quality proxy — the shape of a KenLM perplexity
+    filter with the n-gram order dropped to 1 so the model itself is
+    derived from (and checkable against) the corpus: ``P(tok) =
+    count(tok)/total`` over the whole input, and each document scores
+    ``mean ln P(tok)``.  Low scores mark rare-token/gibberish docs.
+
+    Returns ``(id_col, n_tokens, logprob)`` with ``logprob`` rounded
+    to ``precision``.
+
+    Scale shape: one staged explode feeds both passes; the vocabulary
+    aggregate is broadcast back (a unigram vocab is tiny at any corpus
+    size — the 5-gram KenLM equivalent would make this a shuffle join
+    on the gram instead), so the per-doc pass adds no extra shuffle
+    beyond its own id agg.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col, F.explode("__toks").alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("total"))
+    model = counts.crossJoin(F.broadcast(total))
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("total"))), precision
+            ).alias("logprob"),
+        )
+    )

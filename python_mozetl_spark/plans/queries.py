@@ -2455,3 +2455,69 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(
         e, e.where(F.col("vec_id") % 53 == 0), id_col="vec_id", k=5
     ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@query(
+    "doc_unigram_logprob",
+    "Unigram-LM quality proxy (the KenLM-perplexity-filter shape, "
+    "order dropped to 1 so the model is corpus-derived and exactly "
+    "mirrorable): P(tok)=count/total over the corpus, doc score = "
+    "mean ln P.  One staged explode feeds both the broadcast "
+    "vocabulary aggregate and the per-doc mean — no gram shuffle.",
+    ("ext-quality", "A1", "J4"),
+    oracle=r"""
+WITH toks AS (SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+      AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(avg(ln(c / total)), 6) AS logprob
+FROM toks JOIN counts USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import unigram_logprob
+
+    d = t(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")
+
+
+@query(
+    "doc_overlap_chunks",
+    "RAG-style sliding-window chunking: 64-token windows at stride 48 "
+    "WITHIN each doc (pack_sequences packs ACROSS docs) — tail always "
+    "covered, short docs one chunk; chunk text fingerprinted with md5 "
+    "so byte-identity is hash-checked.  One projection + one explode, "
+    "no shuffle at all.",
+    ("ext-pack", "E1"),
+    oracle=r"""
+WITH toks AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS l
+  FROM documents),
+c AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0),
+x AS (SELECT doc_id, l, n,
+        unnest(range(0, 1 + CAST(floor((greatest(n - 64, 0) + 47) / 48.0)
+                                 AS BIGINT))) AS j
+      FROM c)
+SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+  CAST(j * 48 AS BIGINT) AS begin_token,
+  CAST(least(j * 48 + 64, n) - j * 48 AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(l[CAST(j * 48 + 1 AS BIGINT):CAST(least(j * 48 + 64, n) AS BIGINT)],
+      ' ')) AS chunk_md5
+FROM x
+""",
+)
+def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.packing import sliding_window_chunks
+
+    d = t(spark, sf_dir, "documents")
+    return sliding_window_chunks(d, "doc_id", "text", window=64, stride=48).select(
+        "doc_id",
+        "chunk_idx",
+        "begin_token",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

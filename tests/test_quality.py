@@ -125,6 +125,62 @@ def test_quantize_int8_range_and_zero_vector(spark):
     assert got[2] == [0, 0, 0]
 
 
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from python_mozetl_spark.ext.quality import unigram_logprob
+
+    # corpus: a a a b  → P(a)=3/4, P(b)=1/4
+    df = spark.createDataFrame([(1, "a a"), (2, "a b")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+    assert got[1]["logprob"] == pytest.approx(round(math.log(0.75), 6))
+    assert got[2]["logprob"] == pytest.approx(
+        round((math.log(0.75) + math.log(0.25)) / 2, 6)
+    )
+    assert got[1]["n_tokens"] == 2
+
+
+def test_sliding_window_chunks_boundaries(spark):
+    from python_mozetl_spark.ext.packing import sliding_window_chunks
+
+    toks_120 = " ".join(f"t{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, toks_120), (3, "")], ["doc_id", "text"]
+    )
+    out = sliding_window_chunks(df, "doc_id", "text", window=64, stride=48)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc → one full-coverage chunk
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0]["n_chunk_tokens"] == 3
+    assert by_doc[1][0]["chunk_text"] == "a b c"
+    # 120 tokens, window 64, stride 48 → ceil((120-64)/48)=2 extra → 3 chunks
+    assert [r["begin_token"] for r in by_doc[2]] == [0, 48, 96]
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [64, 64, 24]
+    assert by_doc[2][1]["chunk_text"].split(" ")[0] == "t48"
+    # every token index covered, overlap only between neighbors
+    covered = set()
+    for r in by_doc[2]:
+        covered |= set(range(r["begin_token"], r["begin_token"] + r["n_chunk_tokens"]))
+    assert covered == set(range(120))
+    # empty doc dropped
+    assert 3 not in by_doc
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    from tests.test_plans import _formatted_plan
+
+    train = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, "b c d e f")], ["doc_id", "text"])
+    plan = _formatted_plan(decontaminate(train, bench, "doc_id", "text", n=4))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_quantized_topk_high_recall_vs_exact(spark):
     import random
 
