@@ -30,6 +30,7 @@ from python_mozetl_spark.operators.sample import (  # noqa: F401
     stratified_sample,
 )
 from python_mozetl_spark.operators.sessionize import sessionize  # noqa: F401
+from python_mozetl_spark.operators.skew import salted_join  # noqa: F401
 from python_mozetl_spark.operators.windows import (  # noqa: F401
     latest_per_key,
     running_agg,

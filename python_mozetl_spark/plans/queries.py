@@ -2521,3 +2521,37 @@ def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+@query(
+    "salted_segment_order_stats",
+    "Skew-mitigated fact-dim join: orders joined to customer through "
+    "salted_join (hot keys spread over 16 salt partitions, small side "
+    "replicated 16x) then segment rollup.  Semantically EXACTLY the "
+    "plain equi-join — the oracle is the unsalted SQL join, so the "
+    "equivalence is hash-graded, not just unit-tested.  The tool for "
+    "hot keys AQE skew-split can't fix (single-key hash collisions).",
+    ("J2", "A1", "skew"),
+    oracle="""
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS revenue,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def salted_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(o, c, on="c_custkey", salt=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        )
+    )
