@@ -18,6 +18,7 @@ from python_mozetl_spark.ext.quality import (  # noqa: F401
     decontaminate,
     ngram_occurrence_stats,
     repetition_stats,
+    tfidf_top_terms,
     unigram_logprob,
 )
 from python_mozetl_spark.ext.similarity import (  # noqa: F401

@@ -174,6 +174,52 @@ def decontaminate(
     return hits.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shared"))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF.
+
+    ``tf`` = raw in-document count, ``idf = ln(N / df)`` with ``df`` =
+    number of documents containing the term; ties broken by term, then
+    rank.  Returns ``(id_col, term, tfidf, rank)``.
+
+    Scale shape: one staged explode → (doc, term) hash agg; the
+    document-frequency table derives from that same agg and is
+    broadcast back (vocab-sized, like the unigram model); final top-k
+    is one window over the doc id.  No gram-keyed shuffle of the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col, F.explode("__toks").alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    ndocs = tf.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("n_docs")
+    )
+    idf = dfreq.crossJoin(F.broadcast(ndocs)).select(
+        "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf").cast("double") * F.col("idf"), precision).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str, text_col: str, precision: int = 6
 ) -> DataFrame:

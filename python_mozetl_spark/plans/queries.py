@@ -860,6 +860,39 @@ def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_event_rollup",
+    "Sliding/hopping-window rollup (§2.12): 1-hour windows every 30 "
+    "minutes — each event lands in 2 windows; identical shape in batch "
+    "and Structured Streaming (streaming/rollup.py:sliding_rollup_"
+    "stream, live-tested).  One explode-free groupBy: Spark's window() "
+    "expression generates the window memberships inline.",
+    ("A1", "streaming"),
+    oracle="""
+WITH w AS (SELECT event_type, value,
+    unnest([time_bucket(INTERVAL '30 minutes', ts),
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+      AS win_start
+  FROM events)
+SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def sliding_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.streaming.rollup import sliding_rollup_stream
+
+    e = t(spark, sf_dir, "events")
+    return sliding_rollup_stream(
+        e, window="1 hour", slide="30 minutes"
+    ).select(
+        "win_start",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value",
+    )
+
+
+@query(
     "sessionized_events",
     "Gap-based sessionization (30-min gap): lag-flag + running sum, one "
     "shuffle; batch twin of streaming session_window.",
@@ -2455,6 +2488,37 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(
         e, e.where(F.col("vec_id") % 53 == 0), id_col="vec_id", k=5
     ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@query(
+    "doc_tfidf_keywords",
+    "TF-IDF keyword extraction: per-doc top-3 terms by tf x ln(N/df), "
+    "ties by term.  The idf table derives from the same (doc, term) "
+    "agg and is broadcast back (vocab-sized) — the corpus never "
+    "shuffles on the term except that one agg.",
+    ("ext-quality", "W2", "J4"),
+    oracle=r"""
+WITH toks AS (SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+      AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+scored AS (SELECT doc_id, term,
+    round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS rank FROM scored)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""",
+)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import tfidf_top_terms
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
 
 
 @query(

@@ -2,6 +2,7 @@ from python_mozetl_spark.streaming.rollup import (  # noqa: F401
     daily_rollup_stream,
     dedup_stream,
     session_window_stream,
+    sliding_rollup_stream,
 )
 from python_mozetl_spark.streaming.joins import (  # noqa: F401
     enrich_stream,

@@ -181,6 +181,24 @@ def test_decontaminate_benchmark_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from python_mozetl_spark.ext.quality import tfidf_top_terms
+
+    # 2 docs; "rare" only in doc 1 (idf=ln 2), "both" in both (idf=0)
+    df = spark.createDataFrame(
+        [(1, "rare rare both"), (2, "both other")], ["doc_id", "text"]
+    )
+    got = {(r["doc_id"], r["rank"]): r for r in
+           tfidf_top_terms(df, "doc_id", "text", k=2).collect()}
+    assert got[(1, 1)]["term"] == "rare"
+    assert got[(1, 1)]["tfidf"] == pytest.approx(round(2 * math.log(2), 6))
+    # doc 1 rank 2: "both" with tfidf 0
+    assert got[(1, 2)]["term"] == "both" and got[(1, 2)]["tfidf"] == 0.0
+    assert got[(2, 1)]["term"] == "other"
+
+
 def test_quantized_topk_high_recall_vs_exact(spark):
     import random
 

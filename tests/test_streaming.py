@@ -51,6 +51,25 @@ def test_daily_rollup_stream_matches_batch(spark):
         ) == sorted([tuple(r) for r in got.collect()])
 
 
+def test_sliding_rollup_stream_matches_batch(spark):
+    from python_mozetl_spark.streaming import sliding_rollup_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        _events(spark).write.mode("overwrite").parquet(d)
+        got = _run_stream(spark, d, sliding_rollup_stream, "sliding_rollup_t")
+        rows = {(str(r["win_start"]), r["event_type"]): r for r in got.collect()}
+        # events 1+2 (00:05, 00:10) land in BOTH [23:30,00:30) and [00:00,01:00)
+        assert rows[("2023-12-31 23:30:00", "click")]["n_events"] == 2
+        assert rows[("2024-01-01 00:00:00", "click")]["n_events"] == 2
+        # event 4 (23:59) → windows starting 23:00 and 23:30
+        assert rows[("2024-01-01 23:30:00", "click")]["n_events"] == 1
+        # batch equivalence: same transform, batch DataFrame
+        batch = sliding_rollup_stream(spark.read.parquet(d))
+        assert sorted([tuple(r) for r in batch.collect()]) == sorted(
+            [tuple(r) for r in got.collect()]
+        )
+
+
 def test_session_window_stream(spark):
     with tempfile.TemporaryDirectory() as d:
         _events(spark).write.mode("overwrite").parquet(d)
