@@ -63,6 +63,59 @@ def ngram_occurrence_stats(
     )
 
 
+def _max_run(sorted_arr):
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the occurrence count of the most frequent element — as one
+    higher-order fold (struct state: previous value, current run,
+    best run).  No explode, no shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def _dup_occurrences(sorted_arr):
+    """Occurrences belonging to elements appearing more than once, from
+    a SORTED array: ``total − singletons``, with singletons counted as
+    ``distinct − |values with an equal adjacent pair|``.  Adjacent
+    comparisons only touch valid indices, so this is ANSI-safe."""
+    m = F.size(sorted_arr)
+    distinct = F.size(F.array_distinct(sorted_arr))
+    # values with at least one equal neighbor pair (each multi-occurrence
+    # value contributes >= 1 adjacent-equal pair in sorted order)
+    pair_vals = F.when(
+        m >= 2,
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(m - 1, F.lit(1))),
+                    lambda i: F.when(
+                        F.element_at(sorted_arr, i)
+                        == F.element_at(sorted_arr, i + 1),
+                        F.element_at(sorted_arr, i),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    singletons = distinct - F.size(pair_vals)
+    return (m - singletons).cast("bigint")
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,
@@ -84,39 +137,23 @@ def repetition_stats(
 
     Fractions are rounded to ``precision`` BEFORE thresholding so the
     keep flag is reproducible across engines.
+
+    Scale shape: every metric is computed WITHIN the row — sort the
+    token/bigram array, then the top count is the longest equal-run
+    (one fold) and the duplicate share an adjacency scan.  Zero
+    shuffles, zero joins, one table scan, embarrassingly parallel —
+    the plan test pins Exchange-free-ness.  (The exploded
+    (doc, gram)-agg formulation — see :func:`ngram_occurrence_stats` —
+    shuffles the full token volume instead; use it only when per-gram
+    rows are the desired OUTPUT.)
     """
-    uni = ngram_occurrence_stats(df, id_col, text_col, 1).select(
-        id_col,
-        F.col("total").alias("n_tokens"),
-        F.col("top").alias("top_tok"),
-    )
-    # dup share needs sum(c for c > 1), an extra conditional agg
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    bi_grams = toks.select(
-        id_col,
-        F.explode(all_shingles_from_tokens(F.col("__toks"), 2)).alias("gram"),
-    )
-    per_gram = bi_grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
-    bi = per_gram.groupBy(id_col).agg(
-        F.sum("c").cast("bigint").alias("total_bi"),
-        F.max("c").cast("bigint").alias("top_bi"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-        .cast("bigint")
-        .alias("dup_bi"),
-    )
-    base = df.select(id_col)
-    j = (
-        base.join(uni, id_col, "left")
-        .join(bi, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("top_tok", F.lit(0)).alias("top_tok"),
-            F.coalesce("total_bi", F.lit(0)).alias("total_bi"),
-            F.coalesce("top_bi", F.lit(0)).alias("top_bi"),
-            F.coalesce("dup_bi", F.lit(0)).alias("dup_bi"),
-        )
-    )
+    staged = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__bi", all_shingles_from_tokens(F.col("__toks"), 2))
+    sorted_toks = F.array_sort("__toks")
+    sorted_bi = F.array_sort("__bi")
+    m_tok = F.size("__toks").cast("bigint")
+    m_bi = F.size("__bi").cast("bigint")
 
     def frac(num, den):
         return F.round(
@@ -124,12 +161,12 @@ def repetition_stats(
             precision,
         )
 
-    out = j.select(
+    out = staged.select(
         id_col,
-        F.col("n_tokens"),
-        frac(F.col("top_tok"), F.col("n_tokens")).alias("top_token_frac"),
-        frac(F.col("top_bi"), F.col("total_bi")).alias("top_bigram_frac"),
-        frac(F.col("dup_bi"), F.col("total_bi")).alias("dup_bigram_frac"),
+        m_tok.alias("n_tokens"),
+        frac(_max_run(sorted_toks), m_tok).alias("top_token_frac"),
+        frac(_max_run(sorted_bi), m_bi).alias("top_bigram_frac"),
+        frac(_dup_occurrences(sorted_bi), m_bi).alias("dup_bigram_frac"),
     )
     return out.withColumn(
         "keep",

@@ -172,6 +172,16 @@ def test_sliding_window_chunks_boundaries(spark):
     assert 3 not in by_doc
 
 
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    from tests.test_plans import _formatted_plan
+
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    plan = _formatted_plan(repetition_stats(df, "doc_id", "text"))
+    # per-document metrics: no Exchange, no join — embarrassingly parallel
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_decontaminate_benchmark_side_is_broadcast(spark):
     from tests.test_plans import _formatted_plan
 
