@@ -120,3 +120,105 @@ def test_kmv_merge_equals_direct(sess, groups, k):
         else (k - 1) / pooled_rows["kth"]
     )
     assert round(est, 4) == direct
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_stats_equals_explode_agg_form(sess, docs):
+    """The within-row sort-and-fold repetition metrics must equal the
+    exploded (doc, gram)-aggregation form for ANY token multiset —
+    pins the shuffle-free rewrite against the reference formulation."""
+    from collections import Counter
+
+    from python_mozetl_spark.ext.quality import repetition_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = sess.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           repetition_stats(df, "doc_id", "text").collect()}
+    for i, toks in enumerate(docs):
+        uni = Counter(toks)
+        bi = Counter(
+            [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        )
+        n, tb = sum(uni.values()), sum(bi.values())
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["top_token_frac"] == round(
+            (max(uni.values()) if uni else 0) / max(n, 1), 6
+        )
+        assert r["top_bigram_frac"] == round(
+            (max(bi.values()) if bi else 0) / max(tb, 1), 6
+        )
+        dup = sum(c for c in bi.values() if c > 1)
+        assert r["dup_bigram_frac"] == round(dup / max(tb, 1), 6)
+
+
+@settings(**SETTINGS)
+@given(
+    n_tokens=st.integers(0, 150),
+    window=st.integers(1, 64),
+    stride_frac=st.floats(0.25, 1.0),
+)
+def test_sliding_window_chunks_cover_every_token(sess, n_tokens, window, stride_frac):
+    """For ANY (n, window, stride<=window): chunk intervals cover every
+    token index, begin at multiples of stride, never exceed the window
+    size, and reconstruct the document on stride==window."""
+    from python_mozetl_spark.ext.packing import sliding_window_chunks
+
+    stride = max(1, int(window * stride_frac))
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = sess.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        sliding_window_chunks(df, "doc_id", "text", window, stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    covered = set()
+    for r in rows:
+        assert r["begin_token"] == r["chunk_idx"] * stride
+        assert 1 <= r["n_chunk_tokens"] <= window
+        assert r["begin_token"] + r["n_chunk_tokens"] <= n_tokens
+        covered |= set(
+            range(r["begin_token"], r["begin_token"] + r["n_chunk_tokens"])
+        )
+    assert covered == set(range(n_tokens))
+    if stride == window:  # tumbling special case: exact partition
+        rebuilt = " ".join(r["chunk_text"] for r in rows)
+        assert rebuilt == text
+
+
+@settings(**SETTINGS)
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, width=32), min_size=1, max_size=24
+    )
+)
+def test_quantize_int8_bounds_and_sign(sess, vec):
+    """For ANY float vector: quantized values stay in [-127, 127], the
+    max-|x| element maps to ±127, and signs are preserved."""
+    from python_mozetl_spark.functions.vectors import quantize_int8
+
+    df = sess.createDataFrame([(1, vec)], ["id", "v"])
+    q = df.select(quantize_int8(F.col("v")).alias("q")).collect()[0]["q"]
+    assert len(q) == len(vec)
+    mx = max(abs(x) for x in vec)
+    if mx == 0:
+        assert all(x == 0 for x in q)
+        return
+    assert all(-127 <= x <= 127 for x in q)
+    for x, qx in zip(vec, q):
+        if abs(x) == mx:
+            assert abs(qx) == 127
+        if x > 0:
+            assert qx >= 0
+        elif x < 0:
+            assert qx <= 0
