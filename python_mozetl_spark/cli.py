@@ -297,10 +297,6 @@ def system_check(input_path, output_path, date, master):
     write_partitioned_parquet(out, output_path)
 
 
-if __name__ == "__main__":
-    entry_point()
-
-
 @entry_point.command("dedup_pipeline")
 @_common
 @click.option("--threshold", default=0.8, type=float, help="near-dup Jaccard bound")
@@ -316,3 +312,7 @@ def dedup_pipeline(input_path, output_path, date, master, threshold, id_col, tex
     df = _read(spark, input_path, date)
     out = clean_corpus(df, id_col=id_col, text_col=text_col, threshold=threshold)
     write_partitioned_parquet(out, output_path, partition_by=["status"])
+
+
+if __name__ == "__main__":
+    entry_point()

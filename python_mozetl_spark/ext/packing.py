@@ -42,7 +42,17 @@ def pack_sequences(
     no interval).
     """
     shard_keys = [shard_col] if shard_col else []
-    w = Window.partitionBy(*shard_keys).orderBy(order_col)
+    # ROWS frame, not the default RANGE: with RANGE, tied order_col
+    # values are frame PEERS and would share one cumsum — overlapping
+    # token intervals, chunks over cap.  ROWS gives every row its own
+    # prefix regardless of ties (tie order within equal keys is then
+    # partition-order-dependent; use a unique order_col when chunk
+    # assignment itself must be reproducible).
+    w = (
+        Window.partitionBy(*shard_keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     n = F.col(tokens_col).cast("bigint")
     d = (
         docs.where(n > 0)
@@ -97,6 +107,10 @@ def sliding_window_chunks(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # stride > window leaves token gaps uncovered AND emits empty
+        # tail chunks (begin >= n) — never what a chunker should do
+        raise ValueError("stride must be <= window (gapless coverage)")
     from python_mozetl_spark.functions.text import tokens
 
     staged = docs.select(

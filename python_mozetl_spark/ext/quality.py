@@ -147,13 +147,25 @@ def repetition_stats(
     shuffles the full token volume instead; use it only when per-gram
     rows are the desired OUTPUT.)
     """
-    staged = df.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
-    ).withColumn("__bi", all_shingles_from_tokens(F.col("__toks"), 2))
-    sorted_toks = F.array_sort("__toks")
-    sorted_bi = F.array_sort("__bi")
-    m_tok = F.size("__toks").cast("bigint")
-    m_bi = F.size("__bi").cast("bigint")
+    # stage SORTED arrays as plain attributes: _dup_occurrences indexes
+    # them per position inside transform lambdas, and Spark does not
+    # CSE inside higher-order functions — an inline array_sort would
+    # re-sort per index (the text.py:shingles_from_tokens staging rule)
+    staged = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .withColumn("__bi", all_shingles_from_tokens(F.col("__toks"), 2))
+        .select(
+            id_col,
+            F.size("__toks").cast("bigint").alias("__m_tok"),
+            F.size("__bi").cast("bigint").alias("__m_bi"),
+            F.array_sort("__toks").alias("__st"),
+            F.array_sort("__bi").alias("__sb"),
+        )
+    )
+    sorted_toks = F.col("__st")
+    sorted_bi = F.col("__sb")
+    m_tok = F.col("__m_tok")
+    m_bi = F.col("__m_bi")
 
     def frac(num, den):
         return F.round(

@@ -314,11 +314,20 @@ def embedding_near_dup_pairs(
     from python_mozetl_spark.session import plan_size_bytes
 
     spark = df.sparkSession
+    probing = False
     if strategy == "auto":
         est = plan_size_bytes(df.select(id_col, vec_col))
         strategy = "matmul" if est <= matmul_max_bytes else "join"
+        probing = True
     if strategy == "matmul":
-        pdf = df.select(id_col, vec_col).toPandas()
+        src = df.select(id_col, vec_col)
+        if probing:
+            # Catalyst's estimate is compressed-size based; cap the
+            # probing collect at matmul_max_rows+1 so a mis-estimate
+            # can't materialize the full corpus on the driver before
+            # the hard check bails (one extra row fails the row gate).
+            src = src.limit(matmul_max_rows + 1)
+        pdf = src.toPandas()
         if len(pdf) > matmul_max_rows or (
             len(pdf) and len(pdf) * len(pdf[vec_col].iloc[0]) * 8 > matmul_max_bytes
         ):

@@ -60,10 +60,12 @@ def clean_corpus(
             .when(in_cluster & (F.col("component") != F.col(id_col)), F.lit("near_dup"))
             .otherwise(F.lit("kept"))
             .alias("status"),
+            # no cast: keeper_id/component/id all carry the input id
+            # type, so canonical_id keeps it too (a bigint cast would
+            # silently null every row for string document ids)
             F.when(is_exact_dup, F.col("keeper_id"))
             .when(in_cluster, F.col("component"))
             .otherwise(F.col(id_col))
-            .cast("bigint")
             .alias("canonical_id"),
         )
     )

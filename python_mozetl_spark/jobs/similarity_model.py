@@ -238,7 +238,15 @@ def lr_curves(
     """
     scored = pair_scores.select("label", F.round("score", 6).alias("score"))
     lo, hi = scored.agg(F.min("score"), F.max("score")).first()
-    step = abs(hi - lo) / num_pdf_points
+    if lo is None:
+        # no pairs at all (every cluster sampled < 2 donors): an empty
+        # curve, not a driver TypeError
+        return spark.createDataFrame(
+            [], "x double, num_density double, den_density double"
+        )
+    # all-equal scores would make step 0 and collapse the grid to one
+    # duplicated point; a token width keeps 50 distinct x values
+    step = (abs(hi - lo) or 1e-6) / num_pdf_points
     grid = spark.range(num_pdf_points).select(
         (F.lit(float(lo)) + F.col("id") * F.lit(step)).alias("x")
     )

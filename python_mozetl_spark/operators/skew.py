@@ -50,6 +50,16 @@ def salted_join(
         raise ValueError("salted_join supports how='inner' or 'left'")
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    overlap = (set(big.columns) & set(small.columns)) - {on}
+    if overlap:
+        # plain join() would return both copies; the post-join select
+        # here cannot disambiguate them — make the caller rename
+        raise ValueError(
+            f"salted_join: shared non-key columns {sorted(overlap)}; "
+            "rename them on one side first"
+        )
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("salted_join: '__salt' column name is reserved")
     b = big.withColumn(
         "__salt", (F.monotonically_increasing_id() % salt).cast("int")
     )

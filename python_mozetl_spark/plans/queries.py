@@ -1782,7 +1782,13 @@ def order_burst_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # R2. Raw-JSON ping source (SURVEY §2.1 S5) over the committed fixture
 # --------------------------------------------------------------------------
 
-_PINGS_PATH = "/root/repo/fixtures/events_pings.json"
+import os as _os
+
+_PINGS_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "events_pings.json",
+)
 _PINGS_SCHEMA = (
     "event_id bigint, ts_us bigint, "
     "meta struct<user_id: bigint, event_type: string>, "

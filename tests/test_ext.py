@@ -506,6 +506,31 @@ def test_pack_sequences_invariants(spark):
     assert by_doc == {i: n for i, n in rows if n > 0}
 
 
+def test_pack_sequences_tied_order_still_packs_exactly(spark):
+    """ROWS-frame regression: tied order_col values must each get their
+    own cumsum prefix, not a shared RANGE-peer total."""
+    from python_mozetl_spark.ext.packing import pack_sequences
+
+    # 6 docs, ALL with the same order key, 50 tokens each -> 300 tokens
+    df = spark.createDataFrame([(7, 50)] * 6, ["k", "n_tok"])
+    out = pack_sequences(df, "n_tok", "k", cap=128).collect()
+    by_chunk = {}
+    for r in out:
+        by_chunk[r["chunk_id"]] = by_chunk.get(r["chunk_id"], 0) + r["chunk_tokens"]
+    assert by_chunk[0] == 128 and by_chunk[1] == 128 and by_chunk[2] == 44
+    assert sum(r["chunk_tokens"] for r in out) == 300
+
+
+def test_sliding_window_chunks_rejects_gapped_stride(spark):
+    import pytest as _pt
+
+    from python_mozetl_spark.ext.packing import sliding_window_chunks
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        sliding_window_chunks(df, "doc_id", "text", window=10, stride=50)
+
+
 def test_weighted_mix_epochs_and_determinism(spark):
     from python_mozetl_spark.ext.mixing import weighted_mix
 

@@ -23,6 +23,8 @@ from python_mozetl_spark.operators import (
 from python_mozetl_spark.operators.pivot import manual_pivot
 from tests.conftest import assert_df_equals, df_rows
 
+from python_mozetl_spark.plans.queries import _PINGS_PATH
+
 
 def test_latest_per_key(spark):
     df = spark.createDataFrame(
@@ -217,7 +219,7 @@ def test_read_table_pluggable_formats(spark, tmp_path):
     # S5 scan of the committed ping fixture: explicit schema, no inference
     pings = read_json_pings(
         spark,
-        "/root/repo/fixtures/events_pings.json",
+        _PINGS_PATH,
         "event_id bigint, meta struct<user_id: bigint, event_type: string>",
     )
     assert pings.schema.simpleString().startswith("struct<event_id:bigint,meta:")
@@ -233,7 +235,7 @@ def test_convert_frame_config_table(spark):
 
     pings = read_json_pings(
         spark,
-        "/root/repo/fixtures/events_pings.json",
+        _PINGS_PATH,
         "event_id bigint, ts_us bigint, "
         "meta struct<user_id: bigint, event_type: string>, "
         "value double, props string",

@@ -9,6 +9,8 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from python_mozetl_spark.plans.queries import _PINGS_PATH
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
@@ -93,7 +95,7 @@ def test_json_source_prunes_fields_and_pushes_filter(spark):
 
     pings = read_json_pings(
         spark,
-        "/root/repo/fixtures/events_pings.json",
+        _PINGS_PATH,
         "event_id bigint, ts_us bigint, "
         "meta struct<user_id: bigint, event_type: string>, "
         "value double, props string",

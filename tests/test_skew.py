@@ -50,3 +50,10 @@ def test_salted_join_rejects_bad_args(spark, skewed):
         salted_join(big, small, "k", how="full")
     with pytest.raises(ValueError):
         salted_join(big, small, "k", salt=0)
+
+
+def test_salted_join_rejects_overlapping_columns(spark):
+    big = spark.createDataFrame([(1, "x")], ["k", "v"])
+    small = spark.createDataFrame([(1, "y", "d")], ["k", "v", "name"])
+    with pytest.raises(ValueError, match="shared non-key"):
+        salted_join(big, small, "k")
