@@ -9,7 +9,10 @@ from python_mozetl_spark.ext.dedup import (  # noqa: F401
     winnow_fingerprints,
 )
 from python_mozetl_spark.ext.graph import connected_components  # noqa: F401
-from python_mozetl_spark.ext.mixing import weighted_mix  # noqa: F401
+from python_mozetl_spark.ext.mixing import (  # noqa: F401
+    shuffle_shards,
+    weighted_mix,
+)
 from python_mozetl_spark.ext.packing import (  # noqa: F401
     pack_sequences,
     sliding_window_chunks,

@@ -63,3 +63,46 @@ def weighted_mix(
     return epochs.where(
         (~is_partial) | (keep_key < F.round(frac * _MOD, 0).cast("bigint"))
     ).drop("__w")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a shard in
+    ``[0, num_shards)`` and a position within its shard, both pure
+    functions of ``(salt, id)`` — the "shuffle the corpus before
+    writing training shards" step, without ``rand()`` (retry-stable,
+    resumable, oracle-checkable like the mix/DP/KMV keys).
+
+    The shuffle key is ``md5(salt‖id)``; shard = key mod num_shards,
+    position = rank of the key within the shard.  Because md5 is
+    uniform, shards are balanced to binomial fluctuation and the
+    within-shard key order is indistinguishable from a random
+    permutation.
+
+    Scale shape: ONE hash-partitioned exchange on the shard id + a
+    per-shard sort (the same cost as the shuffle any shard writer
+    pays); no global sort, no single-partition window.  Position
+    ties cannot occur (md5 collisions aside, the id itself breaks
+    them via the key construction).
+
+    Returns the input columns plus ``shard`` and ``pos``.
+    """
+    from pyspark.sql import Window
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    key = H.md5_int64(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    with_key = df.withColumn("__k", key).withColumn(
+        "shard", (F.col("__k") % num_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__k"), F.col(id_col))
+    return (
+        with_key.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__k")
+    )

@@ -2293,6 +2293,31 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_shuffle_shards",
+    "Deterministic pre-training global shuffle: md5(salt|id) keys give "
+    "each doc a shard (mod 8) and an in-shard position (key rank) — "
+    "retry-stable, no rand().  One hash exchange on the shard + "
+    "per-shard sort; no global sort, no single-partition window.",
+    ("ext-mix", "W2"),
+    oracle="""
+WITH k AS (SELECT doc_id, source,
+    ('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      AS key
+  FROM documents)
+SELECT doc_id, source, CAST(key % 8 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) - 1
+       AS BIGINT) AS pos
+FROM k
+""",
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import shuffle_shards
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_shards(d, "doc_id", num_shards=8)
+
+
+@query(
     "doc_repetition_filter",
     "Gopher/C4-style repetition quality gate: per-doc top-token share, "
     "top-bigram share, duplicate-bigram share, thresholded keep flag. "

@@ -547,3 +547,27 @@ def test_weighted_mix_epochs_and_determinism(spark):
     again = [(r["doc_id"], r["epoch"]) for r in
              weighted_mix(df, "source", "doc_id", {"a": 2.0, "b": 0.5}).collect()]
     assert sorted(got) == sorted(again)  # retry-stable
+
+
+def test_shuffle_shards_determinism_and_balance(spark):
+    from python_mozetl_spark.ext.mixing import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(400)], ["doc_id"])
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shuffle_shards(df, "doc_id", 4).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shuffle_shards(df, "doc_id", 4).collect()}
+    assert a == b  # retry-stable: identical across runs
+    by_shard = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    # all 4 shards populated, roughly balanced (binomial fluctuation)
+    assert set(by_shard) == {0, 1, 2, 3}
+    assert all(50 <= len(v) <= 150 for v in by_shard.values())
+    # positions are exactly 0..len-1 within each shard
+    for v in by_shard.values():
+        assert sorted(v) == list(range(len(v)))
+    # a different salt produces a different permutation
+    c = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shuffle_shards(df, "doc_id", 4, salt="other").collect()}
+    assert c != a
