@@ -194,6 +194,7 @@ def decontaminate(
     id_col: str,
     text_col: str,
     n: int = 5,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: training documents sharing at least
     one word ``n``-gram with the benchmark set, with the count of
@@ -207,6 +208,10 @@ def decontaminate(
     most); the training side streams through one explode into a
     broadcast-hash semi-ish join, then one hash agg on the id.  The
     100 TB side never shuffles on the gram.
+
+    Set ``broadcast_benchmark=False`` when the "benchmark" is itself
+    corpus-sized (e.g. cross-corpus contamination sweeps): the join
+    falls back to a gram-keyed shuffle, still O(grams), never O(n2).
     """
     bgrams = (
         benchmark.select(tokens(text_col).alias("__toks"))
@@ -217,7 +222,8 @@ def decontaminate(
         id_col,
         F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("gram"),
     )
-    hits = tgrams.join(F.broadcast(bgrams), "gram")
+    bside = F.broadcast(bgrams) if broadcast_benchmark else bgrams
+    hits = tgrams.join(bside, "gram")
     # per-doc grams are already distinct (shingles_from_tokens), so a
     # plain count is the distinct shared-gram count
     return hits.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shared"))
@@ -229,6 +235,7 @@ def tfidf_top_terms(
     text_col: str,
     k: int = 3,
     precision: int = 6,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document top-``k`` keywords by TF-IDF.
 
@@ -238,9 +245,10 @@ def tfidf_top_terms(
 
     Scale shape: one staged explode → (doc, term) hash agg; the
     document-frequency table derives from that same agg and is
-    broadcast back (vocab-sized, like the unigram model); final top-k
-    is one window over the doc id.  No gram-keyed shuffle of the
-    corpus.
+    broadcast back (vocab-sized, like the unigram model — pass
+    ``broadcast_model=False`` for huge-vocab corpora to shuffle-join
+    on the term instead); final top-k is one window over the doc id.
+    No gram-keyed shuffle of the corpus.
     """
     from pyspark.sql import Window
 
@@ -255,7 +263,9 @@ def tfidf_top_terms(
     idf = dfreq.crossJoin(F.broadcast(ndocs)).select(
         "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    if broadcast_model:
+        idf = F.broadcast(idf)
+    scored = tf.join(idf, "term").select(
         id_col,
         "term",
         F.round(F.col("tf").cast("double") * F.col("idf"), precision).alias(
@@ -270,7 +280,11 @@ def tfidf_top_terms(
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str, text_col: str, precision: int = 6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    precision: int = 6,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Unigram-LM quality proxy — the shape of a KenLM perplexity
     filter with the n-gram order dropped to 1 so the model itself is
@@ -285,7 +299,10 @@ def unigram_logprob(
     aggregate is broadcast back (a unigram vocab is tiny at any corpus
     size — the 5-gram KenLM equivalent would make this a shuffle join
     on the gram instead), so the per-doc pass adds no extra shuffle
-    beyond its own id agg.
+    beyond its own id agg.  If the vocabulary ISN'T tiny (unnormalized
+    web text grows a billion-hapax tail), pass
+    ``broadcast_model=False`` to shuffle-join on the token instead of
+    broadcasting the model.
     """
     toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
         id_col, F.explode("__toks").alias("tok")
@@ -293,8 +310,10 @@ def unigram_logprob(
     counts = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
     total = counts.agg(F.sum("c").cast("double").alias("total"))
     model = counts.crossJoin(F.broadcast(total))
+    if broadcast_model:
+        model = F.broadcast(model)
     return (
-        toks.join(F.broadcast(model), "tok")
+        toks.join(model, "tok")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
