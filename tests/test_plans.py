@@ -124,3 +124,31 @@ def test_lsh_band_exchange_appears_once_statically(spark):
     # the md5-based signature expression must not be inlined per-band:
     # staged projections keep one conv(md5(...)) per scan of the subtree
     assert plan.count("md5") <= plan.count("FileScan parquet")
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """The pre-training shard shuffle must cost exactly ONE exchange
+    (hash on shard) + per-shard sort — no global sort, no second
+    shuffle for the position rank."""
+    from python_mozetl_spark.ext.mixing import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    df = shuffle_shards(docs, "doc_id", 8)
+    # simple format: formatted explain lists every node twice (tree +
+    # details), which double-counts occurrence assertions
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_pii_scrub_is_single_scan_single_agg(spark):
+    """The PII redaction rollup must stay one scan -> codegen'd regexp
+    projection -> partial+final hash agg: no joins, no extra scans, no
+    Python."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["event_pii_scrub"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # simple format
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
