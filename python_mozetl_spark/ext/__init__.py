@@ -31,7 +31,9 @@ from python_mozetl_spark.ext.similarity import (  # noqa: F401
     quantized_topk,
 )
 from python_mozetl_spark.ext.sketches import (  # noqa: F401
+    heavy_hitters,
     hll_distinct,
     hll_merge,
     kmv_distinct,
+    mg_candidates,
 )

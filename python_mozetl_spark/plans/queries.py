@@ -2293,6 +2293,36 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_heavy_hitters",
+    "Exact heavy hitters by two-pass Misra-Gries: per-partition k-"
+    "counter candidate pruning (union is a provable superset of "
+    "everything at the 3% threshold) then exact counts of candidates "
+    "only — the output is EXACT and partitioning-independent (oracle "
+    "= plain group-count filter) while pass 2's agg cardinality is "
+    "bounded by candidates, not |vocabulary|.",
+    ("ext-sketch", "F5", "A5"),
+    oracle=r"""
+WITH toks AS (SELECT
+    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+      AS tok
+  FROM documents),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt
+FROM c, t WHERE cnt >= ceil(0.03 * n)
+""",
+)
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.sketches import heavy_hitters
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(T.tokens("text").alias("__toks")).select(
+        F.explode("__toks").alias("tok")
+    )
+    return heavy_hitters(toks, "tok", min_frac=0.03)
+
+
+@query(
     "doc_shuffle_shards",
     "Deterministic pre-training global shuffle: md5(salt|id) keys give "
     "each doc a shard (mod 8) and an in-shard position (key rank) — "

@@ -571,3 +571,52 @@ def test_shuffle_shards_determinism_and_balance(spark):
     c = {(r["doc_id"], r["shard"], r["pos"])
          for r in shuffle_shards(df, "doc_id", 4, salt="other").collect()}
     assert c != a
+
+
+def test_mg_candidates_superset_guarantee_on_skewed_stream(spark):
+    """Misra-Gries candidate union must contain EVERY value with count
+    > n/(k+1) regardless of partitioning — the property heavy_hitters'
+    exactness rests on."""
+    from python_mozetl_spark.ext.sketches import mg_candidates
+
+    # zipf-ish: value i appears 400//(i+1) times, shuffled deterministically
+    rows = []
+    for i in range(50):
+        rows += [f"v{i}"] * (400 // (i + 1))
+    rows.sort(key=lambda s: hash(s) % 97)
+    df = spark.createDataFrame([(v,) for v in rows], ["tok"]).repartition(7)
+    n, k = len(rows), 10
+    cands = {r["tok"] for r in mg_candidates(df, "tok", k).collect()}
+    from collections import Counter
+
+    true = Counter(rows)
+    for v, c in true.items():
+        if c > n / (k + 1):
+            assert v in cands, f"{v} (count {c}) missed at n/(k+1)={n/(k+1):.1f}"
+    # and it actually prunes: far fewer candidates than distinct values
+    assert len(cands) < len(true)
+
+
+def test_heavy_hitters_exact_vs_brute_force(spark):
+    from collections import Counter
+
+    from python_mozetl_spark.ext.sketches import heavy_hitters
+
+    rows = ["a"] * 50 + ["b"] * 30 + ["c"] * 15 + [f"x{i}" for i in range(25)]
+    df = spark.createDataFrame([(v,) for v in rows], ["tok"]).repartition(5)
+    got = {(r["tok"], r["cnt"]) for r in
+           heavy_hitters(df, "tok", min_frac=0.1).collect()}
+    n = len(rows)
+    true = Counter(rows)
+    want = {(v, c) for v, c in true.items() if c >= -(-n * 0.1 // 1)}
+    assert got == want
+
+
+def test_mg_candidates_rejects_non_string(spark):
+    import pytest as _pt
+
+    from python_mozetl_spark.ext.sketches import mg_candidates
+
+    df = spark.createDataFrame([(1,)], ["tok"])
+    with _pt.raises(ValueError, match="string column"):
+        mg_candidates(df, "tok", 4)
