@@ -95,6 +95,14 @@ def shuffle_shards(
 
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
+    reserved = {"shard", "pos", "__k"} & set(df.columns)
+    if reserved:
+        # withColumn would silently overwrite pre-existing shard/pos
+        # (common on pre-sharded corpora) — refuse instead
+        raise ValueError(
+            f"shuffle_shards: reserved column names {sorted(reserved)} "
+            "already present; rename them first"
+        )
     key = H.md5_int64(
         F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
     )

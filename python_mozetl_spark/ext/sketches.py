@@ -117,6 +117,19 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     its own it is approximate and partitioning-dependent (so it is
     pytest-guaranteed, not oracle-graded).
     """
+    return (
+        _mg_scan(df, col, k)
+        .where(F.col(col).isNotNull())
+        .select(col)
+        .distinct()
+    )
+
+
+def _mg_scan(df: DataFrame, col: str, k: int) -> DataFrame:
+    """One pass emitting, per partition, the MG survivor values (rows
+    with ``__part_n`` null) plus ONE partition-total row (``col`` null,
+    ``__part_n`` = partition row count) — so candidate pruning and the
+    global total come out of the same scan."""
     import pandas as pd
 
     if k < 1:
@@ -127,16 +140,21 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
 
     def run(batches):
         counters = pd.Series(dtype="int64")
+        n_part = 0
         for b in batches:
-            vc = b[col].value_counts()
+            n_part += len(b)
+            vc = b[col].dropna().value_counts()
             counters = counters.add(vc, fill_value=0)
             if len(counters) > k:
                 cut = counters.nlargest(k + 1).iloc[-1]
                 counters = counters - cut
                 counters = counters[counters > 0]
-        yield pd.DataFrame({col: counters.index.astype(str)})
+        vals = [str(v) for v in counters.index]
+        yield pd.DataFrame(
+            {col: vals + [None], "__part_n": [None] * len(vals) + [n_part]}
+        )
 
-    return df.select(col).mapInPandas(run, f"{col} string").distinct()
+    return df.select(col).mapInPandas(run, f"{col} string, __part_n long")
 
 
 def heavy_hitters(
@@ -154,6 +172,15 @@ def heavy_hitters(
     2. exact counts of the CANDIDATES only (broadcast semi-join) and
        the threshold filter.
 
+    TWO scans of ``df`` total: the global row count rides on pass 1
+    (one partition-total row per partition from the same mapInPandas;
+    the tiny sketch output — ≤ (k+1)·partitions rows — is persisted so
+    candidates and total don't re-trigger the scan).  The threshold
+    compare is exact integer arithmetic (``cnt·den ≥ num·n`` with
+    ``num/den = Fraction(min_frac)``), not float ``ceil`` — FP excess
+    in ``0.1·120 = 12.000000000000002`` must not drop a value sitting
+    exactly on the boundary.
+
     The output is exact and partitioning-independent — the oracle is a
     plain group-count filter — while pass 2's aggregation cardinality
     is bounded by candidates × partitions instead of |vocabulary|
@@ -162,16 +189,25 @@ def heavy_hitters(
 
     Returns ``(col, cnt)``.
     """
+    from fractions import Fraction
+
     if not (0 < min_frac <= 1):
         raise ValueError("min_frac must be in (0, 1]")
-    k = k_margin * int(1.0 / min_frac + 1)
-    cands = mg_candidates(df, col, k)
-    total = df.agg(F.count("*").cast("double").alias("__n"))
+    frac = Fraction(str(min_frac))
+    num, den = frac.numerator, frac.denominator
+    k = k_margin * (den // num + 1)
+    # persist the tiny sketch output (≤ (k+1)·partitions rows) so the
+    # candidate branch and the total branch share ONE scan of df; the
+    # cache lives until evicted/app end — the cost of two-pass truth
+    # with a lazily-consumed result
+    sketch = _mg_scan(df, col, k).persist()
+    cands = sketch.where(F.col(col).isNotNull()).select(col).distinct()
+    total = sketch.agg(F.sum("__part_n").cast("bigint").alias("__n"))
     return (
         df.join(F.broadcast(cands), col)
         .groupBy(col)
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .crossJoin(F.broadcast(total))
-        .where(F.col("cnt") >= F.ceil(F.lit(min_frac) * F.col("__n")))
+        .where(F.col("cnt") * den >= F.lit(num) * F.col("__n"))
         .drop("__n")
     )

@@ -2307,9 +2307,9 @@ WITH toks AS (SELECT
       AS tok
   FROM documents),
 c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
-t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c)
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
 SELECT tok, CAST(cnt AS BIGINT) AS cnt
-FROM c, t WHERE cnt >= ceil(0.03 * n)
+FROM c, t WHERE cnt * 100 >= 3 * n
 """,
 )
 def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -580,10 +580,13 @@ def test_mg_candidates_superset_guarantee_on_skewed_stream(spark):
     from python_mozetl_spark.ext.sketches import mg_candidates
 
     # zipf-ish: value i appears 400//(i+1) times, shuffled deterministically
+    import hashlib
+
     rows = []
     for i in range(50):
         rows += [f"v{i}"] * (400 // (i + 1))
-    rows.sort(key=lambda s: hash(s) % 97)
+    # deterministic shuffle: Python's str hash is salted per process
+    rows.sort(key=lambda s: hashlib.md5(s.encode()).hexdigest())
     df = spark.createDataFrame([(v,) for v in rows], ["tok"]).repartition(7)
     n, k = len(rows), 10
     cands = {r["tok"] for r in mg_candidates(df, "tok", k).collect()}
@@ -620,3 +623,16 @@ def test_mg_candidates_rejects_non_string(spark):
     df = spark.createDataFrame([(1,)], ["tok"])
     with _pt.raises(ValueError, match="string column"):
         mg_candidates(df, "tok", 4)
+
+
+def test_heavy_hitters_exact_boundary_not_lost_to_fp(spark):
+    """0.1 * 120 = 12.000000000000002 in binary FP: a value occurring
+    exactly 12/120 times sits exactly ON the threshold and must be
+    kept (rational integer compare, not float ceil)."""
+    from python_mozetl_spark.ext.sketches import heavy_hitters
+
+    rows = ["edge"] * 12 + [f"f{i}" for i in range(108)]
+    df = spark.createDataFrame([(v,) for v in rows], ["tok"]).repartition(3)
+    got = {r["tok"]: r["cnt"] for r in
+           heavy_hitters(df, "tok", min_frac=0.1).collect()}
+    assert got == {"edge": 12}
