@@ -193,6 +193,18 @@ def test_lsh_bucket_cap_preserves_pairs_on_skewed_fixture(spark):
     assert capped == uncapped
     assert {(a, b) for a in range(12) for b in range(12) if a < b} <= capped
 
+    # when buckets actually overflow, the chunked frame must sit behind
+    # its own exchange so AQE materializes it ONCE for both grid-join
+    # sides (3 reuses: band exchange, chunks exchange, verify
+    # broadcast) — without it each side re-runs the window pass
+    capped_df = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_bucket=3
+    )
+    capped_df.collect()
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 3
+
     def sim_pairset(max_bucket):
         return {
             (r["id_a"], r["id_b"])
