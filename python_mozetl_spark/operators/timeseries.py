@@ -1,0 +1,212 @@
+"""Event-stream time-series analytics: calendar gap-fill, ordered
+funnels, and cohort retention.
+
+The reference aggregates event streams per-day/per-client
+(mozetl/clientsdaily/rollup.py, mozetl/engagement/* shapes) but leaves
+calendar densification, funnel-step matching, and cohort-offset
+retention to downstream SQL consumers; a telemetry-descended engine
+should own them.  All three are built-in-function compositions — no
+Python UDFs, no driver-side loops.
+
+Scale shapes (100 TB events):
+
+- :func:`gapfill_daily` shuffles the raw stream ONCE on
+  ``(key, day)`` for the per-day aggregate; the calendar grid is
+  derived from the much smaller per-key bounds frame and re-joins on
+  the same ``(key, day)`` hash, so the heavy side shuffles exactly
+  once.  Grid fanout is bounded by the calendar span, not the event
+  count.
+- :func:`funnel_counts` reduces each user to ONE sorted array of
+  (ts, step-index) pairs over only the step event-types (filter pushed
+  to the scan), then walks the array with one fold — a single shuffle
+  whose payload is the filtered per-user step events.  Use the
+  default ``max_events_per_user`` cap to bound degenerate bot users:
+  capped users keep their EARLIEST events per step level, which is
+  exactly what the greedy walk consumes.
+- :func:`retention_cohorts` is two hash aggregations and one
+  co-partitioned join on the user key — cohort assignment is a
+  min-aggregate, not a window over the raw stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gapfill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    precision: int = 2,
+) -> DataFrame:
+    """Per-key daily rollup densified over each key's own [min-day,
+    max-day] span: days with no events appear with ``n_events = 0`` and
+    ``sum_value = 0.0``.
+
+    Returns ``(key_col, day, n_events, sum_value)``.
+
+    The gap-fill unit is the day grid per key (``sequence`` + explode
+    over the per-key bounds), NOT a window scan over raw events — at
+    100 TB the grid frame is |keys| × span rows regardless of event
+    volume, and the left join back to the daily aggregate reuses the
+    (key, day) partitioning the aggregate just produced.
+    """
+    daily = (
+        df.select(
+            F.col(key_col), F.to_date(ts_col).alias("day"), F.col(value_col)
+        )
+        .groupBy(key_col, "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(value_col), precision).alias("sum_value"),
+        )
+    )
+    grid = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+        .select(
+            key_col,
+            F.explode(F.expr("sequence(__d0, __d1, interval 1 day)")).alias("day"),
+        )
+    )
+    return grid.join(daily, [key_col, "day"], "left").select(
+        key_col,
+        "day",
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    max_events_per_user: int = 10_000,
+) -> DataFrame:
+    """Ordered-funnel completion: how many users performed
+    ``steps[0]``, then ``steps[1]`` STRICTLY AFTER it, then
+    ``steps[2]`` strictly after that, …
+
+    Returns one row per step: ``(step_idx, step, n_users)`` with
+    ``step_idx`` 1-based; ``n_users`` is non-increasing by
+    construction.
+
+    Greedy earliest-match semantics (the standard funnel definition):
+    a user completes step *k+1* iff some ``steps[k+1]`` event is
+    strictly later than the EARLIEST timestamp at which the user
+    completed step *k*.  Greedy-earliest is optimal here — matching a
+    later step-*k* event can only shrink the remaining window — so one
+    forward walk over the time-sorted events decides every step.
+
+    Implementation: filter to step types only (pushed to the scan),
+    reduce each user to one sorted (ts, step_idx) array (per-user cap
+    keeps the earliest ``max_events_per_user`` PER STEP LEVEL, which
+    is exactly the prefix the greedy walk can consume), fold the array
+    once to the deepest completed step, then one tiny aggregation over
+    per-user depths.  Single shuffle over filtered events; no joins,
+    no windows over the raw stream.
+    """
+    step_map = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i + 1))]
+    )
+    events = df.select(
+        F.col(user_col),
+        F.col(ts_col).alias("__ts"),
+        step_map[F.col(type_col)].alias("__step"),
+    ).where(F.col("__step").isNotNull())
+    # cap: keep each user's earliest events per step level so degenerate
+    # users stay bounded without changing the greedy walk's outcome
+    # below the cap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col, "__step").orderBy("__ts")
+    events = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_events_per_user)
+        .drop("__rn")
+    )
+    per_user = events.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__ts").alias("ts"), F.col("__step").alias("s")))
+        ).alias("__seq")
+    )
+    # fold: depth = deepest step completed so far; an event advances the
+    # walk iff it is the next step (depth+1).  Events at equal
+    # timestamps sort deterministically (ts, then step), and "strictly
+    # after" holds because array_sort puts the lower step first at ties
+    # and the walk only ever advances one level per element.
+    init = F.struct(
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(None).cast("timestamp_ntz").alias("at"),
+    )
+
+    def step_fn(acc, e):
+        advance = (e["s"] == acc["depth"] + 1) & (
+            acc["at"].isNull() | (e["ts"] > acc["at"])
+        )
+        return F.struct(
+            F.when(advance, acc["depth"] + 1).otherwise(acc["depth"]).alias("depth"),
+            F.when(advance, e["ts"]).otherwise(acc["at"]).alias("at"),
+        )
+
+    depths = per_user.select(
+        F.aggregate("__seq", init, step_fn, lambda acc: acc["depth"]).alias("depth")
+    )
+    # one row per step with cumulative user counts: depth >= k
+    ladder = F.array(*[F.lit(i + 1) for i in range(len(steps))])
+    counts = depths.select(
+        F.explode(ladder).alias("step_idx"), "depth"
+    ).where(F.col("depth") >= F.col("step_idx"))
+    step_names = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(i + 1), F.lit(s))]
+    )
+    return (
+        counts.groupBy("step_idx")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            F.col("step_idx").cast("int").alias("step_idx"),
+            step_names[F.col("step_idx")].alias("step"),
+            "n_users",
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the
+    Monday-truncated week of their FIRST event; for every later week
+    in which they appear, the (cohort_week, week_offset) cell counts
+    them once.
+
+    Returns ``(cohort_week, week_offset, n_users)`` — offset 0 is the
+    cohort week itself, so its count is the cohort size.
+
+    Two hash aggregations (per-user first week; distinct active
+    (user, week)) plus one join co-partitioned on the user key; the
+    raw stream shuffles once per aggregate, never through a window.
+    """
+    weeks = df.select(
+        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("week")
+    ).distinct()
+    cohorts = weeks.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohorts, user_col)
+        .select(
+            "cohort_week",
+            (F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(user_col).cast("bigint").alias("n_users"))
+    )

@@ -2682,6 +2682,94 @@ def salted_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_daily_gapfill",
+    "Calendar-densified per-user daily rollup (time-series resample): "
+    "every day in each user's [first-event, last-event] span appears, "
+    "gap days with zero counts.  Grid derives from the per-key bounds "
+    "frame (|keys| x span rows), the raw stream shuffles once.",
+    ("A1", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sv
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+  COALESCE(d.n, 0) AS n_events,
+  COALESCE(d.sv, 0.0) AS sum_value
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""",
+)
+def user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import gapfill_daily
+
+    e = t(spark, sf_dir, "events")
+    # DATE columns round-trip as midnight timestamps through pandas on
+    # the DuckDB side; compare the calendar day as an ISO string
+    return gapfill_daily(e, "user_id", "ts", "value").withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
+
+
+@query(
+    "event_funnel",
+    "Ordered funnel view -> click -> purchase: users completing each "
+    "step strictly after the previous one (greedy earliest-match).  "
+    "Spark walks ONE sorted per-user step array with a fold (single "
+    "shuffle over filtered events); the oracle is the classic "
+    "min-timestamp join chain — two different algorithms, same answer.",
+    ("A2", "timeseries", "F6"),
+    oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT CAST(1 AS INT) AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+""",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import funnel_counts
+
+    e = t(spark, sf_dir, "events")
+    return funnel_counts(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@query(
+    "weekly_retention_cohorts",
+    "Cohort retention triangle: users cohorted by Monday-truncated "
+    "week of first event; each later active week increments the "
+    "(cohort_week, week_offset) cell.  Two hash aggs + one "
+    "user-co-partitioned join — no window over the raw stream.",
+    ("A5", "timeseries"),
+    oracle="""
+WITH weeks AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+cohorts AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT cohort_week,
+  CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM weeks JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import retention_cohorts
+
+    e = t(spark, sf_dir, "events")
+    return retention_cohorts(e, "user_id", "ts")
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -2725,20 +2813,21 @@ _DRIVER_WINDOW = [
     "doc_unigram_logprob",
     "doc_overlap_chunks",
     "salted_segment_order_stats",
+    # round-4 additions (must sit inside the graded window)
+    "user_daily_gapfill",
+    "event_funnel",
+    "weekly_retention_cohorts",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
-    "filtered_scan",
     "regional_revenue",
     "priority_join_agg",
-    "customer_order_counts",
     "segment_active_customers",
     "customer_year_sets",
     "latest_event_per_user",
     "top_orders_per_customer",
     "event_type_pivot",
     "region_nation_rollup",
-    "nation_suppliers",
     "daily_event_rollup",
     "sessionized_events",
     "asof_click_before_purchase",
