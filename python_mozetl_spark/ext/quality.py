@@ -188,6 +188,67 @@ def repetition_stats(
     )
 
 
+def token_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram token distribution
+    (nats): ``H = -Σ (c/n)·ln(c/n)`` over the document's own token
+    counts.  Low entropy flags repetitive/templated text (a smoother
+    cousin of :func:`repetition_stats`'s top-token share); high entropy
+    near ``ln(n_distinct)`` marks uniform token soup.
+
+    Returns ``(id_col, n_tokens, entropy)``; empty documents get 0.0.
+
+    Scale shape: WITHIN-ROW like :func:`repetition_stats` — sort the
+    token array once, then one fold accumulates each equal-run's
+    ``-(run/n)·ln(run/n)`` as the run closes.  Zero shuffles, zero
+    joins; the exploded (doc, token)-agg formulation the oracle uses
+    shuffles the full token volume instead.
+    """
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("__n"),
+        F.array_sort("__toks").alias("__st"),
+    )
+    n = F.col("__n").cast("double")
+
+    def contrib(run):
+        p = run.cast("double") / n
+        return -p * F.log(p)
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0.0).alias("acc"),
+    )
+
+    def step(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(same | acc["prev"].isNull(), acc["acc"])
+            .otherwise(acc["acc"] + contrib(acc["run"]))
+            .alias("acc"),
+        )
+
+    entropy = F.when(F.col("__n") == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            "__st", init, step, lambda acc: acc["acc"] + contrib(acc["run"])
+        )
+    )
+    return staged.select(
+        id_col,
+        F.col("__n").alias("n_tokens"),
+        F.round(entropy, precision).alias("entropy"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

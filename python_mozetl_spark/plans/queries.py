@@ -2770,6 +2770,86 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(e, "user_id", "ts")
 
 
+@query(
+    "token_inverted_index",
+    "Inverted-index term statistics (IR layer, ext/search.py): per "
+    "term, document frequency, total occurrences, and the max "
+    "single-doc term frequency.  One staged posexplode -> (term, doc) "
+    "agg -> term agg; O(vocab) output.",
+    ("E1", "A5", "search"),
+    oracle=f"""
+WITH post AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM post GROUP BY 1, 2)
+SELECT term,
+  CAST(count(*) AS BIGINT)  AS df_count,
+  CAST(sum(tf) AS BIGINT)   AS tf_total,
+  CAST(max(tf) AS BIGINT)   AS top_tf
+FROM tf GROUP BY term
+""",
+)
+def token_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.search import index_terms
+
+    d = t(spark, sf_dir, "documents")
+    return index_terms(d, "doc_id", "text")
+
+
+@query(
+    "phrase_search_docs",
+    "Positional-index phrase search: documents containing 'table hash' "
+    "as consecutive tokens, with distinct match-position counts.  "
+    "Postings filtered to the phrase's terms BEFORE the adjacency "
+    "join on (doc, pos+offset); the within-row scan twin "
+    "(ext/search.py:phrase_match) is pytest-pinned equal.",
+    ("E6", "J2", "search"),
+    oracle=f"""
+WITH src AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+post AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM src)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'table' AND b.term = 'hash'
+GROUP BY a.doc_id
+""",
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.search import phrase_search
+
+    d = t(spark, sf_dir, "documents")
+    return phrase_search(d, "doc_id", "text", ["table", "hash"])
+
+
+@query(
+    "doc_token_entropy",
+    "Per-document Shannon entropy of the unigram token distribution "
+    "(nats), computed WITHIN the row via sort + one fold (zero "
+    "shuffles, like doc_repetition_filter); the oracle explodes to "
+    "(doc, token) counts — different algorithm, same numbers.",
+    ("F6", "quality"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(toks) AS tok
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1)
+SELECT c.doc_id, t.n AS n_tokens,
+  round(sum(-(c / CAST(t.n AS DOUBLE)) * ln(c / CAST(t.n AS DOUBLE))), 6) AS entropy
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id, t.n
+""",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import token_entropy
+
+    d = t(spark, sf_dir, "documents")
+    return token_entropy(d, "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -2817,16 +2897,16 @@ _DRIVER_WINDOW = [
     "user_daily_gapfill",
     "event_funnel",
     "weekly_retention_cohorts",
+    "token_inverted_index",
+    "phrase_search_docs",
+    "doc_token_entropy",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
     "regional_revenue",
     "priority_join_agg",
-    "segment_active_customers",
-    "customer_year_sets",
     "latest_event_per_user",
     "top_orders_per_customer",
-    "event_type_pivot",
     "region_nation_rollup",
     "daily_event_rollup",
     "sessionized_events",

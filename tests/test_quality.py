@@ -223,3 +223,25 @@ def test_quantized_topk_high_recall_vs_exact(spark):
     assert n_exact == 50
     # int8 quantization should preserve nearly all of the exact top-5
     assert overlap / n_exact >= 0.9
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from python_mozetl_spark.ext.quality import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),      # single token type: H = 0
+            (2, "a b"),          # uniform over 2: H = ln 2
+            (3, "a a b"),        # H = -(2/3)ln(2/3) - (1/3)ln(1/3)
+            (4, ""),             # empty: H = 0, n = 0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_tokens"] == 4
+    assert got[2]["entropy"] == pytest.approx(round(math.log(2), 6))
+    h3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert got[3]["entropy"] == pytest.approx(round(h3, 6))
+    assert got[4]["entropy"] == 0.0 and got[4]["n_tokens"] == 0
