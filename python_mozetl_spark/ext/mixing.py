@@ -65,6 +65,44 @@ def weighted_mix(
     ).drop("__w")
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    that is a pure function of ``(salt, id)`` — stable across engines,
+    retries, cluster sizes, and (critically) across corpus GROWTH: a
+    document keeps its split when new data arrives, so eval sets never
+    leak into training on a re-run.  ``rand()``-based splitting has
+    none of these properties.
+
+    ``splits`` is an ordered list of (name, weight); weights must sum
+    to 1.  The md5 fraction ``md5(salt‖id) mod 10⁶ / 10⁶`` lands in
+    the cumulative-weight interval that names the split.
+
+    Shape: one codegen'd hash expression per row — no shuffle, no
+    sampling pass, no state.
+    """
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    key = H.md5_int64(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    ) % _MOD
+    expr = F.lit(splits[-1][0])  # remainder catches rounding tail
+    cum = 0.0
+    bounds = []
+    for name, w in splits[:-1]:
+        cum += w
+        bounds.append((name, int(round(cum * _MOD))))
+    for name, bound in reversed(bounds):
+        expr = F.when(key < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str,

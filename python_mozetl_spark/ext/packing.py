@@ -140,3 +140,67 @@ def sliding_window_chunks(
             " ",
         ).alias("chunk_text"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    bucket_bounds: list[int],
+    batch_size: int,
+    shards: int = 1,
+    salt: str = "lenbatch",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency step
+    of a training dataloader, pushed into the engine: rows are bucketed
+    by length band, sorted by (length, id) within the bucket, and cut
+    into fixed-size batches so each batch pads only to ITS OWN max
+    length, not the corpus max.
+
+    ``bucket_bounds`` are ascending upper bounds; lengths >= the last
+    bound land in a final overflow bucket.  Returns the input plus
+    ``bucket`` (int index), ``batch`` (0-based within bucket), and
+    ``batch_pos`` — plus ``shard`` when ``shards > 1`` (batch ids are
+    then unique within (bucket, shard)).
+
+    Everything is deterministic (sort key is (length, id)), so batch
+    membership is reproducible and oracle-checkable.
+
+    Scale shape: ONE exchange on the bucket key + per-bucket sort —
+    the same cost profile as ``shuffle_shards``.  A handful of buckets
+    over 100 TB makes hot partitions: pass ``shards > 1`` to sub-shard
+    each bucket by ``md5(salt‖id) mod shards`` (batches then form
+    within (bucket, shard) — same padding bound, ``shards``× the
+    parallelism, still deterministic).
+    """
+    from python_mozetl_spark.functions import hashing as H
+
+    if sorted(bucket_bounds) != list(bucket_bounds) or not bucket_bounds:
+        raise ValueError("bucket_bounds must be non-empty ascending")
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    length = F.col(len_col).cast("bigint")
+    bucket = F.lit(len(bucket_bounds))  # overflow bucket
+    for i, bound in reversed(list(enumerate(bucket_bounds))):
+        bucket = F.when(length < bound, F.lit(i)).otherwise(bucket)
+    out = df.withColumn("bucket", bucket.cast("int"))
+    part_keys = ["bucket"]
+    if shards > 1:
+        shard = (
+            H.md5_int64(
+                F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+            )
+            % shards
+        ).cast("int")
+        out = out.withColumn("shard", shard)
+        part_keys.append("shard")
+    w = Window.partitionBy(*part_keys).orderBy(length, F.col(id_col))
+    out = (
+        out.withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn("batch", (F.col("__rn") / batch_size).cast("bigint"))
+        .withColumn("batch_pos", (F.col("__rn") % batch_size).cast("int"))
+        .drop("__rn")
+    )
+    # with shards > 1 the shard column STAYS in the output: batch ids
+    # are only unique within (bucket, shard)
+    return out

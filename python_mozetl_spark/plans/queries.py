@@ -2850,6 +2850,112 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(d, "doc_id", "text")
 
 
+@query(
+    "doc_split_assign",
+    "Deterministic train/val/test assignment (80/10/10): split is a "
+    "pure function of md5(salt|id) — stable across engines, retries, "
+    "and corpus growth (a doc keeps its split when data arrives).  One "
+    "codegen'd expression, no shuffle, no rand().",
+    ("U7", "mixing"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, n_chars,
+    ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000 AS k
+  FROM documents)
+SELECT CASE WHEN k < 800000 THEN 'train'
+            WHEN k < 900000 THEN 'val' ELSE 'test' END AS split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1
+""",
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import split_assign
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "doc_length_batches",
+    "Length-bucketed batch assignment (dataloader padding efficiency): "
+    "docs bucketed by char-length band, sorted (len, id) within "
+    "bucket, cut into batches of 16; per-batch padding waste reported. "
+    " One exchange on the bucket key + per-bucket sort (sub-shardable "
+    "via md5 for hot buckets at scale).",
+    ("W2", "packing"),
+    oracle="""
+WITH b AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 250 THEN 1
+         WHEN n_chars < 350 THEN 2 ELSE 3 END AS bucket
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n_chars, doc_id) - 1 AS rn
+      FROM b)
+SELECT CAST(bucket AS INT) AS bucket, CAST(rn // 16 AS BIGINT) AS batch,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(max(n_chars) AS BIGINT) AS max_len,
+  round((count(*) * max(n_chars) - sum(n_chars))::DOUBLE
+        / (count(*) * max(n_chars)), 6) AS pad_frac
+FROM r GROUP BY 1, 2
+""",
+)
+def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.packing import length_bucketed_batches
+
+    d = t(spark, sf_dir, "documents")
+    batched = length_bucketed_batches(
+        d, "doc_id", "n_chars", [150, 250, 350], batch_size=16
+    )
+    n, mx, sm = F.count("*"), F.max("n_chars"), F.sum("n_chars")
+    return batched.groupBy("bucket", "batch").agg(
+        n.cast("bigint").alias("n_docs"),
+        mx.cast("bigint").alias("max_len"),
+        F.round((n * mx - sm).cast("double") / (n * mx), 6).alias("pad_frac"),
+    )
+
+
+@query(
+    "doc_cross_decontaminate",
+    "Cross-corpus NEAR-duplicate contamination: training docs (sources "
+    "src0-14) whose word-3-shingle Jaccard vs any benchmark doc "
+    "(src15-19) reaches 0.8, candidate-generated by cross-corpus "
+    "MinHash LSH with the benchmark side BROADCAST — the train side "
+    "never shuffles.  Oracle is the brute-force cross scan (LSH miss "
+    "probability ~7e-8 at t=0.8).",
+    ("ext-dedup", "J4", "quality"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, source, {_DUCK_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, source, {_DUCK_SHINGLES} AS sh FROM tk),
+p AS (SELECT a.doc_id,
+        len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      FROM sh a JOIN sh b
+        ON a.source NOT IN ('src15','src16','src17','src18','src19')
+       AND b.source IN ('src15','src16','src17','src18','src19'))
+SELECT doc_id, CAST(count(*) FILTER (j >= 0.8) AS BIGINT) AS n_bench_dups,
+  round(max(j) FILTER (j >= 0.8), 6) AS max_jaccard
+FROM p GROUP BY doc_id HAVING count(*) FILTER (j >= 0.8) > 0
+""",
+)
+def doc_cross_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import cross_corpus_lsh_filter
+
+    d = t(spark, sf_dir, "documents")
+    bench_srcs = ["src15", "src16", "src17", "src18", "src19"]
+    train = d.where(~F.col("source").isin(bench_srcs))
+    bench = d.where(F.col("source").isin(bench_srcs))
+    return cross_corpus_lsh_filter(train, bench, "doc_id", "text", threshold=0.8)
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -2900,14 +3006,14 @@ _DRIVER_WINDOW = [
     "token_inverted_index",
     "phrase_search_docs",
     "doc_token_entropy",
+    "doc_split_assign",
+    "doc_length_batches",
+    "doc_cross_decontaminate",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
     "regional_revenue",
     "priority_join_agg",
-    "latest_event_per_user",
-    "top_orders_per_customer",
-    "region_nation_rollup",
     "daily_event_rollup",
     "sessionized_events",
     "asof_click_before_purchase",

@@ -648,3 +648,124 @@ def test_heavy_hitters_exact_boundary_not_lost_to_fp(spark):
     got = {r["tok"]: r["cnt"] for r in
            heavy_hitters(df, "tok", min_frac=0.1).collect()}
     assert got == {"edge": 12}
+
+
+# ---------------------------------------------------------------------------
+# round 4: split assignment, length batching, cross-corpus LSH filter
+# ---------------------------------------------------------------------------
+
+
+def test_split_assign_partitions_and_determinism(spark):
+    from python_mozetl_spark.ext.mixing import split_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # md5 is uniform: 80/10/10 within binomial tolerance
+    assert 1400 <= counts["train"] <= 1750
+    # pure function of id: same rows on recompute, and growth-stable —
+    # a subset keeps its assignments
+    sub = split_assign(df.where(F.col("doc_id") < 500), "doc_id")
+    full = {r["doc_id"]: r["split"] for r in out.where(F.col("doc_id") < 500).collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    from python_mozetl_spark.ext.mixing import split_assign
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", splits=[("a", 0.5), ("b", 0.2)])
+
+
+def test_length_bucketed_batches_shape(spark):
+    from python_mozetl_spark.ext.packing import length_bucketed_batches
+
+    rows = [(i, ln) for i, ln in enumerate([5, 7, 9, 12, 15, 30, 31, 100])]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    out = length_bucketed_batches(df, "doc_id", "n", [10, 50], batch_size=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # bucket 0: lens 5,7,9 -> batches [5,7],[9]; bucket 1: 12,15,30,31;
+    # bucket 2 (overflow): 100
+    assert [got[i]["bucket"] for i in range(8)] == [0, 0, 0, 1, 1, 1, 1, 2]
+    assert (got[0]["batch"], got[0]["batch_pos"]) == (0, 0)
+    assert (got[1]["batch"], got[1]["batch_pos"]) == (0, 1)
+    assert (got[2]["batch"], got[2]["batch_pos"]) == (1, 0)
+    assert got[7]["batch"] == 0
+    # ordering within bucket is by (len, id): doc 5 (len 30) before doc 6
+    assert (got[5]["batch"], got[5]["batch_pos"]) == (1, 0)
+    assert (got[6]["batch"], got[6]["batch_pos"]) == (1, 1)
+
+
+def test_length_bucketed_batches_sharded_is_deterministic_and_bounded(spark):
+    from python_mozetl_spark.ext.packing import length_bucketed_batches
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n")
+    )
+    out = length_bucketed_batches(df, "doc_id", "n", [50], batch_size=8, shards=4)
+    assert "shard" in out.columns
+    # every (bucket, shard, batch) group has <= batch_size members and
+    # assignment is stable across recomputation
+    sizes = out.groupBy("bucket", "shard", "batch").count().collect()
+    assert all(r["count"] <= 8 for r in sizes)
+    a = sorted((r["doc_id"], r["bucket"], r["shard"], r["batch"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["bucket"], r["shard"], r["batch"]) for r in out.collect())
+    assert a == b
+
+
+def test_cross_corpus_lsh_filter_matches_brute_force(spark):
+    from python_mozetl_spark.ext.dedup import cross_corpus_lsh_filter
+    from python_mozetl_spark.functions.text import word_shingles
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "train"),
+        (2, base + " extra", "train"),          # near-dup of bench doc 11
+        (3, "completely different text about spark plans", "train"),
+    ]
+    bench_rows = [
+        (11, base + " extra", "bench"),          # exact dup of train 2
+        (12, "unrelated benchmark prompt entirely", "bench"),
+    ]
+    df = spark.createDataFrame(rows + bench_rows, ["doc_id", "text", "side"])
+    train = df.where(F.col("side") == "train")
+    bench = df.where(F.col("side") == "bench")
+    out = cross_corpus_lsh_filter(train, bench, "doc_id", "text", threshold=0.8)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 2 is identical to bench 11 (jaccard 1.0); doc 1 shares most
+    # shingles with 11 but misses the trailing ones
+    assert 2 in got and got[2]["max_jaccard"] == 1.0 and got[2]["n_bench_dups"] == 1
+    assert 3 not in got
+    # brute-force cross check on the same fixture
+    sh_t = train.select("doc_id", word_shingles("text").alias("sh"))
+    sh_b = bench.select(F.col("doc_id").alias("bid"), word_shingles("text").alias("shb"))
+    brute = (
+        sh_t.crossJoin(sh_b)
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sh", "shb")).cast("double")
+            / (F.size("sh") + F.size("shb") - F.size(F.array_intersect("sh", "shb"))),
+        )
+        .where(F.col("j") >= 0.8)
+        .groupBy("doc_id")
+        .count()
+    )
+    assert {r["doc_id"] for r in brute.collect()} == set(got)
+
+
+def test_cross_corpus_lsh_filter_shuffle_fallback_same_result(spark):
+    from python_mozetl_spark.ext.dedup import cross_corpus_lsh_filter
+    from python_mozetl_spark.plans.queries import t as load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    bench_srcs = ["src15", "src16", "src17", "src18", "src19"]
+    train = d.where(~F.col("source").isin(bench_srcs))
+    bench = d.where(F.col("source").isin(bench_srcs))
+    a = cross_corpus_lsh_filter(train, bench, "doc_id", "text", broadcast_bench=True)
+    b = cross_corpus_lsh_filter(train, bench, "doc_id", "text", broadcast_bench=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
