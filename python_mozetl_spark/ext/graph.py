@@ -71,3 +71,69 @@ def connected_components(
         "graph diameter exceeds the near-dup regime — use alternating "
         "large-star/small-star"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    precision: int = 6,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank: ``r_v = (1−d)/N +
+    d·Σ_{u→v} (w_uv/W_u)·r_u``, unrolled ``iterations`` times into one
+    declarative plan.
+
+    Returns ``(vertex, rank)`` with rank rounded to ``precision``.
+    Fixed iteration count (rather than convergence polling) keeps the
+    whole computation a single Catalyst plan AND makes it exactly
+    reproducible in any engine — the oracle unrolls the same three
+    steps in SQL.
+
+    Scale shape: per iteration one co-partitioned join of the
+    transition matrix with the rank vector (both hash-partitioned on
+    the vertex key — AQE reuses the exchange) and one hash agg on the
+    destination.  The transition matrix and vertex set are
+    ``localCheckpoint``-ed once so the 3-deep unrolled plan re-reads
+    materialized partitions instead of recomputing the edge subtree
+    per iteration.  N arrives via one tiny scalar count (the
+    SURVEY-sanctioned driver altitude, like the KMeans centroid fit).
+
+    Dangling vertices (no out-edges) leak their mass — acceptable for
+    the symmetric graphs (co-occurrence, near-dup) this engine builds;
+    add a dangling-mass redistribution term before using on directed
+    web-style graphs.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.cast("double").alias("w")
+    )
+    # Spark is case-insensitive: name the out-weight distinctly from "w"
+    outw = e.groupBy("a").agg(F.sum("w").alias("__tot"))
+    trans = (
+        e.join(outw, "a")
+        .select("a", "b", (F.col("w") / F.col("__tot")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select("a").unionByName(e.select(F.col("b").alias("a"))).distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select(F.col("a").alias("v"), F.lit(1.0 / n).alias("r"))
+    for _ in range(iterations):
+        inflow = (
+            trans.join(ranks, trans["a"] == ranks["v"])
+            .groupBy("b")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
+        )
+        ranks = nodes.join(inflow, nodes["a"] == inflow["b"], "left").select(
+            F.col("a").alias("v"),
+            (F.lit(base) + damping * F.coalesce("inflow", F.lit(0.0))).alias("r"),
+        )
+    return ranks.select(
+        F.col("v").alias("vertex"), F.round("r", precision).alias("rank")
+    )

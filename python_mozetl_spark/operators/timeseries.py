@@ -210,3 +210,90 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(user_col).cast("bigint").alias("n_users"))
     )
+
+
+def new_user_growth(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Daily new-user curve with cumulative total: ``(day, n_new,
+    cum_users)``.  ``n_new`` counts users whose FIRST event falls on
+    the day; ``cum_users`` is the running total — the standard
+    growth-accounting view (cumulative distinct-to-date without a
+    distinct-over-window, which no engine does cheaply).
+
+    Scale shape: one per-user min aggregate over the raw stream, one
+    day aggregate, then a running sum over the DAILY frame — the
+    single-partition window touches |days| rows (calendar-bounded),
+    never the event volume.
+    """
+    first = df.groupBy(user_col).agg(F.min(F.to_date(ts_col)).alias("day"))
+    daily = first.groupBy("day").agg(F.count("*").cast("bigint").alias("n_new"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    z_thresh: float = 2.0,
+    min_periods: int = 3,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags over DAILY totals: each
+    (key, day) total is scored against the mean/stddev of its trailing
+    ``window_days`` OBSERVED days (row frame over the daily series —
+    absent days are not imputed; compose with :func:`gapfill_daily`
+    first when calendar alignment matters).
+
+    Returns anomalous rows only: ``(key, day, day_value, zscore)``
+    where ``|z| > z_thresh``, with at least ``min_periods`` days in
+    the frame and non-zero spread.  Sample stddev, matching SQL
+    ``stddev_samp`` everywhere.
+
+    Scale shape: one (key, day) hash agg over the raw stream, then one
+    window over the per-key DAILY series — partition width is bounded
+    by the calendar, not the event volume.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(F.col(key_col), F.to_date(ts_col).alias("day"), F.col(value_col))
+        .groupBy(key_col, "day")
+        .agg(F.sum(value_col).alias("day_value"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    scored = daily.select(
+        key_col,
+        "day",
+        "day_value",
+        F.avg("day_value").over(w).alias("__mu"),
+        F.stddev_samp("day_value").over(w).alias("__sd"),
+        F.count("*").over(w).alias("__n"),
+    )
+    return (
+        scored.where(
+            (F.col("__n") >= min_periods)
+            & F.col("__sd").isNotNull()
+            & (F.col("__sd") > 0)
+        )
+        .withColumn(
+            "zscore",
+            F.round((F.col("day_value") - F.col("__mu")) / F.col("__sd"), precision),
+        )
+        .where(F.abs(F.col("zscore")) > z_thresh)
+        .select(
+            key_col,
+            "day",
+            F.round("day_value", precision).alias("day_value"),
+            "zscore",
+        )
+    )

@@ -2956,6 +2956,108 @@ def doc_cross_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_lsh_filter(train, bench, "doc_id", "text", threshold=0.8)
 
 
+@query(
+    "token_pagerank",
+    "Fixed-iteration weighted PageRank (3 iterations, d=0.85) over the "
+    "token co-occurrence graph — the one iterative-algebra query with "
+    "an EXACT oracle: the SQL unrolls the same three steps.  Per "
+    "iteration one co-partitioned join + one hash agg; transition "
+    "matrix localCheckpoint-ed once.",
+    ("F7", "graph", "J2"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, list_distinct({_DUCK_TOKS}) AS toks FROM documents),
+e AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS w
+      FROM tk, unnest(toks) u1(a), unnest(toks) u2(b) WHERE a <> b GROUP BY a, b),
+outw AS (SELECT a, sum(w) AS W FROM e GROUP BY a),
+p AS (SELECT e.a, e.b, e.w / outw.W AS p FROM e JOIN outw USING (a)),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+r1 AS (SELECT nd.v, 0.15 / (SELECT n FROM nn)
+         + 0.85 * COALESCE(sum(p.p * r0.r), 0) AS r
+       FROM nodes nd LEFT JOIN p ON p.b = nd.v LEFT JOIN r0 ON r0.v = p.a
+       GROUP BY nd.v),
+r2 AS (SELECT nd.v, 0.15 / (SELECT n FROM nn)
+         + 0.85 * COALESCE(sum(p.p * r1.r), 0) AS r
+       FROM nodes nd LEFT JOIN p ON p.b = nd.v LEFT JOIN r1 ON r1.v = p.a
+       GROUP BY nd.v),
+r3 AS (SELECT nd.v, 0.15 / (SELECT n FROM nn)
+         + 0.85 * COALESCE(sum(p.p * r2.r), 0) AS r
+       FROM nodes nd LEFT JOIN p ON p.b = nd.v LEFT JOIN r2 ON r2.v = p.a
+       GROUP BY nd.v)
+SELECT v AS vertex, round(r, 6) AS rank FROM r3
+""",
+)
+def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.graph import pagerank
+    from python_mozetl_spark.operators.explode import self_fanout
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(T.tokens("text")).alias("__toks"))
+    edges = (
+        self_fanout(toks, "__toks", "a", "b")  # a != b built in
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    return pagerank(edges, "a", "b", weight="w", iterations=3)
+
+
+@query(
+    "daily_new_users",
+    "New-user growth accounting: per day, users whose FIRST event is "
+    "that day, plus the cumulative total — running distinct-to-date "
+    "without distinct-over-window.  The running sum's single-partition "
+    "window covers |days| rows (calendar-bounded), never events.",
+    ("A5", "W3", "timeseries"),
+    oracle="""
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+  CAST(sum(n_new) OVER (ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM d
+""",
+)
+def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import new_user_growth
+
+    e = t(spark, sf_dir, "events")
+    return new_user_growth(e, "user_id", "ts").withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
+
+
+@query(
+    "event_value_anomalies",
+    "Rolling z-score anomaly detection: per-user daily value totals "
+    "scored against their trailing 7-observed-day mean/stddev_samp; "
+    "|z| > 2 flagged.  One (user, day) hash agg + one window over the "
+    "per-user DAILY series (calendar-bounded partitions).",
+    ("W3", "A12", "timeseries"),
+    oracle="""
+WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+               FROM events GROUP BY 1, 2),
+s AS (SELECT user_id, day, v,
+        avg(v) OVER w AS mu, stddev_samp(v) OVER w AS sd, count(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+  round(v, 6) AS day_value, round((v - mu) / sd, 6) AS zscore
+FROM s
+WHERE n >= 3 AND sd IS NOT NULL AND sd > 0
+  AND abs(round((v - mu) / sd, 6)) > 2
+""",
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import rolling_zscore_anomalies
+
+    e = t(spark, sf_dir, "events")
+    return rolling_zscore_anomalies(
+        e, "user_id", "ts", "value", window_days=7, z_thresh=2.0
+    ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -3009,11 +3111,12 @@ _DRIVER_WINDOW = [
     "doc_split_assign",
     "doc_length_batches",
     "doc_cross_decontaminate",
+    "token_pagerank",
+    "daily_new_users",
+    "event_value_anomalies",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
-    "regional_revenue",
-    "priority_join_agg",
     "daily_event_rollup",
     "sessionized_events",
     "asof_click_before_purchase",
@@ -3021,7 +3124,6 @@ _DRIVER_WINDOW = [
     "doc_minhash_pairs",
     "doc_simhash_pairs",
     "doc_ngram_jaccard_pairs",
-    "embedding_topk",
     "embedding_bucket_topk",
     "embedding_near_dup",
 ]

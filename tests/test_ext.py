@@ -769,3 +769,29 @@ def test_cross_corpus_lsh_filter_shuffle_fallback_same_result(spark):
     a = cross_corpus_lsh_filter(train, bench, "doc_id", "text", broadcast_bench=True)
     b = cross_corpus_lsh_filter(train, bench, "doc_id", "text", broadcast_bench=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pagerank_matches_reference_loop(spark):
+    from python_mozetl_spark.ext.graph import pagerank
+
+    # weighted symmetric triangle with one heavier edge
+    edges = [("a", "b", 2.0), ("b", "a", 2.0),
+             ("b", "c", 1.0), ("c", "b", 1.0),
+             ("a", "c", 1.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    got = {r["vertex"]: r["rank"] for r in
+           pagerank(df, "s", "d", weight="w", iterations=3).collect()}
+
+    # plain-python reference of the same recurrence
+    nodes = ["a", "b", "c"]
+    out_w = {"a": 3.0, "b": 3.0, "c": 2.0}
+    r = {v: 1 / 3 for v in nodes}
+    for _ in range(3):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            inflow[d] += (w / out_w[s]) * r[s]
+        r = {v: 0.15 / 3 + 0.85 * inflow[v] for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(round(r[v], 6), abs=1e-6)
+    # symmetric graph, no dangling mass: ranks stay a distribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from python_mozetl_spark.operators.timeseries import (
@@ -175,3 +177,48 @@ def test_retention_cohort_offsets(spark):
             {"cohort_week": "2024-01-08", "week_offset": 1, "n_users": 1},
         ],
     )
+
+
+def test_new_user_growth_counts_first_events_only(spark):
+    from python_mozetl_spark.operators.timeseries import new_user_growth
+
+    df = _events(
+        spark,
+        [
+            (1, _ts(1), "view", 0.0),
+            (1, _ts(5), "view", 0.0),   # not new on day 5
+            (2, _ts(1), "view", 0.0),
+            (3, _ts(3), "view", 0.0),
+        ],
+    )
+    out = new_user_growth(df, "user_id", "ts").withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
+    assert_df_equals(
+        out,
+        [
+            {"day": "2024-01-01", "n_new": 2, "cum_users": 2},
+            {"day": "2024-01-03", "n_new": 1, "cum_users": 3},
+        ],
+    )
+
+
+def test_rolling_zscore_flags_spike_only(spark):
+    from python_mozetl_spark.operators.timeseries import rolling_zscore_anomalies
+
+    rows = [(1, _ts(d), "view", 10.0) for d in range(1, 7)]
+    rows.append((1, _ts(7), "view", 200.0))  # spike
+    rows += [(2, _ts(d), "view", 10.0) for d in range(1, 8)]  # flat user
+    out = rolling_zscore_anomalies(
+        _events(spark, rows), "user_id", "ts", "value"
+    ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    got = out.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["day"] == "2024-01-07"
+    # mu = 260/7, sd = stddev_samp of [10]*6+[200]
+    import statistics
+
+    vals = [10.0] * 6 + [200.0]
+    z = (200.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert r["zscore"] == pytest.approx(round(z, 6), abs=1e-6)
