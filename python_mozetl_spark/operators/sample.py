@@ -72,3 +72,43 @@ def two_phase_agg(df: DataFrame, key: str, value: Column, alias: str,
     salted = salt_keys(df, salt_buckets)
     partial = salted.groupBy(key, "__salt").agg(value.alias("__p"))
     return partial.groupBy(key).agg(F.sum("__p").alias(alias))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    each row draws ``key = -ln(u) / weight`` with ``u`` derived from
+    ``md5(salt‖id)``, and the ``k`` smallest keys win — selection
+    probability proportional to weight, yet a pure function of
+    (salt, id, weight): reproducible across engines, retries, and
+    partitionings, so the sample is oracle-checkable (``rand()`` is
+    none of these).
+
+    Rows with non-positive weight are excluded.  Returns the input
+    columns plus ``__wkey``.
+
+    Scale shape: one codegen'd expression + a global top-k —
+    ``ORDER BY LIMIT k`` compiles to TakeOrdered (per-partition heaps,
+    no full sort, no single-partition exchange).
+    """
+    from python_mozetl_spark.functions import hashing as H
+
+    mod = 1_000_000
+    u = (
+        H.md5_int64(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+        % mod
+        + F.lit(0.5)
+    ) / mod
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy("__wkey", id_col)
+        .limit(k)
+    )

@@ -3058,6 +3058,117 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))
 
 
+@query(
+    "event_multi_rollup",
+    "Multi-granularity time rollup (the hypertable continuous-"
+    "aggregate shape): hour, day, and week buckets computed in ONE "
+    "scan + one grouping-sets expand + one shuffle — vs three "
+    "separate rollups costing three scans.  grain disambiguates the "
+    "lattice level.",
+    ("A1", "ext-sql", "timeseries"),
+    oracle="""
+SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+            WHEN grouping(d) = 0 THEN 'day' ELSE 'week' END AS grain,
+  coalesce(h, d, w) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('week', ts) AS w, value
+      FROM events)
+GROUP BY GROUPING SETS ((h), (d), (w))
+""",
+)
+def event_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day' ELSE 'week' END AS grain,
+          coalesce(h, d, w) AS bucket,
+          count(*) AS n_events,
+          round(sum(value), 2) AS sum_value
+        FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                     date_trunc('week', ts) AS w, value
+              FROM events_v)
+        GROUP BY GROUPING SETS ((h), (d), (w))
+    """)
+
+
+@query(
+    "bigram_lm_top",
+    "Bigram conditional LM: maximum-likelihood P(w2|w1) over corpus "
+    "bigram counts, top-3 continuations per head word.  One staged "
+    "bigram explode -> (w1, w2) hash agg; head totals derive from the "
+    "SAME agg and broadcast back; final top-k is one window over w1.",
+    ("A5", "W2", "ext-text"),
+    oracle=r"""
+WITH tk AS (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS w FROM documents),
+bi AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN
+         [array_to_string(list_slice(w, i, i + 1), ' ')
+          for i in generate_series(1, len(w) - 1)] ELSE [] END) AS gram
+       FROM tk),
+c AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
+             count(*) AS c FROM bi GROUP BY 1, 2),
+tot AS (SELECT w1, sum(c) AS t FROM c GROUP BY 1),
+s AS (SELECT c.w1, w2, c::DOUBLE / t AS p,
+        row_number() OVER (PARTITION BY c.w1
+                           ORDER BY c::DOUBLE / t DESC, w2) AS rn
+      FROM c JOIN tot USING (w1))
+SELECT w1, w2, round(p, 6) AS p, CAST(rn AS BIGINT) AS rank
+FROM s WHERE rn <= 3
+""",
+)
+def bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(T.tokens("text").alias("__toks"))
+    grams = staged.select(
+        F.explode(T.all_shingles_from_tokens(F.col("__toks"), 2)).alias("gram")
+    ).select(
+        F.split("gram", " ")[0].alias("w1"), F.split("gram", " ")[1].alias("w2")
+    )
+    counts = grams.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    totals = F.broadcast(counts.groupBy("w1").agg(F.sum("c").alias("t")))
+    scored = counts.join(totals, "w1").select(
+        "w1", "w2", (F.col("c").cast("double") / F.col("t")).alias("__p")
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("__p").desc(), "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("w1", "w2", F.round("__p", 6).alias("p"), "rank")
+    )
+
+
+@query(
+    "doc_weighted_sample",
+    "Deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis exponential keys): P(selection) proportional to n_chars, "
+    "key = -ln(u)/weight with u from md5(salt|id) — reproducible "
+    "across engines/retries, oracle-checkable, one global top-k (no "
+    "full sort at scale: TakeOrdered).",
+    ("U4", "U7", "mixing"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, n_chars,
+    -ln((('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000 + 0.5) / 1000000.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, round(k, 6) AS wkey
+FROM s ORDER BY k, doc_id LIMIT 20
+""",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.sample import weighted_sample
+
+    d = t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", k=20, salt="ws").select(
+        "doc_id", "n_chars", F.round("__wkey", 6).alias("wkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -3114,15 +3225,15 @@ _DRIVER_WINDOW = [
     "token_pagerank",
     "daily_new_users",
     "event_value_anomalies",
+    "event_multi_rollup",
+    "bigram_lm_top",
+    "doc_weighted_sample",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
     "daily_event_rollup",
-    "sessionized_events",
-    "asof_click_before_purchase",
     "doc_exact_dedup",
     "doc_minhash_pairs",
-    "doc_simhash_pairs",
     "doc_ngram_jaccard_pairs",
     "embedding_bucket_topk",
     "embedding_near_dup",

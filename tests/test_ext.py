@@ -795,3 +795,52 @@ def test_pagerank_matches_reference_loop(spark):
         assert got[v] == pytest.approx(round(r[v], 6), abs=1e-6)
     # symmetric graph, no dangling mass: ranks stay a distribution
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bigram_lm_known_probabilities(spark):
+    from python_mozetl_spark.plans.queries import REGISTRY  # noqa: F401  (query form tested at sf)
+    from pyspark.sql import Window  # noqa: F401
+
+    # corpus: "a b", "a b", "a c" -> P(b|a)=2/3, P(c|a)=1/3
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    from python_mozetl_spark.functions import text as T
+
+    grams = df.select(T.tokens("text").alias("__toks")).select(
+        F.explode(T.all_shingles_from_tokens(F.col("__toks"), 2)).alias("gram")
+    )
+    counts = {r["gram"]: r["count"] for r in grams.groupBy("gram").count().collect()}
+    assert counts == {"a b": 2, "a c": 1}
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    import hashlib
+    import math
+
+    from python_mozetl_spark.operators.sample import weighted_sample
+
+    rows = [(i, 1000 if i < 10 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_sample(df, "doc_id", "w", k=10, salt="t")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # recompute is identical
+    ids2 = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=10, salt="t").collect())
+    assert ids == ids2
+    # 10 docs carry 1000x the weight of the other 490; expect most of
+    # the top-10 to be heavy (each heavy doc ~95% likely above any
+    # given light doc)
+    assert sum(1 for i in ids if i < 10) >= 7
+    # key formula matches the python-side md5 construction exactly
+    r0 = out.orderBy("__wkey").first()
+    h = int(hashlib.md5(f"t|{r0['doc_id']}".encode()).hexdigest()[:15], 16)
+    u = (h % 1_000_000 + 0.5) / 1_000_000
+    assert r0["__wkey"] == pytest.approx(-math.log(u) / r0["w"], rel=1e-12)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from python_mozetl_spark.operators.sample import weighted_sample
+
+    df = spark.createDataFrame([(1, 0), (2, -5), (3, 10)], ["doc_id", "w"])
+    got = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=10).collect()]
+    assert got == [3]

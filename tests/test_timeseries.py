@@ -222,3 +222,21 @@ def test_rolling_zscore_flags_spike_only(spark):
     vals = [10.0] * 6 + [200.0]
     z = (200.0 - statistics.mean(vals)) / statistics.stdev(vals)
     assert r["zscore"] == pytest.approx(round(z, 6), abs=1e-6)
+
+
+def test_event_multi_rollup_lattice_consistency(spark):
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    out = REGISTRY["event_multi_rollup"].build(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    grains = {}
+    for r in rows:
+        grains.setdefault(r["grain"], []).append(r)
+    assert set(grains) == {"hour", "day", "week"}
+    n_hour = sum(r["n_events"] for r in grains["hour"])
+    n_day = sum(r["n_events"] for r in grains["day"])
+    n_week = sum(r["n_events"] for r in grains["week"])
+    assert n_hour == n_day == n_week  # every grain partitions the stream
+    # buckets are unique within a grain
+    for g, rs in grains.items():
+        assert len({r["bucket"] for r in rs}) == len(rs)
