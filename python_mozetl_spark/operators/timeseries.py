@@ -125,6 +125,11 @@ def funnel_counts(
     # below the cap
     from pyspark.sql import Window
 
+    # ONE explicit exchange on the user key: hash(user) satisfies both
+    # the (user, step) window's ClusteredDistribution AND the
+    # downstream groupBy(user), so the filtered stream shuffles once
+    # instead of twice (plan-pinned in tests/test_plans.py)
+    events = events.repartition(F.col(user_col))
     w = Window.partitionBy(user_col, "__step").orderBy("__ts")
     events = (
         events.withColumn("__rn", F.row_number().over(w))

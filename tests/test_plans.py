@@ -152,3 +152,31 @@ def test_pii_scrub_is_single_scan_single_agg(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_stream_shuffles_once_on_user(spark):
+    """The funnel's cap window (user, step) and per-user collect both
+    reuse ONE explicit hash(user) exchange — the filtered event stream
+    must not shuffle twice."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    qe = REGISTRY["event_funnel"].build(spark, SF_DIR)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    hash_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    user_exchanges = [l for l in hash_exchanges if "user_id" in l]
+    assert len(user_exchanges) == 1, plan
+    # and the one exchange carries ONLY the user key (not (user, step))
+    assert "__step" not in user_exchanges[0]
+
+
+def test_token_entropy_is_exchange_free(spark):
+    """Within-row entropy adds NO exchange beyond the local-fixture
+    spread: sort + fold happen per row."""
+    from python_mozetl_spark.ext.quality import token_entropy
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted_plan(token_entropy(d, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
