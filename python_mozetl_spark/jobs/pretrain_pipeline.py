@@ -1,0 +1,125 @@
+"""End-to-end pre-training corpus preparation — the full prep chain a
+training-data pipeline runs between raw documents and tokenizer-ready
+shards, composed from the engine's own graded operators in cost order
+(cheap row-local gates first, candidate-generation tiers last):
+
+1. quality gate — Gopher-style repetition thresholds
+   (ext/quality.py:repetition_stats) + a minimum token count; runs
+   FIRST because it is row-local (zero shuffles) and shrinks every
+   later stage;
+2. dedup — exact fingerprint → MinHash LSH → connected components
+   (jobs/dedup_pipeline.py:clean_corpus), over quality survivors only;
+3. benchmark decontamination — cross-corpus MinHash LSH vs the
+   held-out set (ext/dedup.py:cross_corpus_lsh_filter), benchmark side
+   broadcast, over dedup keepers only;
+4. split assignment — deterministic md5 train/val/test
+   (ext/mixing.py:split_assign), growth-stable;
+5. shard + position — deterministic global shuffle for the train
+   split (ext/mixing.py:shuffle_shards).
+
+Output: ONE row per input document —
+``(doc_id, status, split, shard, pos)`` with
+``status ∈ {low_quality, exact_dup, near_dup, contaminated, kept}``;
+``split`` is non-null only for kept docs, ``shard``/``pos`` only for
+kept train docs.  Everything is one DataFrame plan until the sink, so
+the pipeline inherits each stage's scale guard rails (bounded LSH
+buckets, staged signatures, broadcast benchmark, bounded component
+rounds) — and every stage's SEMANTICS are already independently
+oracle-graded, which is what makes the composed oracle tractable.
+
+No reference counterpart (SURVEY §2 extension): this is the "switch
+your whole prep pipeline to this engine" one-call story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.ext.dedup import cross_corpus_lsh_filter
+from python_mozetl_spark.ext.mixing import shuffle_shards, split_assign
+from python_mozetl_spark.ext.quality import repetition_stats
+from python_mozetl_spark.jobs.dedup_pipeline import clean_corpus
+
+
+def prepare_pretraining_corpus(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_top_token_frac: float = 0.12,
+    max_top_bigram_frac: float = 0.06,
+    max_dup_bigram_frac: float = 0.12,
+    min_tokens: int = 10,
+    dedup_threshold: float = 0.8,
+    contamination_threshold: float = 0.8,
+    splits: list[tuple[str, float]] | None = None,
+    num_shards: int = 8,
+) -> DataFrame:
+    """(doc_id, status, split, shard, pos) for every input document."""
+    # Every stage frame below is consumed by 2+ downstream branches
+    # (its own filter chain AND the final assembly join).  Without a
+    # materialization boundary each consumer re-runs the whole upstream
+    # DAG — repetition stats, the LSH verify, the component rounds —
+    # and the assembly multiplies that cost per branch (measured 226 s
+    # -> ~20 s at sf0.01).  localCheckpoint is the same stage-boundary
+    # tool connected_components already uses; the checkpointed frames
+    # are id+flag sized, tiny relative to the corpus.
+    rep = repetition_stats(
+        documents,
+        id_col,
+        text_col,
+        max_top_token_frac=max_top_token_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        max_dup_bigram_frac=max_dup_bigram_frac,
+    )
+    flags = rep.select(
+        F.col(id_col),
+        (~F.col("keep") | (F.col("n_tokens") < min_tokens)).alias("__lowq"),
+    ).localCheckpoint()
+    survivors = documents.join(
+        flags.where(~F.col("__lowq")).select(id_col), id_col
+    )
+    dedup = (
+        clean_corpus(survivors, id_col, text_col, threshold=dedup_threshold)
+        .withColumnRenamed("status", "__dstatus")
+        .localCheckpoint()
+    )
+    keepers = survivors.join(
+        dedup.where(F.col("__dstatus") == "kept").select(id_col), id_col
+    )
+    contaminated = (
+        cross_corpus_lsh_filter(
+            keepers, benchmark, id_col, text_col,
+            threshold=contamination_threshold,
+        )
+        .select(F.col(id_col), F.lit(True).alias("__cont"))
+        .localCheckpoint()
+    )
+    clean = keepers.select(id_col).join(contaminated, id_col, "left_anti")
+    assigned = split_assign(clean, id_col, splits).localCheckpoint()
+    sharded = shuffle_shards(
+        assigned.where(F.col("split") == "train").select(id_col),
+        id_col,
+        num_shards,
+    )
+    return (
+        documents.select(id_col)
+        .join(flags, id_col, "left")
+        .join(dedup.select(id_col, "__dstatus"), id_col, "left")
+        .join(contaminated, id_col, "left")
+        .join(assigned, id_col, "left")
+        .join(sharded.select(id_col, "shard", "pos"), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__lowq"), F.lit("low_quality"))
+            .when(F.col("__dstatus") != "kept", F.col("__dstatus"))
+            .when(F.col("__cont"), F.lit("contaminated"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "split",
+            "shard",
+            F.col("pos").cast("bigint").alias("pos"),
+        )
+    )

@@ -3169,6 +3169,117 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_pretrain_corpus",
+    "THE end-to-end pre-training prep pipeline "
+    "(jobs/pretrain_pipeline.py): repetition quality gate -> exact + "
+    "LSH dedup + components -> benchmark decontamination (src15-19 "
+    "held out, broadcast) -> md5 train/val/test split -> deterministic "
+    "train shards.  One status row per doc; every stage is an "
+    "independently-graded operator, so the composed oracle reuses "
+    "proven fragments.",
+    ("ext-dedup", "ext-quality", "mixing", "F7"),
+    oracle=f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text FROM documents
+           WHERE source NOT IN ('src15','src16','src17','src18','src19')),
+bench AS (SELECT doc_id, text FROM documents
+          WHERE source IN ('src15','src16','src17','src18','src19')),
+toks AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l
+  FROM corpus),
+uni AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY 1, 2
+  ) GROUP BY 1),
+bi AS (SELECT doc_id, sum(c) AS total_bi, max(c) AS top_bi,
+        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bi FROM (
+    SELECT doc_id, gram, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(l), 1)),
+                            i -> l[i] || ' ' || l[i+1])) AS gram
+      FROM toks WHERE len(l) >= 2
+    ) GROUP BY 1, 2
+  ) GROUP BY 1),
+q AS (SELECT c.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        round(coalesce(top_tok, 0) / greatest(coalesce(n_tokens, 0), 1)::DOUBLE, 6) AS f1,
+        round(coalesce(top_bi, 0) / greatest(coalesce(total_bi, 0), 1)::DOUBLE, 6) AS f2,
+        round(coalesce(dup_bi, 0) / greatest(coalesce(total_bi, 0), 1)::DOUBLE, 6) AS f3
+      FROM corpus c LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)),
+flags AS (SELECT doc_id,
+        (NOT (f1 <= 0.12 AND f2 <= 0.06 AND f3 <= 0.12)) OR n_tokens < 10 AS lowq
+      FROM q),
+surv AS (SELECT c.doc_id, c.text FROM corpus c JOIN flags USING (doc_id)
+         WHERE NOT lowq),
+fp AS (SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM surv),
+grp AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp),
+ex AS (SELECT fp.doc_id, grp.keeper FROM fp JOIN grp USING (fp)),
+kept1 AS (SELECT doc_id FROM ex WHERE doc_id = keeper),
+tk2 AS (SELECT s.doc_id, {_DUCK_TOKS.replace('text', 's.text')} AS w
+        FROM surv s JOIN kept1 USING (doc_id)),
+sh2 AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tk2),
+p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+e2 AS (SELECT id_a AS a, id_b AS b FROM p2 UNION SELECT id_b, id_a FROM p2),
+walk(v, r) AS (
+  SELECT DISTINCT a, a FROM e2
+  UNION
+  SELECT e2.a, walk.r FROM e2 JOIN walk ON walk.v = e2.b),
+comp AS (SELECT v, min(r) AS c FROM walk GROUP BY v),
+ded AS (SELECT ex.doc_id,
+        CASE WHEN ex.doc_id <> ex.keeper THEN 'exact_dup'
+             WHEN comp.c IS NOT NULL AND comp.c <> ex.doc_id THEN 'near_dup'
+             ELSE 'kept' END AS dstatus
+        FROM ex LEFT JOIN comp ON comp.v = ex.doc_id),
+kept2 AS (SELECT doc_id FROM ded WHERE dstatus = 'kept'),
+btk AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM bench),
+bsh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM btk),
+ksh AS (SELECT sh2.doc_id, sh2.sh FROM sh2 JOIN kept2 USING (doc_id)),
+cont AS (SELECT DISTINCT k.doc_id FROM ksh k JOIN bsh b
+         ON CAST(len(list_intersect(k.sh, b.sh)) AS DOUBLE)
+            / (len(k.sh) + len(b.sh) - len(list_intersect(k.sh, b.sh))) >= 0.8),
+clean AS (SELECT doc_id FROM kept2
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+spl AS (SELECT doc_id,
+        CASE WHEN k < 800000 THEN 'train'
+             WHEN k < 900000 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 AS k
+              FROM clean)),
+tr AS (SELECT doc_id,
+        ('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+       FROM spl WHERE split = 'train'),
+shd AS (SELECT doc_id, CAST(k % 8 AS INT) AS shard,
+        CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1
+             AS BIGINT) AS pos
+        FROM tr)
+SELECT c.doc_id,
+  CASE WHEN fl.lowq THEN 'low_quality'
+       WHEN ded.dstatus <> 'kept' THEN ded.dstatus
+       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       ELSE 'kept' END AS status,
+  spl.split, shd.shard, shd.pos
+FROM corpus c
+LEFT JOIN flags fl ON fl.doc_id = c.doc_id
+LEFT JOIN ded ON ded.doc_id = c.doc_id
+LEFT JOIN cont ON cont.doc_id = c.doc_id
+LEFT JOIN spl ON spl.doc_id = c.doc_id
+LEFT JOIN shd ON shd.doc_id = c.doc_id
+""",
+)
+def doc_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.pretrain_pipeline import prepare_pretraining_corpus
+
+    d = t(spark, sf_dir, "documents")
+    bench_srcs = ["src15", "src16", "src17", "src18", "src19"]
+    corpus = d.where(~F.col("source").isin(bench_srcs))
+    bench = d.where(F.col("source").isin(bench_srcs))
+    return prepare_pretraining_corpus(corpus, bench)
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -3228,10 +3339,10 @@ _DRIVER_WINDOW = [
     "event_multi_rollup",
     "bigram_lm_top",
     "doc_weighted_sample",
+    "doc_pretrain_corpus",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
-    "daily_event_rollup",
     "doc_exact_dedup",
     "doc_minhash_pairs",
     "doc_ngram_jaccard_pairs",
