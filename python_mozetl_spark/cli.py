@@ -314,5 +314,29 @@ def dedup_pipeline(input_path, output_path, date, master, threshold, id_col, tex
     write_partitioned_parquet(out, output_path, partition_by=["status"])
 
 
+@entry_point.command("pretrain_pipeline")
+@_common
+@click.option("--benchmark-path", required=True,
+              help="parquet path of the held-out benchmark/eval set")
+@click.option("--id-col", default="doc_id")
+@click.option("--text-col", default="text")
+@click.option("--num-shards", default=8, type=int)
+def pretrain_pipeline(input_path, output_path, date, master, benchmark_path,
+                      id_col, text_col, num_shards):
+    """Full pre-training prep: repetition quality gate -> exact+LSH
+    dedup -> benchmark decontamination -> md5 train/val/test split ->
+    deterministic train shards; writes (doc_id, status, split, shard,
+    pos) partitioned by status so the kept set is one partition read."""
+    from python_mozetl_spark.jobs.pretrain_pipeline import prepare_pretraining_corpus
+
+    spark = get_session(app_name="pretrain_pipeline", master=master)
+    docs = _read(spark, input_path, date)
+    bench = spark.read.parquet(benchmark_path)
+    out = prepare_pretraining_corpus(
+        docs, bench, id_col=id_col, text_col=text_col, num_shards=num_shards
+    )
+    write_partitioned_parquet(out, output_path, partition_by=["status"])
+
+
 if __name__ == "__main__":
     entry_point()
