@@ -146,9 +146,12 @@ def funnel_counts(
     # timestamps sort deterministically (ts, then step), and "strictly
     # after" holds because array_sort puts the lower step first at ties
     # and the walk only ever advances one level per element.
+    # the accumulator's timestamp must match the INPUT's flavor
+    # (timestamp vs timestamp_ntz) or the fold's merge type mismatches
+    ts_type = per_user.schema["__seq"].dataType.elementType["ts"].dataType
     init = F.struct(
         F.lit(0).cast("int").alias("depth"),
-        F.lit(None).cast("timestamp_ntz").alias("at"),
+        F.lit(None).cast(ts_type).alias("at"),
     )
 
     def step_fn(acc, e):

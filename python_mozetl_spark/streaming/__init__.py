@@ -12,3 +12,6 @@ from python_mozetl_spark.streaming.stateful import (  # noqa: F401
     batch_running_totals,
     running_totals_stream,
 )
+from python_mozetl_spark.streaming.funnel import (  # noqa: F401
+    funnel_depth_stream,
+)

@@ -271,3 +271,68 @@ def test_interval_join_stream_matches_batch_twin(spark):
             ).collect()
         )
         assert got == batch == [(1, 2), (5, 4), (5, 6)]
+
+
+def test_streaming_funnel_matches_batch_across_out_of_order_batches(spark):
+    import glob
+    import os
+
+    from python_mozetl_spark.operators.timeseries import funnel_counts
+    from python_mozetl_spark.streaming import funnel_depth_stream
+
+    steps = ["view", "click", "purchase"]
+    rows = [
+        # u100 completes all three; the PURCHASE lands in an earlier
+        # file than the view half the time (out-of-order across batches)
+        (1, "2024-01-01 01:00:00", 100, "view", 0.0),
+        (2, "2024-01-01 02:00:00", 100, "click", 0.0),
+        (3, "2024-01-01 03:00:00", 100, "purchase", 0.0),
+        # u200: click before view -> depth 1 only
+        (4, "2024-01-01 00:30:00", 200, "click", 0.0),
+        (5, "2024-01-01 01:30:00", 200, "view", 0.0),
+        # u300: view only
+        (6, "2024-01-01 04:00:00", 300, "view", 0.0),
+        # noise event type ignored
+        (7, "2024-01-01 05:00:00", 100, "error", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        # one file per event, shuffled: forces multi-batch out-of-order
+        for i, eid in enumerate([3, 6, 1, 4, 7, 2, 5]):
+            df.where(F.col("event_id") == eid).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        assert len(glob.glob(os.path.join(src, "*.parquet"))) == 7
+        stream_df = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            funnel_depth_stream(stream_df, steps)
+            .writeStream.format("memory")
+            .queryName("funnel_t")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.table("funnel_t").collect()
+        final = {}
+        for r in emitted:  # depth is monotone per user: keep the max
+            final[r["user_id"]] = max(final.get(r["user_id"], 0), r["depth"])
+        assert final == {100: 3, 200: 1, 300: 1}
+        # ladder form equals the batch operator
+        batch = {
+            r["step_idx"]: r["n_users"]
+            for r in funnel_counts(df, "user_id", "ts", "event_type", steps).collect()
+        }
+        ladder = {
+            k: sum(1 for v in final.values() if v >= k) for k in (1, 2, 3)
+        }
+        assert ladder == batch
