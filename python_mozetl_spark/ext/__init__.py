@@ -1,5 +1,6 @@
 from python_mozetl_spark.ext.dedup import (  # noqa: F401
     bounded_bucket_pairs,
+    cross_corpus_lsh_filter,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -8,12 +9,17 @@ from python_mozetl_spark.ext.dedup import (  # noqa: F401
     simhash_signatures,
     winnow_fingerprints,
 )
-from python_mozetl_spark.ext.graph import connected_components  # noqa: F401
+from python_mozetl_spark.ext.graph import (  # noqa: F401
+    connected_components,
+    pagerank,
+)
 from python_mozetl_spark.ext.mixing import (  # noqa: F401
     shuffle_shards,
+    split_assign,
     weighted_mix,
 )
 from python_mozetl_spark.ext.packing import (  # noqa: F401
+    length_bucketed_batches,
     pack_sequences,
     sliding_window_chunks,
 )
@@ -22,7 +28,14 @@ from python_mozetl_spark.ext.quality import (  # noqa: F401
     ngram_occurrence_stats,
     repetition_stats,
     tfidf_top_terms,
+    token_entropy,
     unigram_logprob,
+)
+from python_mozetl_spark.ext.search import (  # noqa: F401
+    index_terms,
+    phrase_match,
+    phrase_search,
+    positional_postings,
 )
 from python_mozetl_spark.ext.similarity import (  # noqa: F401
     brute_force_topk,

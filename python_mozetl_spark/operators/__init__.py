@@ -28,8 +28,16 @@ from python_mozetl_spark.operators.sample import (  # noqa: F401
     capped_random_per_key,
     mod_sample,
     stratified_sample,
+    weighted_sample,
 )
 from python_mozetl_spark.operators.sessionize import sessionize  # noqa: F401
+from python_mozetl_spark.operators.timeseries import (  # noqa: F401
+    funnel_counts,
+    gapfill_daily,
+    new_user_growth,
+    retention_cohorts,
+    rolling_zscore_anomalies,
+)
 from python_mozetl_spark.operators.skew import salted_join  # noqa: F401
 from python_mozetl_spark.operators.windows import (  # noqa: F401
     latest_per_key,
