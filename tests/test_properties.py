@@ -222,3 +222,102 @@ def test_quantize_int8_bounds_and_sign(sess, vec):
             assert qx >= 0
         elif x < 0:
             assert qx <= 0
+
+
+# ---------------------------------------------------------------------------
+# round 4: funnel fold == reference walk; batching invariants; pagerank mass
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),            # user
+            st.integers(0, 30),           # ts (seconds)
+            st.integers(1, 3),            # step idx
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_fold_matches_reference_walk(sess, events):
+    """The one-fold funnel equals a plain-python greedy walk on every
+    random event set (including ties and out-of-order input)."""
+    import datetime as dt
+
+    from python_mozetl_spark.operators.timeseries import funnel_counts
+
+    steps = ["s1", "s2", "s3"]
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts), steps[s - 1], 0.0)
+        for u, ts, s in events
+    ]
+    df = sess.createDataFrame(
+        rows, "user_id int, ts timestamp_ntz, event_type string, value double"
+    )
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    # reference: greedy walk per user over (ts, step)-sorted events
+    per_user = {}
+    for u, ts, s in events:
+        per_user.setdefault(u, []).append((ts, s))
+    depths = []
+    for seq in per_user.values():
+        depth, at = 0, None
+        for ts, s in sorted(seq):
+            if s == depth + 1 and (at is None or ts > at):
+                depth, at = depth + 1, ts
+        depths.append(depth)
+    expect = {
+        k: sum(1 for d in depths if d >= k)
+        for k in (1, 2, 3)
+        if sum(1 for d in depths if d >= k) > 0
+    }
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    lens=st.lists(st.integers(0, 200), min_size=1, max_size=60),
+    batch=st.integers(1, 7),
+)
+def test_length_batches_partition_and_bound(sess, lens, batch):
+    """Batches partition the input; every batch is <= batch_size; the
+    LAST batch per bucket is the only one allowed to be short."""
+    from python_mozetl_spark.ext.packing import length_bucketed_batches
+
+    df = sess.createDataFrame(list(enumerate(lens)), ["doc_id", "n"])
+    out = length_bucketed_batches(df, "doc_id", "n", [50, 120], batch).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(range(len(lens)))
+    groups = {}
+    for r in out:
+        groups.setdefault((r["bucket"], r["batch"]), []).append(r)
+    for (b, k), rs in groups.items():
+        assert len(rs) <= batch
+        if len(rs) < batch:  # short => must be the bucket's last batch
+            assert k == max(kk for (bb, kk) in groups if bb == b)
+        # batch_pos is a permutation of 0..len-1
+        assert sorted(r["batch_pos"] for r in rs) == list(range(len(rs)))
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_pagerank_conserves_mass_on_symmetric_graphs(sess, edges):
+    """On a symmetrized graph (no dangling vertices) the rank vector
+    stays a probability distribution through every unrolled iteration."""
+    from python_mozetl_spark.ext.graph import pagerank
+
+    sym = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = sess.createDataFrame(sym, ["s", "d"])
+    ranks = [r["rank"] for r in pagerank(df, "s", "d", iterations=2).collect()]
+    assert all(r > 0 for r in ranks)
+    assert abs(sum(ranks) - 1.0) < 1e-4
