@@ -7,6 +7,10 @@ from python_mozetl_spark.operators.aggregate import (  # noqa: F401
     wide_agg,
 )
 from python_mozetl_spark.operators.asof import asof_join  # noqa: F401
+from python_mozetl_spark.operators.merge import (  # noqa: F401
+    merge_upsert,
+    scd2_history,
+)
 from python_mozetl_spark.operators.convert import (  # noqa: F401
     ColumnSpec,
     FrameConfig,

@@ -1,0 +1,109 @@
+"""Batch MERGE (upsert + tombstone delete) and SCD2 history building —
+the two incremental-ETL verbs every warehouse pipeline needs and plain
+Spark tables lack (Delta/Iceberg implement MERGE INTO; this is the
+engine-level DataFrame algebra with identical semantics).
+
+The reference's closest shape is the graphics-trends incremental
+backfill (idempotent anti-join merge, jobs/graphics_trends.py); these
+generalize it to keyed upserts and validity-interval dimension
+history.
+
+Scale shapes:
+
+- :func:`merge_upsert` is one co-partitioned join pair on the merge
+  key: changes are reduced to last-wins per key (hash agg), the base
+  anti-joins the change keys, surviving changes union in.  Both
+  shuffles are on the SAME key, so AQE plans them as one exchange per
+  side; the base never shuffles on anything but the merge key.
+- :func:`scd2_history` is one window (key, order) pass: ``lead``
+  closes each version's validity interval.  Optionally collapses
+  consecutive duplicates first (the run-length dedup every CDC feed
+  needs) with ``lag`` on the same window — same single exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE ``changes`` into ``base``: per merge key the change row
+    with the highest ``version_col`` wins (ties break toward keeping a
+    delete, then arbitrary-but-deterministic via the key); keys absent
+    from ``changes`` pass through; winning rows with ``delete_col``
+    true are tombstones — the key disappears.  Output schema = base
+    schema (minus nothing; ``delete_col`` is dropped if present).
+
+    Works on append-only storage: writing the result partitioned by
+    the merge-key hash gives the classic copy-on-write MERGE.
+    """
+    last = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(),
+        *(
+            [F.col(delete_col).desc()] if delete_col else []
+        ),  # at version ties a tombstone wins: deletes must not resurrect
+    )
+    winners = (
+        changes.withColumn("__rn", F.row_number().over(last))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if delete_col is not None:
+        survivors = winners.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        survivors = winners
+    kept_base = base.join(
+        winners.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return kept_base.unionByName(survivors.select(*base.columns))
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_cols: list[str],
+    collapse_repeats: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: one row per
+    (key, version) with ``valid_from`` = its ``order_col`` and
+    ``valid_to`` = the next version's (NULL for the current version —
+    the open interval).
+
+    With ``collapse_repeats`` (default), consecutive observations with
+    identical ``value_cols`` merge into one validity interval — the
+    run-length dedup a CDC feed needs so repeated snapshots don't
+    fragment history.  Both passes share ONE (key, order) window
+    exchange.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    out = df.select(*key_cols, order_col, *value_cols)
+    if collapse_repeats:
+        changed: Column = F.lit(False)
+        for v in value_cols:
+            prev = F.lag(v).over(w)
+            changed = changed | ~F.col(v).eqNullSafe(prev)
+        first = F.lag(order_col).over(w).isNull()
+        # window expressions must be projected before they can filter
+        out = (
+            out.withColumn("__chg", first | changed)
+            .where(F.col("__chg"))
+            .drop("__chg")
+        )
+    return out.select(
+        *key_cols,
+        *value_cols,
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(
+            Window.partitionBy(*key_cols).orderBy(order_col)
+        ).alias("valid_to"),
+    )

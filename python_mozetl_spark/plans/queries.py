@@ -3312,6 +3312,96 @@ def source_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_upsert_merge",
+    "Batch MERGE (operators/merge.py): last-wins upserts + tombstone "
+    "deletes applied to the orders base — the Delta/Iceberg MERGE INTO "
+    "semantics as engine-level DataFrame algebra.  Changes synthesized "
+    "deterministically (keys %97 restated, %193 tombstoned) so the "
+    "oracle mirrors them exactly.  Both shuffles ride the merge key.",
+    ("J6", "U1", "merge"),
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice,
+         2 AS v, FALSE AS del
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 3, TRUE
+  FROM orders WHERE o_orderkey % 193 = 0),
+winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY v DESC, del DESC) AS rn
+    FROM changes) WHERE rn = 1),
+kept AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM winners))
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM kept
+UNION ALL
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2)
+FROM winners WHERE NOT del
+""",
+)
+def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.merge import merge_upsert
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    restated = o.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(2).alias("v"),
+        F.lit(False).alias("del"),
+    )
+    tombstones = o.where(F.col("o_orderkey") % 193 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(3).alias("v"), F.lit(True).alias("del"),
+    )
+    return merge_upsert(
+        o,
+        restated.unionByName(tombstones),
+        key_cols=["o_orderkey"],
+        version_col="v",
+        delete_col="del",
+    )
+
+
+@query(
+    "customer_status_scd2",
+    "SCD2 dimension history (operators/merge.py): per customer, runs "
+    "of consecutive identical order statuses collapse into validity "
+    "intervals [valid_from, valid_to) keyed by order id, open interval "
+    "NULL-terminated.  One (key, order) window exchange for both the "
+    "run-length collapse and the lead() close.",
+    ("W3", "J7", "merge"),
+    oracle="""
+WITH flt AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           lag(o_orderstatus) OVER w AS prev, lag(o_orderkey) OVER w AS prevk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey))
+  WHERE prevk IS NULL OR o_orderstatus IS DISTINCT FROM prev)
+SELECT o_custkey, o_orderstatus,
+  o_orderkey AS valid_from,
+  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to
+FROM flt
+""",
+)
+def customer_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.merge import scd2_history
+
+    o = t(spark, sf_dir, "orders")
+    return scd2_history(
+        o,
+        key_cols=["o_custkey"],
+        order_col="o_orderkey",
+        value_cols=["o_orderstatus"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -3377,12 +3467,12 @@ _DRIVER_WINDOW = [
     "doc_weighted_sample",
     "doc_pretrain_corpus",
     "source_length_corr",
+    "orders_upsert_merge",
+    "customer_status_scd2",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
     "doc_minhash_pairs",
-    "doc_ngram_jaccard_pairs",
-    "embedding_bucket_topk",
     "embedding_near_dup",
 ]
 

@@ -270,3 +270,84 @@ def test_robust_outlier_stats_flags_planted_outliers(spark):
     r = robust_outlier_stats(df, "x", ["g"]).collect()[0]
     assert r["n"] == 10 and r["n_outliers"] == 1  # only the 1000
     assert r["med"] == 11.0 and r["lo"] < 9 and r["hi"] < 100
+
+
+# ---------------------------------------------------------------------------
+# round 4: MERGE upsert + SCD2 history (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_update_insert_delete_passthrough(spark):
+    from python_mozetl_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "val"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, False),   # update
+            (3, None, 1, True),    # delete
+            (4, "d", 1, False),    # insert
+        ],
+        ["k", "val", "v", "del"],
+    )
+    out = merge_upsert(base, changes, ["k"], "v", "del")
+    assert_df_equals(out, [{"k": 1, "val": "a2"}, {"k": 2, "val": "b"},
+                           {"k": 4, "val": "d"}])
+
+
+def test_merge_upsert_last_wins_and_tombstone_priority(spark):
+    from python_mozetl_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "val"])
+    changes = spark.createDataFrame(
+        [
+            (1, "v1", 1, False),
+            (1, "v2", 5, False),   # highest version wins
+            (1, "v3", 3, False),
+            (2, "x", 7, False),    # version tie with a delete:
+            (2, None, 7, True),    # the tombstone must win (no resurrect)
+        ],
+        ["k", "val", "v", "del"],
+    )
+    out = merge_upsert(base, changes, ["k"], "v", "del")
+    assert_df_equals(out, [{"k": 1, "val": "v2"}])
+
+
+def test_scd2_history_collapses_runs_and_closes_intervals(spark):
+    from python_mozetl_spark.operators.merge import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A"), (1, 20, "A"),   # repeat collapses
+            (1, 30, "B"), (1, 40, "A"),   # back to A = NEW interval
+            (2, 10, "Z"),
+        ],
+        ["k", "seq", "status"],
+    )
+    out = scd2_history(df, ["k"], "seq", ["status"])
+    assert_df_equals(
+        out,
+        [
+            {"k": 1, "status": "A", "valid_from": 10, "valid_to": 30},
+            {"k": 1, "status": "B", "valid_from": 30, "valid_to": 40},
+            {"k": 1, "status": "A", "valid_from": 40, "valid_to": None},
+            {"k": 2, "status": "Z", "valid_from": 10, "valid_to": None},
+        ],
+    )
+
+
+def test_scd2_history_without_collapse_keeps_every_observation(spark):
+    from python_mozetl_spark.operators.merge import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (1, 20, "A")], ["k", "seq", "status"]
+    )
+    out = scd2_history(df, ["k"], "seq", ["status"], collapse_repeats=False)
+    assert_df_equals(
+        out,
+        [
+            {"k": 1, "status": "A", "valid_from": 10, "valid_to": 20},
+            {"k": 1, "status": "A", "valid_from": 20, "valid_to": None},
+        ],
+    )
