@@ -106,6 +106,10 @@ def pagerank(
     add a dangling-mass redistribution term before using on directed
     web-style graphs.
     """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not (0.0 < damping < 1.0):
+        raise ValueError("damping must be in (0, 1)")
     w = F.col(weight) if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"), w.cast("double").alias("w")

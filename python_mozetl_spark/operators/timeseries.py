@@ -112,6 +112,8 @@ def funnel_counts(
     per-user depths.  Single shuffle over filtered events; no joins,
     no windows over the raw stream.
     """
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
     step_map = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i + 1))]
     )

@@ -26,3 +26,26 @@ def test_all_queries_run_at_smoke_sf(spark):
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_driver_window_covers_every_query_at_least_once():
+    """The correctness driver grades only the FIRST 50 registry
+    entries.  Invariants: the window is exactly 50 and is the dict
+    prefix; and every registry query either sits in this round's
+    window or already has a driver-green row in a committed
+    CORRECTNESS file — i.e. nothing is ever silently ungraded."""
+    import glob
+    import json
+
+    from python_mozetl_spark.plans.queries import _DRIVER_WINDOW, REGISTRY
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW
+    graded = set(_DRIVER_WINDOW)
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        graded |= set(json.load(open(f)))
+    missing = set(REGISTRY) - graded
+    assert not missing, (
+        f"queries with NO driver row ever and not in this round's "
+        f"window: {sorted(missing)} — front them in _DRIVER_WINDOW"
+    )
