@@ -26,18 +26,32 @@ def write_partitioned_parquet(
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
     target_files: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """K1: partitioned parquet write with explicit sizing policy.
 
     ``target_files`` repartitions on the partition columns (or to a
     fixed count) before writing — the scalable version of the
     reference's coalesce(25)/repartition(1) habits.
+
+    ``sort_by`` clusters the layout for parquet data skipping: with
+    ``target_files`` (and no hive partitioning) the frame is
+    repartitionByRange'd on the sort key — files then own DISJOINT key
+    ranges — and every task sorts within its partition, so row-group
+    min/max stats are tight.  A later range- or point-filtered scan
+    skips whole files/row groups instead of reading them — the
+    poor-man's Z-order, and the single highest-leverage layout knob
+    for a 100 TB table queried by time or key range.
     """
     if target_files:
         if partition_by:
             df = df.repartition(target_files, *partition_by)
+        elif sort_by:
+            df = df.repartitionByRange(target_files, *sort_by)
         else:
             df = df.repartition(target_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

@@ -267,3 +267,35 @@ def test_cli_hardware_report_end_to_end(spark, tmp_path):
            for row in spark.read.parquet(f"{out_dir}/os").collect()}
     assert got["windows"] == pytest.approx(8 / 9)
     assert got["Other"] == pytest.approx(1 / 9)
+
+
+def test_sorted_write_produces_tight_rowgroup_stats(spark, tmp_path):
+    """sort_by makes per-file parquet min/max ranges (near-)disjoint —
+    the stats a range-filtered scan uses to skip files entirely."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from python_mozetl_spark.sinks.writers import write_partitioned_parquet
+
+    # start SHUFFLED: the writer's range layout must impose the order
+    df = (
+        spark.range(0, 10_000).withColumnRenamed("id", "k").repartition(7)
+    )
+    out = str(tmp_path / "sorted")
+    write_partitioned_parquet(
+        df, out, sort_by=["k"], target_files=4, max_records_per_file=2000
+    )
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            spans.append((st.min, st.max, md.row_group(rg).num_rows))
+    # every row group's span is tight: it covers exactly its row count
+    # (consecutive keys), not a shuffled smear of the whole key space
+    for lo, hi, n in spans:
+        assert hi - lo == n - 1
+    # and a point-lookup value overlaps exactly one row group's range
+    probe = 4321
+    assert sum(1 for lo, hi, _ in spans if lo <= probe <= hi) == 1
