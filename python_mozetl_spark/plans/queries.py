@@ -3402,6 +3402,85 @@ def customer_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_estimate_oracle(num_hashes: int = 32) -> str:
+    """SQL that rebuilds the EXACT MinHash signatures (same md5 base
+    hash, same (a, b) permutation constants) and scores candidate
+    pairs by signature agreement — proving the sketch itself, not just
+    the verified output, is bit-identical across engines."""
+    from python_mozetl_spark.functions.hashing import MINHASH_P, _minhash_coeffs
+
+    base = "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % " \
+        f"{MINHASH_P})"
+    mh_cols = ",\n  ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS mh_{j}"
+        for j, (a, b) in ((j, _minhash_coeffs(j)) for j in range(num_hashes))
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+shs AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tk),
+hs AS (SELECT doc_id, sh, {base} AS hs FROM shs),
+sig AS (SELECT doc_id,
+  {mh_cols}
+  FROM hs),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh)) AS inter,
+        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+      FROM shs a JOIN shs b ON a.doc_id < b.doc_id),
+pairs AS (SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+          FROM p WHERE CAST(inter AS DOUBLE) / un >= 0.8)
+SELECT pr.id_a, pr.id_b, pr.jaccard,
+  round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM pairs pr
+JOIN sig a ON a.doc_id = pr.id_a
+JOIN sig b ON b.doc_id = pr.id_b
+"""
+
+
+@query(
+    "doc_minhash_estimates",
+    "Sketch exactness, graded: near-dup pairs annotated with the "
+    "MinHash ESTIMATE (signature-agreement fraction) next to the exact "
+    "Jaccard.  The oracle rebuilds the 32 signatures in SQL from the "
+    "same md5 base hash and (a,b) permutation constants — the sketch "
+    "pipeline, not just its verified output, is bit-identical across "
+    "engines (the property every md5-keyed operator here relies on).",
+    ("ext-dedup", "F6"),
+    oracle=_minhash_estimate_oracle(),
+)
+def doc_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs, minhash_signatures
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8)
+    sig = minhash_signatures(d, "doc_id", "text")
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(32)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(32)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(32)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(agree / F.lit(32.0), 6).alias("est_jaccard"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -3469,10 +3548,10 @@ _DRIVER_WINDOW = [
     "source_length_corr",
     "orders_upsert_merge",
     "customer_status_scd2",
+    "doc_minhash_estimates",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
-    "doc_minhash_pairs",
     "embedding_near_dup",
 ]
 

@@ -209,12 +209,15 @@ def test_read_table_pluggable_formats(spark, tmp_path):
     root = str(tmp_path)
     src.write.json(f"{root}/t.json")
     src.write.orc(f"{root}/t.orc")
+    src.write.csv(f"{root}/t.csv")
     ddl = "id bigint, tag string, score double"
     via_json = read_table(spark, root, "t", format="json", schema=ddl)
     via_orc = read_table(spark, root, "t", format="orc")
+    via_csv = read_table(spark, root, "t", format="csv", schema=ddl)
     want = {(1, "a", 2.5), (2, "b", None)}
     assert {tuple(r) for r in via_json.select("id", "tag", "score").collect()} == want
     assert {tuple(r) for r in via_orc.select("id", "tag", "score").collect()} == want
+    assert {tuple(r) for r in via_csv.select("id", "tag", "score").collect()} == want
 
     # S5 scan of the committed ping fixture: explicit schema, no inference
     pings = read_json_pings(
