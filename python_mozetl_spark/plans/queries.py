@@ -3481,6 +3481,41 @@ def doc_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_stratified_exact_sample",
+    "Balanced eval-set construction: EXACTLY 5 docs per source, chosen "
+    "by md5(salt|id) rank within the stratum — deterministic, "
+    "growth-stable within a stratum's existing members, and unlike "
+    "fraction-based sampling the per-stratum count is exact.  One "
+    "window over the stratum key.",
+    ("U5", "W2", "mixing"),
+    oracle="""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+               doc_id) AS rn
+  FROM documents)
+WHERE rn <= 5
+""",
+)
+def doc_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from python_mozetl_spark.functions import hashing as H
+
+    d = t(spark, sf_dir, "documents")
+    key = H.md5_int64(F.concat_ws("|", F.lit("strat"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        d.select("source", "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .select("source", "doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -3549,10 +3584,10 @@ _DRIVER_WINDOW = [
     "orders_upsert_merge",
     "customer_status_scd2",
     "doc_minhash_estimates",
+    "doc_stratified_exact_sample",
     # representative re-grades (green in r01-r03; keeps every major
     # operator family visible in this round's file too)
     "pricing_summary",
-    "embedding_near_dup",
 ]
 
 
