@@ -36,19 +36,30 @@ def merge_upsert(
 ) -> DataFrame:
     """MERGE ``changes`` into ``base``: per merge key the change row
     with the highest ``version_col`` wins (ties break toward keeping a
-    delete, then arbitrary-but-deterministic via the key); keys absent
-    from ``changes`` pass through; winning rows with ``delete_col``
-    true are tombstones — the key disappears.  Output schema = base
-    schema (minus nothing; ``delete_col`` is dropped if present).
+    delete, then deterministically by a hash of the remaining value
+    columns — so two fully-identical change rows pick the same winner
+    across retries and partitionings); keys absent from ``changes``
+    pass through; winning rows with ``delete_col`` true are
+    tombstones — the key disappears.  Output schema = base schema
+    (minus nothing; ``delete_col`` is dropped if present).
 
     Works on append-only storage: writing the result partitioned by
     the merge-key hash gives the classic copy-on-write MERGE.
     """
+    # final tiebreaker: hash of the non-key payload — row_number is
+    # otherwise nondeterministic across retries when (key, version,
+    # delete) collide on rows that differ only in value columns
+    meta = set(key_cols) | {version_col} | ({delete_col} if delete_col else set())
+    value_cols = [c for c in changes.columns if c not in meta]
+    tiebreak = (
+        [F.xxhash64(*[F.col(c) for c in value_cols]).asc()] if value_cols else []
+    )
     last = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(),
         *(
             [F.col(delete_col).desc()] if delete_col else []
         ),  # at version ties a tombstone wins: deletes must not resurrect
+        *tiebreak,
     )
     winners = (
         changes.withColumn("__rn", F.row_number().over(last))

@@ -93,6 +93,13 @@ def weighted_sample(
     Rows with non-positive weight are excluded.  Returns the input
     columns plus ``__wkey``.
 
+    ``__wkey`` is ROUNDED to 6 decimals before the top-k compare (with
+    ``id_col`` as the tiebreaker): the raw key goes through ``ln``,
+    whose last ulp differs between JVM ``log`` and other libms, so a
+    near-tie at the k-th boundary could otherwise flip membership
+    between engines/platforms.  Rounding makes selection a pure
+    function of (salt, id, weight) at the comparison precision.
+
     Scale shape: one codegen'd expression + a global top-k —
     ``ORDER BY LIMIT k`` compiles to TakeOrdered (per-partition heaps,
     no full sort, no single-partition exchange).
@@ -108,7 +115,7 @@ def weighted_sample(
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (
         df.where(F.col(weight_col) > 0)
-        .withColumn("__wkey", key)
+        .withColumn("__wkey", F.round(key, 6))
         .orderBy("__wkey", id_col)
         .limit(k)
     )

@@ -106,11 +106,17 @@ def funnel_counts(
 
     Implementation: filter to step types only (pushed to the scan),
     reduce each user to one sorted (ts, step_idx) array (per-user cap
-    keeps the earliest ``max_events_per_user`` PER STEP LEVEL, which
-    is exactly the prefix the greedy walk can consume), fold the array
-    once to the deepest completed step, then one tiny aggregation over
-    per-user depths.  Single shuffle over filtered events; no joins,
-    no windows over the raw stream.
+    keeps the earliest ``max_events_per_user`` PER STEP LEVEL), fold
+    the array once to the deepest completed step, then one tiny
+    aggregation over per-user depths.  Single shuffle over filtered
+    events; no joins, no windows over the raw stream.
+
+    CAP SEMANTICS: results are exact only for users below the cap.  A
+    user with more than ``max_events_per_user`` events of step *k* can
+    lose a qualifying LATE step-*k* event to truncation when every
+    kept one precedes their step-*k-1* match, under-reporting their
+    depth.  The default cap (10k step events of one type for one user)
+    makes this a bot-traffic regime; raise it if that regime matters.
     """
     if not steps or len(set(steps)) != len(steps):
         raise ValueError("steps must be non-empty and distinct")

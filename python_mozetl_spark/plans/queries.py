@@ -3157,7 +3157,7 @@ WITH s AS (
          % 1000000 + 0.5) / 1000000.0) / n_chars AS k
   FROM documents WHERE n_chars > 0)
 SELECT doc_id, n_chars, round(k, 6) AS wkey
-FROM s ORDER BY k, doc_id LIMIT 20
+FROM s ORDER BY round(k, 6), doc_id LIMIT 20
 """,
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3165,7 +3165,7 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return weighted_sample(d, "doc_id", "n_chars", k=20, salt="ws").select(
-        "doc_id", "n_chars", F.round("__wkey", 6).alias("wkey")
+        "doc_id", "n_chars", F.col("__wkey").alias("wkey")
     )
 
 
