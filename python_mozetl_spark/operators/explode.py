@@ -64,11 +64,18 @@ def explode_with_default(
     Rows whose array is null/empty survive as one row with ``defaults``
     substituted (e.g. zero-search clients get count=0) — replaces the
     reference's explode + where-null + union dance with a single
-    ``explode_outer`` + ``coalesce``.
+    ``explode_outer`` + conditional default.
+
+    Defaults apply ONLY to the synthesized null-array row (exploded
+    struct itself null), never to null FIELDS of real elements — a
+    corrupt element with a null field stays null so downstream
+    validity guards (e.g. ``count > -1``) still see and drop it.
     """
     out = explode_entries(df, array_col, alias=alias, keep=keep, outer=True)
     repl = {
-        f"{alias}_{field}": F.coalesce(F.col(f"{alias}.{field}"), default)
+        f"{alias}_{field}": F.when(F.col(alias).isNull(), default).otherwise(
+            F.col(f"{alias}.{field}")
+        )
         for field, default in defaults.items()
     }
     return out.withColumns(repl)

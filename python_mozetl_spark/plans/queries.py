@@ -3517,6 +3517,46 @@ def doc_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# R5. clients_daily at FULL aggregator parity (SURVEY §2.6 A1, flagship)
+# --------------------------------------------------------------------------
+
+_MS_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "main_summary.parquet",
+)
+
+
+def _clients_daily_oracle() -> str:
+    from python_mozetl_spark.jobs.clients_daily import clients_daily_oracle_sql
+
+    return clients_daily_oracle_sql(_MS_PATH)
+
+
+@query(
+    "clients_daily_rollup",
+    "THE flagship wide rollup at FULL catalog parity: the complete "
+    "~100-aggregator clients_daily table (mozetl/clientsdaily/"
+    "fields.py:35-213 + rollup.py:26-199) over the committed "
+    "main_summary fixture — search extraction (null-preserving explode, "
+    "corruption guard, per-source conditional sums), countDistinct ping "
+    "dedup, 40+ sums, means, maxes, hour conversions, ~50 deterministic "
+    "first_by dimensions, country-gated geo, tz-free profile dates.  "
+    "ONE partial+final hash-agg pair for all aggregates; the DuckDB "
+    "oracle is GENERATED from the same catalog lists.  Fixture-pathed: "
+    "it grades the catalog, not the SF.",
+    ("A1", "A2", "A3", "E4", "P9"),
+    oracle=_clients_daily_oracle(),
+)
+def clients_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.clients_daily import run_clients_daily
+
+    tune_session(spark)
+    ms = spark.read.parquet(_MS_PATH)
+    return run_clients_daily(ms)
+
+
+# --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
 # The external correctness driver grades the FIRST 50 registry entries
