@@ -1,12 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (this container has no image/audio
-codecs): :func:`extract_features` computes deterministic byte-level
-features (length, md5, prefix) so the Spark-side plumbing — schema,
-batching, UDF signature, partition behavior — is real and testable,
-and :func:`decode_image` raises ``NotImplementedError`` at the exact
-point a codec (Pillow/ffmpeg) would plug in.
+:func:`decode_image` is a REAL dependency-free codec for BMP (BI_RGB
+24/32-bit, stride/orientation-aware) and binary PPM — actual byte
+decoding, graded end-to-end by the ``multimodal_decode_stats`` query's
+encode→decode roundtrip.  Exotic formats still raise (the plug-point
+where Pillow/ffmpeg would extend coverage); :func:`extract_features`
+keeps the codec-free byte-feature path for opaque payloads.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` low for large blobs
@@ -44,12 +44,104 @@ MEDIA_SCHEMA = StructType(
 FEATURE_SCHEMA = "media_id long, n_bytes long, content_md5 string, head_hex string"
 
 
-def decode_image(content: bytes) -> object:
-    """Plug-in point for a real codec (PIL.Image.open etc.)."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this "
-        "container; extract_features provides the deterministic stub path"
+def encode_bmp(width: int, height: int, row_pixel) -> bytes:
+    """Dependency-free 24-bit BI_RGB BMP writer (bottom-up rows, 4-byte
+    row padding).  ``row_pixel(x, y) -> int`` gives the 0-255 value
+    written to all three channels of pixel (x, y) with y=0 the TOP row.
+    """
+    import struct
+
+    stride = (3 * width + 3) & ~3
+    pixel_bytes = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            v = row_pixel(x, y) & 0xFF
+            row += bytes((v, v, v))  # B, G, R
+        row += b"\x00" * (stride - len(row))
+        pixel_bytes += row
+    offset = 14 + 40
+    size = offset + len(pixel_bytes)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
     )
+    return bytes(header + info + pixel_bytes)
+
+
+def decode_image(content: bytes) -> dict:
+    """Pure-Python image decode for the two dependency-free formats a
+    container without codec libraries can still parse byte-exactly:
+
+    - BMP, uncompressed BI_RGB 24/32-bit (BITMAPINFOHEADER+): honors
+      bottom-up vs top-down rows, 4-byte row stride padding, and the
+      32-bit dead alpha byte;
+    - PPM "P6" binary (maxval <= 255).
+
+    Returns ``{"width", "height", "channels", "pixel_sum", "n_pixels"}``
+    where ``pixel_sum`` sums every CHANNEL byte of every pixel
+    (padding/alpha excluded — reading those by mistake is exactly the
+    stride bug this decoder's tests catch).  Anything else raises
+    ``ValueError`` — the plug-point where Pillow/ffmpeg would extend
+    coverage in a full container.
+    """
+    import struct
+
+    if content[:2] == b"BM":
+        offset = struct.unpack_from("<I", content, 10)[0]
+        hdr_size = struct.unpack_from("<I", content, 14)[0]
+        if hdr_size < 40:
+            raise ValueError("BITMAPCOREHEADER bmp not supported")
+        width, height_raw = struct.unpack_from("<ii", content, 18)
+        planes, bpp = struct.unpack_from("<HH", content, 26)
+        compression = struct.unpack_from("<I", content, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported bmp: bpp={bpp} compression={compression}")
+        height = abs(height_raw)
+        nch = bpp // 8
+        stride = (nch * width + 3) & ~3
+        total = 0
+        for r in range(height):
+            base = offset + r * stride
+            row = content[base : base + nch * width]
+            if nch == 3:
+                total += sum(row)
+            else:  # BGRA: skip the alpha byte per pixel
+                total += sum(row) - sum(row[3::4])
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixel_sum": total,
+            "n_pixels": width * height,
+        }
+    if content[:2] == b"P6":
+        # header: magic, width, height, maxval — whitespace/comment-delimited
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while pos < len(content) and content[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(content[start:pos]))
+        width, height, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit ppm not supported")
+        pos += 1  # single whitespace after maxval
+        raster = content[pos : pos + 3 * width * height]
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixel_sum": sum(raster),
+            "n_pixels": width * height,
+        }
+    raise ValueError("unknown image container (BMP/P6 supported)")
 
 
 def extract_features(media: DataFrame, id_col: str = "media_id",
@@ -90,6 +182,69 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.lit("utf-8").alias("codec"),
         F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
     )
+
+
+DECODE_SCHEMA = (
+    "media_id long, width long, height long, channels long, pixel_sum long"
+)
+
+
+def synth_doc_bmps(documents: DataFrame) -> DataFrame:
+    """Deterministic BMP payload per document: width/height/base value
+    derived JVM-side from (doc_id, n_chars), pixels encoded in an
+    Arrow-batched pass with an x-gradient ``(base + x) % 256`` — the
+    synthetic corpus for grading the decoder, with image params the
+    oracle can recompute analytically.
+    """
+    params = documents.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 16 + 1).cast("int").alias("w"),
+        (F.col("doc_id") % 8 + 1).cast("int").alias("h"),
+        (F.col("doc_id") * 37 % 256).cast("int").alias("base"),
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        encode_bmp(int(w), int(h), lambda x, y, b=int(b): b + x)
+                        for w, h, b in zip(pdf["w"], pdf["h"], pdf["base"])
+                    ],
+                }
+            )
+
+    return params.mapInPandas(enc, "media_id long, content binary")
+
+
+def decode_features(media: DataFrame, id_col: str = "media_id",
+                    content_col: str = "content") -> DataFrame:
+    """REAL decode over a binary column: Arrow-batched
+    :func:`decode_image` per payload → typed image stats.  Same
+    mapInPandas shape as :func:`extract_features`; undecodable
+    payloads surface as nulls (PERMISSIVE, the S5 stance) rather than
+    failing the batch.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "channels": [],
+                   "pixel_sum": []}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    d = decode_image(bytes(blob))
+                except (ValueError, IndexError, TypeError):
+                    d = {"width": None, "height": None, "channels": None,
+                         "pixel_sum": None}
+                out["media_id"].append(mid)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["channels"].append(d["channels"])
+                out["pixel_sum"].append(d["pixel_sum"])
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, content_col).mapInPandas(dec, DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_idx long, frame_bytes long, frame_md5 string"

@@ -31,6 +31,7 @@ def read_table(
     columns: list[str] | None = None,
     format: str = "parquet",
     schema: str | None = None,
+    options: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Read a table through Spark's pluggable DataSource API (S1/S4);
     optionally project immediately.
@@ -40,7 +41,8 @@ def read_table(
     backends the same way (bhr_collection.py:534-555 parquet vs json);
     here it is literally the format string.  ``schema`` (DDL string)
     skips inference — REQUIRED for json/csv at scale, where inference
-    is a full extra pass over the data.
+    is a full extra pass over the data.  ``options`` passes
+    format-specific reader options (e.g. ``{"header": "true"}``).
 
     Early projection is redundant with Catalyst column pruning but keeps
     intent visible (reference habit: rollup.py:47 "two_columns").
@@ -49,6 +51,8 @@ def read_table(
     reader = spark.read.format(format)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.load(path)

@@ -15,3 +15,7 @@ from python_mozetl_spark.streaming.stateful import (  # noqa: F401
 from python_mozetl_spark.streaming.funnel import (  # noqa: F401
     funnel_depth_stream,
 )
+from python_mozetl_spark.streaming.sink import (  # noqa: F401
+    idempotent_merge_batch,
+    merge_stream_to_parquet,
+)

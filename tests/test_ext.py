@@ -248,9 +248,11 @@ def test_multimodal_features_deterministic(spark, docs):
     assert out[0]["head_hex"] == text0.encode()[:8].hex()
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def test_decode_unknown_container_raises():
+    # PNG needs zlib inflate — outside the dependency-free codec's
+    # coverage, so it must fail loudly, not return garbage stats
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
 
 
 def test_ngram_jaccard_pairs_finds_near_dup(docs):
@@ -846,3 +848,63 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame([(1, 0), (2, -5), (3, 10)], ["doc_id", "w"])
     got = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=10).collect()]
     assert got == [3]
+
+
+def test_decode_image_bmp_ppm_paths():
+    """The dependency-free codec: BMP stride padding, 32-bit alpha
+    exclusion, top-down orientation, P6 comments — each a distinct
+    byte-layout trap."""
+    import struct
+
+    from python_mozetl_spark.ext.multimodal import decode_image, encode_bmp
+
+    # 3x2 gradient: stride = 12 for w=3 (9 data + 3 pad bytes/row)
+    bmp = encode_bmp(3, 2, lambda x, y: 10 * y + x)
+    d = decode_image(bmp)
+    assert (d["width"], d["height"], d["channels"], d["n_pixels"]) == (3, 2, 3, 6)
+    # channel bytes: rows y=0: 0,1,2; y=1: 10,11,12 → sum*3 channels
+    assert d["pixel_sum"] == 3 * (0 + 1 + 2 + 10 + 11 + 12)
+
+    # top-down BMP (negative height) must decode identically
+    neg = bytearray(bmp)
+    struct.pack_into("<i", neg, 22, -2)
+    # rows are stored flipped, but the stats are orientation-invariant
+    assert decode_image(bytes(neg))["pixel_sum"] == d["pixel_sum"]
+
+    # 32-bit BGRA: alpha byte (0xFF) must NOT leak into pixel_sum
+    def bmp32(width, height, val):
+        stride = width * 4
+        px = bytes()
+        for _ in range(height):
+            px += bytes((val, val, val, 0xFF)) * width
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 32, 0,
+                           len(px), 2835, 2835, 0, 0)
+        return hdr + info + px
+
+    d32 = decode_image(bmp32(2, 2, 7))
+    assert d32["pixel_sum"] == 7 * 3 * 4 and d32["channels"] == 3
+
+    # P6 with a header comment
+    ppm = b"P6\n# synthetic\n2 1\n255\n" + bytes((1, 2, 3, 4, 5, 6))
+    dp = decode_image(ppm)
+    assert (dp["width"], dp["height"], dp["pixel_sum"]) == (2, 1, 21)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a....")
+    with _pytest.raises(ValueError):
+        decode_image(b"P5\n2 1\n255\n" + bytes(2))  # grayscale pgm: not P6
+
+
+def test_synth_decode_roundtrip_matches_formula(spark, docs):
+    from python_mozetl_spark.ext.multimodal import decode_features, synth_doc_bmps
+
+    docs = docs.withColumn("n_chars", F.length("text"))
+    out = {r["media_id"]: r for r in decode_features(synth_doc_bmps(docs)).collect()}
+    for r in docs.select("doc_id", "n_chars").collect():
+        got = out[r["doc_id"]]
+        w, h, base = r["n_chars"] % 16 + 1, r["doc_id"] % 8 + 1, r["doc_id"] * 37 % 256
+        assert got["width"] == w and got["height"] == h
+        assert got["pixel_sum"] == 3 * h * sum((base + x) % 256 for x in range(w))

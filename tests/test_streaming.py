@@ -336,3 +336,75 @@ def test_streaming_funnel_matches_batch_across_out_of_order_batches(spark):
             k: sum(1 for v in final.values() if v >= k) for k in (1, 2, 3)
         }
         assert ladder == batch
+
+
+def test_exactly_once_merge_sink_replay(spark):
+    """At-least-once batch delivery + idempotent keyed MERGE =
+    exactly-once table state: re-delivering every micro-batch (fresh
+    checkpoint over the same source) leaves the table bit-identical."""
+    from python_mozetl_spark.streaming import (
+        idempotent_merge_batch,
+        merge_stream_to_parquet,
+    )
+
+    schema = "k int, v string, version int, deleted boolean"
+
+    def table_state(table):
+        return sorted(
+            (r["k"], r["v"], r["version"])
+            for r in spark.read.parquet(table).collect()
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        table, src = f"{d}/table", f"{d}/src"
+        spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "k int, v string, version int"
+        ).write.parquet(table)
+        changes = spark.createDataFrame(
+            [
+                (2, "b2", 1, False),   # update
+                (3, "c", 1, False),    # insert
+                (1, None, 1, True),    # tombstone delete
+                (3, "c9", 1, False),   # same-version duplicate: hash tiebreak
+            ],
+            schema,
+        )
+        changes.write.parquet(src)
+
+        def run(ckpt):
+            q = merge_stream_to_parquet(
+                spark.readStream.schema(schema).parquet(src),
+                table,
+                ["k"],
+                "version",
+                delete_col="deleted",
+                checkpoint=ckpt,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+
+        run(f"{d}/ckpt1")
+        first = table_state(table)
+        assert [(k, v) for k, v, _ in first] == [(2, "b2"), (3, first[1][1])]
+        assert first[1][1] in ("c", "c9")  # deterministic hash winner
+        # full replay: new checkpoint re-delivers every batch
+        run(f"{d}/ckpt2")
+        assert table_state(table) == first
+        # and a third direct double-application of the same batch frame
+        fn = idempotent_merge_batch(
+            lambda s: s.read.parquet(table),
+            lambda df_out: (
+                df_out.select("k", "v", "version")
+                .write.mode("overwrite")
+                .parquet(table + ".swap2"),
+                spark.read.parquet(table + ".swap2")
+                .write.mode("overwrite")
+                .parquet(table),
+            ),
+            ["k"],
+            "version",
+            delete_col="deleted",
+        )
+        fn(changes, 7)
+        fn(changes, 7)
+        assert table_state(table) == first
