@@ -11,10 +11,13 @@ vertex takes the minimum label among itself and its neighbors;
 converged when no label changes.  Rounds = graph diameter — near-dup
 clusters are near-cliques (diameter 1-2), so 2-3 rounds in practice.
 Per round: one join + one aggregation (both shuffling on the vertex
-key, AQE-coalesced), one tiny count for the convergence check — the
-same driver-loop-on-aggregates altitude as the KMeans fit (SURVEY §7),
-with ``localCheckpoint`` truncating the lineage so the plan does not
-grow with the iteration count.  For adversarial long-chain graphs the
+key, AQE-coalesced), one tiny label-sum aggregate for the convergence
+check — the same driver-loop-on-aggregates altitude as the KMeans fit
+(SURVEY §7), with ``localCheckpoint`` truncating the lineage so the
+plan does not grow with the iteration count.  Verified near-dup edge
+lists are tiny relative to their corpus, so a bounded-probe driver
+union-find fast path (one job) serves the common case and the loop is
+the at-scale fallback.  For adversarial long-chain graphs the
 alternating large-star/small-star variant (Kiveris et al., "Connected
 Components in MapReduce") halves the round count; near-dup workloads
 never need it.
@@ -31,14 +34,57 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``edges``,
     where component = the minimum vertex id reachable from it.
 
-    Raises if not converged within ``max_iter`` rounds (diameter
-    ``> max_iter`` means the input is not a near-dup graph — use the
-    alternating-star variant).
+    Two paths, the same bounded-probe gate the dedup/ANN strategy
+    gates use (ext/dedup.py, ext/similarity.py):
+
+    - edge lists at or under ``driver_max_edges`` (near-dup graphs are
+      pair-verified SURVIVORS — thousands of edges from millions of
+      docs) collect once and resolve with union-find on the driver:
+      ONE job instead of (2-3 jobs × diameter) rounds of min-label
+      propagation, and the collect is bounded by a
+      ``limit(max + 1)`` probe, never trusting an estimate;
+    - anything larger runs the distributed min-label loop (pytest pins
+      path equality via ``driver_max_edges=0``).
+
+    Raises if the distributed loop has not converged within
+    ``max_iter`` rounds (diameter ``> max_iter`` means the input is
+    not a near-dup graph — use the alternating-star variant).
     """
+    if driver_max_edges > 0:
+        probe = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .limit(driver_max_edges + 1)
+            .collect()
+        )
+        if len(probe) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probe:
+                a, b = r["a"], r["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:  # min-id root wins, matching the label fixpoint
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            rows = [(v, find(v)) for v in parent]
+            vtype = edges.schema[src].dataType.simpleString()
+            return edges.sparkSession.createDataFrame(
+                rows, f"vertex {vtype}, component {vtype}"
+            )
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b"), F.col("a"))).distinct().localCheckpoint()
     labels = (
@@ -47,6 +93,20 @@ def connected_components(
         .withColumn("c", F.col("v"))
         .localCheckpoint()
     )
+
+    # convergence check: min-label propagation only ever DECREASES a
+    # label, so the label-sum strictly decreases until the fixpoint —
+    # one aggregate over the just-checkpointed frame replaces the
+    # old-vs-new join+count (a shuffle join per round, measured as the
+    # dominant per-round cost on near-dup-sized graphs).  decimal(38,0)
+    # keeps the sum exact out to ~1e26 (int64 ids × huge vertex counts
+    # would overflow a bigint sum).
+    def label_sum(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor = sym.join(labels, sym["b"] == labels["v"]).select(
             F.col("a").alias("v"), F.col("c")
@@ -57,15 +117,11 @@ def connected_components(
             .agg(F.min("c").alias("c"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.c") != F.col("o.c"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels.select(F.col("v").alias("vertex"), F.col("c").alias("component"))
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds the near-dup regime — use alternating "

@@ -132,22 +132,29 @@ def bucketed_topk(
     means the coarse quantizer needs refining (more clusters / finer
     LSH), not a bigger buffer.
 
-    Rounding: the kernel emits RAW scores for a provably sufficient
-    candidate superset — everything within one rounding-grid step of
-    the k-th-largest raw score per query (if raw_j < raw_k − 10⁻ᵖ then
-    round(raw_j) < round(raw_k), so nothing outside the margin can
-    enter the rounded top-k).  Ranking then happens JVM-side on
-    ``F.round``-ed scores, so ties round HALF_UP exactly like the
-    DuckDB oracle (``np.round`` is half-even).  Requires a numeric
-    ``id_col``.
+    Ranking happens INSIDE the kernel on scores rounded half-AWAY-FROM-
+    ZERO (``sign·floor(|x|·10ᵖ + ½)/10ᵖ`` — the same tie direction as
+    JVM ``F.round``/``ROUND_HALF_UP`` and DuckDB ``round``; plain
+    ``np.round`` is half-even and would mis-rank exact ties), with
+    ``neighbor_id`` as the tiebreaker.  The kernel therefore emits the
+    FINAL ranked top-k rows — the whole operator is ONE exchange (the
+    bucket shuffle); no second window shuffle, no superset rows riding
+    back to the JVM.  Requires a numeric ``id_col``.
     """
-    margin = 1.5 * 10.0 ** (-precision)
+    scale = 10.0 ** precision
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "score": []}
-        ).astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"})
+            {"query_id": [], "neighbor_id": [], "score": [], "rank": []}
+        ).astype(
+            {
+                "query_id": "int64",
+                "neighbor_id": "int64",
+                "score": "float64",
+                "rank": "int64",
+            }
+        )
         if n < 2:
             return empty
         if n > max_cell_rows:
@@ -162,32 +169,35 @@ def bucketed_topk(
         norm[norm == 0] = 1.0
         mat = mat / norm[:, None]
         kk = min(k, n - 1)
+        # neighbor order for tie-breaking: ids ascending
+        id_order = np.argsort(ids, kind="stable")
         outs = []
         for s in range(0, n, chunk_rows):
             e = min(s + chunk_rows, n)
             block = mat[s:e] @ mat.T  # (chunk, n) raw cosines
             block[np.arange(e - s), np.arange(s, e)] = -2.0  # mask self
-            kth = np.partition(block, n - kk, axis=1)[:, n - kk]
-            qi, nj = np.nonzero(block >= (kth[:, None] - margin))
+            rounded = np.sign(block) * np.floor(np.abs(block) * scale + 0.5) / scale
+            # sort columns by (score desc, neighbor_id asc): stable sort
+            # over the id-ascending permutation preserves id order at ties
+            by_id = rounded[:, id_order]
+            cols = np.argsort(-by_id, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(e - s), kk)
+            flat = cols.ravel()
             outs.append(
                 pd.DataFrame(
                     {
-                        "query_id": ids[s + qi],
-                        "neighbor_id": ids[nj],
-                        "score": block[qi, nj],
+                        "query_id": ids[s + rows],
+                        "neighbor_id": ids[id_order[flat]],
+                        "score": by_id[rows, flat],
+                        "rank": np.tile(np.arange(1, kk + 1), e - s),
                     }
                 )
             )
         return pd.concat(outs) if outs else empty
 
-    scored = (
-        df.groupBy(bucket_col)
-        .applyInPandas(per_bucket, "query_id long, neighbor_id long, score double")
-        .select(
-            "query_id", "neighbor_id", F.round("score", precision).alias("score")
-        )
+    return df.groupBy(bucket_col).applyInPandas(
+        per_bucket, "query_id long, neighbor_id long, score double, rank bigint"
     )
-    return _topk(scored, k)
 
 
 def ivf_assign(

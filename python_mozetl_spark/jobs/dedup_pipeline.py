@@ -39,14 +39,23 @@ def clean_corpus(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, status, canonical_id) for every input document."""
+    """(doc_id, status, canonical_id) for every input document.
+
+    ``signatures``: optional precomputed
+    :func:`~python_mozetl_spark.ext.dedup.minhash_signature_table`
+    over (a superset of) ``documents`` — the LSH stage then reuses it
+    (restricted to the exact-dedup keepers) instead of re-running the
+    corpus signature pass.
+    """
     ex = exact_duplicates(documents, id_col, text_col)
     keepers = ex.where(F.col(id_col) == F.col("keeper_id")).select(id_col)
     kept_docs = documents.join(keepers, id_col)
     pairs = minhash_lsh_pairs(
         kept_docs, id_col, text_col,
         threshold=threshold, num_hashes=num_hashes, bands=bands,
+        signatures=signatures,
     )
     comp = connected_components(pairs).withColumnRenamed("vertex", id_col)
     is_exact_dup = F.col(id_col) != F.col("keeper_id")

@@ -36,7 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from python_mozetl_spark.ext.dedup import cross_corpus_lsh_filter
+from python_mozetl_spark.ext.dedup import (
+    cross_corpus_lsh_filter,
+    minhash_signature_table,
+)
 from python_mozetl_spark.ext.mixing import shuffle_shards, split_assign
 from python_mozetl_spark.ext.quality import repetition_stats
 from python_mozetl_spark.jobs.dedup_pipeline import clean_corpus
@@ -81,8 +84,16 @@ def prepare_pretraining_corpus(
     survivors = documents.join(
         flags.where(~F.col("__lowq")).select(id_col), id_col
     )
+    # ONE corpus signature pass (tokenize + shingle + md5 + 32
+    # permutations), checkpointed and shared by BOTH LSH consumers —
+    # within-corpus dedup and cross-corpus decontamination each reuse
+    # it via a semi-join restriction instead of recomputing it
+    sig = minhash_signature_table(survivors, id_col, text_col).localCheckpoint()
     dedup = (
-        clean_corpus(survivors, id_col, text_col, threshold=dedup_threshold)
+        clean_corpus(
+            survivors, id_col, text_col,
+            threshold=dedup_threshold, signatures=sig,
+        )
         .withColumnRenamed("status", "__dstatus")
         .localCheckpoint()
     )
@@ -93,6 +104,7 @@ def prepare_pretraining_corpus(
         cross_corpus_lsh_filter(
             keepers, benchmark, id_col, text_col,
             threshold=contamination_threshold,
+            train_signatures=sig,
         )
         .select(F.col(id_col), F.lit(True).alias("__cont"))
         .localCheckpoint()

@@ -1258,7 +1258,10 @@ FROM r WHERE rn <= 3
 def embedding_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.similarity import bucketed_topk
 
-    e = t(spark, sf_dir, "embeddings")
+    # no spread(): the groupBy(label) exchange redistributes anyway, so a
+    # pre-repartition would be a second pointless shuffle of the corpus
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
     return bucketed_topk(e, "label", id_col="vec_id", k=3).select(
         "query_id", "neighbor_id", "score", "rank"
     )

@@ -89,6 +89,20 @@ def get_session(
     return builder.getOrCreate()
 
 
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf string → bytes ("134217728b", "128m", "1g")."""
+    s = str(v).strip().lower()
+    for suf in ("kb", "mb", "gb", "tb"):
+        if s.endswith(suf):
+            return int(float(s[:-2])) * _BYTE_SUFFIX[suf[0]]
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(float(s[:-1])) * _BYTE_SUFFIX[s[-1]]
+    return int(float(s))
+
+
 def spread(df, min_parallelism: int | None = None):
     """Round-robin repartition a DataFrame up to the session's
     parallelism — but only when its current partition count is below
@@ -97,10 +111,24 @@ def spread(df, min_parallelism: int | None = None):
     therefore ONE task no matter how the scan is split, which
     serializes the whole downstream chain; one tiny shuffle buys
     full-core execution.  On a real multi-executor input (partitions
-    >= cores) this is a no-op, so it cannot add a shuffle at scale."""
-    sc = df.sparkSession.sparkContext
-    target = min_parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    >= cores) this is a no-op, so it cannot add a shuffle at scale.
+
+    The partition estimate is PLANNING-TIME only (input file count +
+    Catalyst size estimate vs maxPartitionBytes) — no ``.rdd``
+    conversion, no job.  Non-scan frames (no input files) pass through
+    untouched: anything downstream of a shuffle already runs at
+    ``spark.sql.shuffle.partitions`` ≥ core parallelism, and forcing a
+    count would require exactly the plan→RDD conversion this avoids."""
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est = max(len(files), plan_size_bytes(df) // max(max_pb, 1))
+    if est < target:
         return df.repartition(target)
     return df
 

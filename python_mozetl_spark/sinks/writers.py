@@ -93,14 +93,18 @@ def write_csv_export(df: DataFrame, path: str, max_rows: int = 1_000_000) -> Non
     The reference collects the whole frame and warns about driver memory
     (mozetl/utils.py:46-66); here the guard is enforced: refuse beyond
     ``max_rows`` — large exports belong in distributed ``df.write.csv``.
+
+    SINGLE-pass guard: collect ``limit(max_rows + 1)`` and check the
+    overflow row — one job over the frame instead of a count() job plus
+    a collect job, and the driver never holds more than max_rows + 1.
     """
-    n = df.count()
-    if n > max_rows:
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"CSV export of {n} rows exceeds the driver guard ({max_rows}); "
+            f"CSV export exceeds the driver guard ({max_rows} rows); "
             "use df.write.csv for large outputs"
         )
-    df.toPandas().to_csv(path, index=False)
+    pdf.to_csv(path, index=False)
 
 
 def write_bucketed_table(

@@ -497,6 +497,13 @@ def test_connected_components_chains_and_islands(spark):
     )
     got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # the distributed min-label loop (gate disabled) must agree with
+    # the driver union-find fast path exactly
+    loop = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert loop == got
 
 
 def test_pack_sequences_invariants(spark):
