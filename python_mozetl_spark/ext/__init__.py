@@ -3,6 +3,7 @@ from python_mozetl_spark.ext.dedup import (  # noqa: F401
     cross_corpus_lsh_filter,
     exact_duplicates,
     minhash_lsh_pairs,
+    minhash_signature_table,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_pairs,

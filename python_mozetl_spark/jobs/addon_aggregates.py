@@ -75,8 +75,13 @@ def addon_indicator_columns(df: DataFrame) -> DataFrame:
 
 
 def _epoch_day_to_yyyymmdd(day: F.Column) -> F.Column:
-    """Epoch-day int → 'yyyyMMdd' string, UTC-stable."""
-    return F.date_format(F.timestamp_seconds(day.cast("bigint") * 86400), "yyyyMMdd")
+    """Epoch-day int → 'yyyyMMdd' string via pure DATE arithmetic —
+    no timestamp in the middle, so the session timezone can NEVER
+    shift the rendered day (``timestamp_seconds`` + ``date_format``
+    renders in the session zone; date_add of a date does not)."""
+    return F.date_format(
+        F.date_add(F.lit("1970-01-01").cast("date"), day.cast("int")), "yyyyMMdd"
+    )
 
 
 def aggregate_addons(df: DataFrame) -> DataFrame:

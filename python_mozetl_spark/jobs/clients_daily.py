@@ -292,14 +292,26 @@ def run_clients_daily(
     return wide_agg(joined, spec)
 
 
-def clients_daily_oracle_sql(parquet_path: str) -> str:
+def clients_daily_oracle_sql(
+    parquet_path: str,
+    keys: Sequence[str] = ("client_id", "activity_date"),
+    extra_ms_cols: str = "",
+    ms_where: str = "",
+) -> str:
     """DuckDB twin of :func:`run_clients_daily` + :func:`full_agg_spec`,
     generated from the SAME catalog lists — the correctness gate's
-    oracle for the ``clients_daily_rollup`` registry query.
+    oracle for the ``clients_daily_rollup`` registry query, and (with
+    the 3-part key + an ``experiment_id`` projection) for
+    ``experiments_daily_rollup``: the reference's point that the two
+    rollups are ONE parameterized operator holds for the oracle too.
 
     Firsts are expressed as ``max(CASE WHEN rn = 1 THEN col END)``
     over a (submission_date_s3, document_id)-ranked window — the exact
     relational meaning of ``min_by`` under that total order.
+
+    ``extra_ms_cols`` appends projections to the base CTE (e.g.
+    ``", active_experiment_id AS experiment_id"``); ``ms_where`` adds a
+    WHERE clause to it.
     """
     src_list = ", ".join(f"'{s}'" for s in SEARCH_SOURCES)
     per_source_cols = ",\n    ".join(
@@ -342,10 +354,11 @@ def clients_daily_oracle_sql(parquet_path: str) -> str:
         for s in SEARCH_SOURCES
     ]
     agg_sql = ",\n  ".join(aggs)
+    key_sql = ", ".join(keys)
     return f"""
 WITH ms AS (
-  SELECT *, substr(subsession_start_date, 1, 10) AS activity_date
-  FROM read_parquet('{parquet_path}')),
+  SELECT *, substr(subsession_start_date, 1, 10) AS activity_date{extra_ms_cols}
+  FROM read_parquet('{parquet_path}') {ms_where}),
 expl AS (
   SELECT document_id, u.source AS source, u."count" AS cnt
   FROM (SELECT document_id, unnest(search_counts) AS u FROM ms)
@@ -363,10 +376,10 @@ search AS (
 j AS (
   SELECT ms.*, s.search_count_all,
     {", ".join(f"s.search_count_{s}" for s in SEARCH_SOURCES)},
-    row_number() OVER (PARTITION BY client_id, activity_date
+    row_number() OVER (PARTITION BY {key_sql}
                        ORDER BY submission_date_s3, document_id) AS rn
   FROM ms LEFT JOIN search s USING (document_id))
-SELECT client_id, activity_date,
+SELECT {key_sql},
   {agg_sql}
-FROM j GROUP BY client_id, activity_date
+FROM j GROUP BY {key_sql}
 """

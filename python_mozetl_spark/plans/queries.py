@@ -3691,6 +3691,206 @@ def clients_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clients_daily(ms)
 
 
+def _experiments_daily_oracle() -> str:
+    from python_mozetl_spark.jobs.clients_daily import clients_daily_oracle_sql
+
+    return clients_daily_oracle_sql(
+        _MS_PATH,
+        keys=("experiment_id", "client_id", "activity_date"),
+        extra_ms_cols=", active_experiment_id AS experiment_id",
+        ms_where=(
+            "WHERE active_experiment_id IS NOT NULL AND "
+            "active_experiment_id NOT IN "
+            "('pref-flip-screenshots-release-1369150')"
+        ),
+    )
+
+
+@query(
+    "experiments_daily_rollup",
+    "The reference's one-parameterized-operator claim GRADED: "
+    "experiments_daily is clients_daily with a 3-part key (mozetl/"
+    "experimentsdaily/rollup.py:10-27, EXPERIMENT_FIELD_AGGREGATORS "
+    "reusing FIELD_AGGREGATORS at fields.py:216-218) — same AggSpec "
+    "catalog, same pipeline, one more grouping column and the excluded-"
+    "experiment filter; the oracle is GENERATED by the same "
+    "clients_daily_oracle_sql with the key list swapped.",
+    ("A1", "A3", "P9"),
+    oracle=_experiments_daily_oracle(),
+)
+def experiments_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.experiments_daily import run_experiments_daily
+
+    tune_session(spark)
+    ms = (
+        spark.read.parquet(_MS_PATH)
+        .where(F.col("active_experiment_id").isNotNull())
+        .withColumn("experiment_id", F.col("active_experiment_id"))
+    )
+    return run_experiments_daily(ms)
+
+
+@query(
+    "search_engine_rollup",
+    "The search_aggregates reference job GRADED end-to-end (mozetl/"
+    "search/aggregates.py:108-126,208-322): search_counts + ad-click "
+    "map columns explode (zero-search rows preserved via explode_outer, "
+    "outlier guard 0 <= count < 10k), the when-chain source->type "
+    "classifier, then groupBy(submission_date, engine, source) pivoted "
+    "over the FIXED 7-type domain (no distinct-discovery scan).  Over "
+    "the committed main_summary fixture; null pivot cells stay null "
+    "exactly as Spark's pivot emits them.",
+    ("A7", "E3", "E4", "P9"),
+    oracle=f"""
+WITH ms AS (SELECT * FROM read_parquet('{_MS_PATH}')),
+expl AS (
+  SELECT submission_date_s3, u.engine AS engine, u.source AS source,
+    coalesce(u."count", 0) AS cnt
+  FROM (SELECT submission_date_s3, unnest(search_counts) AS u FROM ms
+        WHERE search_counts IS NOT NULL AND len(search_counts) > 0)
+  UNION ALL
+  SELECT submission_date_s3, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 0
+  FROM ms WHERE search_counts IS NULL OR len(search_counts) = 0),
+f AS (SELECT * FROM expl WHERE cnt >= 0 AND cnt < 10000),
+typed AS (
+  SELECT *, CASE
+    WHEN source IS NULL THEN 'sap'
+    WHEN starts_with(source, 'in-content:sap:') THEN 'tagged-sap'
+    WHEN starts_with(source, 'in-content:sap-follow-on:') THEN 'tagged-follow-on'
+    WHEN starts_with(source, 'in-content:organic:') THEN 'organic'
+    WHEN starts_with(source, 'ad-click:') THEN 'ad-click'
+    WHEN starts_with(source, 'search-with-ads:') THEN 'search-with-ads'
+    WHEN starts_with(source, 'follow-on:') THEN 'tagged-follow-on'
+    WHEN starts_with(source, 'sap:') THEN 'tagged-sap'
+    WHEN source IN ('searchbar', 'urlbar', 'abouthome', 'newtab',
+                    'contextmenu', 'system', 'activitystream',
+                    'webextension', 'alias') THEN 'sap'
+    ELSE 'unknown' END AS type
+  FROM f)
+SELECT submission_date_s3, engine, source,
+  CAST(sum(CASE WHEN type = 'organic' THEN cnt END) AS BIGINT) AS organic,
+  CAST(sum(CASE WHEN type = 'tagged-sap' THEN cnt END) AS BIGINT) AS tagged_sap,
+  CAST(sum(CASE WHEN type = 'tagged-follow-on' THEN cnt END) AS BIGINT) AS tagged_follow_on,
+  CAST(sum(CASE WHEN type = 'sap' THEN cnt END) AS BIGINT) AS sap,
+  CAST(sum(CASE WHEN type = 'ad-click' THEN cnt END) AS BIGINT) AS ad_click,
+  CAST(sum(CASE WHEN type = 'search-with-ads' THEN cnt END) AS BIGINT) AS search_with_ads,
+  CAST(sum(CASE WHEN type = 'unknown' THEN cnt END) AS BIGINT) AS unknown
+FROM typed WHERE engine IS NOT NULL
+GROUP BY submission_date_s3, engine, source
+""",
+)
+def search_engine_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.search_aggregates import run_search_aggregates
+
+    tune_session(spark)
+    ms = spark.read.parquet(_MS_PATH)
+    return run_search_aggregates(ms)
+
+
+@query(
+    "addon_aggregates_rollup",
+    "The addon_aggregates reference job GRADED (mozetl/addon_aggregates/"
+    "addon_aggregates.py:64-163): explode active_addons, derive the "
+    "self-install/shield/foreign/system/web-extension indicator "
+    "columns (LIKE-pattern exclusions), DISTINCT, then the per-(client, "
+    "channel, major-version, locale) indicator sums + first self-"
+    "install date with TZ-free epoch-day DATE arithmetic.",
+    ("A2", "E1", "P9"),
+    oracle=f"""
+WITH expl AS (
+  SELECT client_id, normalized_channel, substr(app_version, 1, 2) AS app_version,
+    locale, sample_id, profile_creation_date,
+    u.addon_id AS addon_id, u.foreign_install AS foreign_install,
+    u.is_system AS is_system, u.is_web_extension AS is_web_extension,
+    u.install_day AS install_day
+  FROM (SELECT client_id, normalized_channel, app_version, locale, sample_id,
+               profile_creation_date, unnest(active_addons) AS u
+        FROM read_parquet('{_MS_PATH}'))),
+ind AS (
+  SELECT DISTINCT *,
+    CASE WHEN addon_id IS NOT NULL AND NOT is_system AND NOT foreign_install
+          AND NOT (addon_id LIKE '%mozilla%' OR addon_id LIKE '%cliqz%'
+                   OR addon_id LIKE '%@unified-urlbar%')
+         THEN 1 ELSE 0 END AS is_self_install,
+    CASE WHEN addon_id LIKE '%@shield.mozilla%' THEN 1 ELSE 0 END AS is_shield,
+    CASE WHEN foreign_install THEN 1 ELSE 0 END AS is_foreign,
+    CASE WHEN is_system THEN 1 ELSE 0 END AS is_sys,
+    CASE WHEN is_web_extension THEN 1 ELSE 0 END AS is_webext
+  FROM expl)
+SELECT client_id, normalized_channel, app_version, locale,
+  CAST(sum(is_self_install) AS BIGINT) AS n_self_installed_addons,
+  CAST(sum(is_shield) AS BIGINT) AS n_shield_addons,
+  CAST(sum(is_foreign) AS BIGINT) AS n_foreign_installed_addons,
+  CAST(sum(is_sys) AS BIGINT) AS n_system_addons,
+  CAST(sum(is_webext) AS BIGINT) AS n_web_extensions,
+  min(CASE WHEN is_self_install = 1
+       THEN strftime(DATE '1970-01-01' + CAST(install_day AS INTEGER), '%Y%m%d')
+       END) AS first_addon_install_date,
+  strftime(DATE '1970-01-01' + CAST(min(profile_creation_date) AS INTEGER),
+           '%Y%m%d') AS profile_creation_date
+FROM ind GROUP BY client_id, normalized_channel, app_version, locale
+""",
+)
+def addon_aggregates_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.addon_aggregates import run_addon_aggregates
+
+    tune_session(spark)
+    ms = spark.read.parquet(_MS_PATH)
+    return run_addon_aggregates(ms)
+
+
+@query(
+    "addon_coinstall_graph",
+    "The TAAR-lite coinstall graph GRADED (mozetl/taar/"
+    "taar_lite_guidguid.py:83-199): higher-order validity filter "
+    "(signed, user-facing, non-system extensions), key_all self-fanout "
+    "within each client's addon list, pair counts, per-addon neighbor "
+    "list sorted (count desc, id desc) — emitted as a canonical CSV "
+    "string (the nation_suppliers A8 pattern) so the nested struct "
+    "list hash-compares cross-engine.",
+    ("E5", "A8", "F1"),
+    oracle=f"""
+WITH guids AS (
+  SELECT row_number() OVER () AS ping, list_transform(l, a -> a.addon_id) AS g
+  FROM (
+    SELECT list_filter(active_addons, a ->
+      NOT coalesce(a.is_system, false) AND NOT coalesce(a.app_disabled, false)
+      AND NOT coalesce(a.user_disabled, false)
+      AND NOT coalesce(a.foreign_install, false)
+      AND a.type = 'extension' AND a.signed_state = 2) AS l
+    FROM read_parquet('{_MS_PATH}'))
+  WHERE len(l) >= 2),
+pairs AS (
+  SELECT a.g_a AS addon, b.g_b AS coinstall
+  FROM (SELECT ping, unnest(g) AS g_a FROM guids) a
+  JOIN (SELECT ping, unnest(g) AS g_b FROM guids) b USING (ping)
+  WHERE a.g_a <> b.g_b),
+counts AS (
+  SELECT addon, coinstall, count(*) AS n FROM pairs GROUP BY addon, coinstall)
+SELECT addon,
+  string_agg(coinstall || ':' || n, ',' ORDER BY n DESC, coinstall DESC)
+    AS coinstalls_csv
+FROM counts GROUP BY addon
+""",
+)
+def addon_coinstall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.coinstalls import run_coinstall_graph
+
+    tune_session(spark)
+    ms = spark.read.parquet(_MS_PATH)
+    out = run_coinstall_graph(ms)
+    return out.select(
+        "addon",
+        F.array_join(
+            F.transform(
+                F.col("coinstalls"),
+                lambda c: F.concat_ws(":", c["coinstall"], c["n"].cast("string")),
+            ),
+            ",",
+        ).alias("coinstalls_csv"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -3712,12 +3912,17 @@ def clients_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brand_collapse, segment_share, union_high_value, top_part_types,
 # summary_stats, distinct_user_event_types, customer_year_sets,
 # token_positions, nation_suppliers, mod_sampled_agg,
-# customer_order_counts.
+# customer_order_counts, multi_distinct, status_conditional_agg,
+# token_cooccurrence, stratified_mod_sample.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
     # (a) added in round 5
     "clients_daily_rollup",
+    "experiments_daily_rollup",
+    "search_engine_rollup",
+    "addon_aggregates_rollup",
+    "addon_coinstall_graph",
     "csv_dim_weighted_orders",
     "parquet_sink_roundtrip",
     "multimodal_decode_stats",
@@ -3753,7 +3958,6 @@ _DRIVER_WINDOW = [
     "event_type_pivot",
     "filtered_scan",
     "latest_event_per_user",
-    "multi_distinct",
     "multimodal_features",
     "priority_join_agg",
     "props_json_stats",
@@ -3764,9 +3968,6 @@ _DRIVER_WINDOW = [
     "sessionized_events",
     "sliding_event_rollup",
     "sql_surface_lateral",
-    "status_conditional_agg",
-    "stratified_mod_sample",
-    "token_cooccurrence",
     "top_orders_per_customer",
     "user_event_enrich",
     "user_first_last",

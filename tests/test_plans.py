@@ -180,3 +180,44 @@ def test_token_entropy_is_exchange_free(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _formatted_plan(token_entropy(d, "doc_id", "text"))
     assert "Exchange" not in plan, plan
+
+
+def test_clients_daily_rollup_two_agg_exchanges_and_broadcast_rejoin(spark):
+    """The flagship wide rollup's 100 TB shape: ONE partial+final
+    hash-agg pair carries all ~100 aggregates (exchange on the
+    (client, day) key), the per-document search frame is its own
+    partial+final pair on document_id, and the rejoin of the (small)
+    search totals must not shuffle the main stream a second time."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["clients_daily_rollup"].build(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    # partial+final pairs for both aggs: >= 4 HashAggregate nodes
+    assert plan.count("HashAggregate") >= 4
+    # hash exchanges: one per agg (document_id, client/day) and at most
+    # one more for the rejoin side — the main stream never shuffles twice
+    n_hash_ex = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_ex <= 3, plan
+
+
+def test_bucketed_topk_is_single_exchange(spark):
+    """In-kernel ranking means the whole ANN operator is the bucket
+    shuffle + one applyInPandas — no second window exchange."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["embedding_bucket_topk"].build(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert plan.count(") Exchange") == 1, plan  # node headers, not tree refs
+    assert "Window" not in plan
+
+
+def test_csv_dim_join_is_broadcast(spark):
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["csv_dim_weighted_orders"].build(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the fact side aggregates with map-side partials after the join
+    assert plan.count("HashAggregate") >= 2

@@ -115,6 +115,21 @@ BOOL_FIRST_COLS = [
     "scalar_parent_telemetry_os_shutting_down",
 ]
 
+#: (addon_id, type, signed_state, is_system) — covers every indicator
+#: branch of addon_aggregates + the coinstall validity predicate
+ADDON_POOL = [
+    ("uBlock0@raymondhill.net", "extension", 2, False),
+    ("tree-style-tab@example.org", "extension", 2, False),
+    ("darkreader@example.net", "extension", 2, False),
+    ("vimium@example.io", "extension", 2, False),
+    ("screenshots@mozilla.org", "extension", 2, True),   # %mozilla% excluded
+    ("study1@shield.mozilla.org", "extension", 2, False),  # shield
+    ("helper@cliqz.com", "extension", 2, False),         # %cliqz% excluded
+    ("compact-theme@example.com", "theme", 2, False),    # not an extension
+    ("legacy-bar@example.com", "extension", 0, False),   # unsigned
+    ("sysmon@example.com", "extension", 2, True),        # system addon
+]
+
 
 def gen_rows() -> list[dict]:
     rng = random.Random(20250813)
@@ -165,6 +180,33 @@ def gen_rows() -> list[dict]:
                     r[c] = None if rng.random() < 0.15 else rng.randrange(lo, hi)
                 for c in BOOL_FIRST_COLS:
                     r[c] = rng.choice([True, False, None])
+                # active_addons: independent per-ping RNG so adding this
+                # column did NOT perturb the draw sequence of the other
+                # columns (the committed fixture's other values are stable)
+                rng_a = random.Random(doc_serial * 7919)
+                addons = []
+                for aid, typ, signed, system in rng_a.sample(ADDON_POOL,
+                                                             rng_a.randrange(0, 5)):
+                    addons.append({
+                        "addon_id": aid,
+                        "blocklisted": rng_a.choice([False, False, None]),
+                        "name": aid.split("@")[0],
+                        "user_disabled": rng_a.choice([False, False, True, None]),
+                        "app_disabled": rng_a.choice([False, False, True, None]),
+                        "version": f"{rng_a.randrange(1, 9)}.0",
+                        "scope": 1,
+                        "type": typ,
+                        "foreign_install": rng_a.choice([False, False, True, None]),
+                        "has_binary_components": False,
+                        "install_day": (None if rng_a.random() < 0.1
+                                        else rng_a.randrange(15000, 17100)),
+                        "update_day": rng_a.randrange(16000, 17150),
+                        "signed_state": signed,
+                        "is_system": system,
+                        "is_web_extension": rng_a.choice([True, False, None]),
+                        "multiprocess_compatible": rng_a.choice([True, False]),
+                    })
+                r["active_addons"] = addons if addons or rng_a.random() < 0.8 else None
                 # search_counts: null / empty / valid / corrupt / unknown-source
                 shape = rng.random()
                 if shape < 0.15:
@@ -203,6 +245,18 @@ def schema() -> pa.schema:
         ("channel", pa.string()),
         ("search_counts", pa.list_(pa.struct([
             ("engine", pa.string()), ("source", pa.string()), ("count", pa.int64()),
+        ]))),
+        ("active_addons", pa.list_(pa.struct([
+            ("addon_id", pa.string()), ("blocklisted", pa.bool_()),
+            ("name", pa.string()), ("user_disabled", pa.bool_()),
+            ("app_disabled", pa.bool_()), ("version", pa.string()),
+            ("scope", pa.int64()), ("type", pa.string()),
+            ("foreign_install", pa.bool_()),
+            ("has_binary_components", pa.bool_()),
+            ("install_day", pa.int64()), ("update_day", pa.int64()),
+            ("signed_state", pa.int64()), ("is_system", pa.bool_()),
+            ("is_web_extension", pa.bool_()),
+            ("multiprocess_compatible", pa.bool_()),
         ]))),
     ]
     fields += [(c, pa.int64()) for c in SUM_COLS + MEAN_COLS + MAX_COLS]
