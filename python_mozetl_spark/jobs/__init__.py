@@ -7,7 +7,9 @@ Each module documents the reference entry point it mirrors
 """
 
 from python_mozetl_spark.jobs.clients_daily import (  # noqa: F401
+    clients_daily_oracle_sql,
     extract_search_counts,
+    full_agg_spec,
     run_clients_daily,
 )
 from python_mozetl_spark.jobs.search_aggregates import (  # noqa: F401

@@ -48,13 +48,19 @@ def export_profiles(
     payload_columns: Sequence[str] = DEFAULT_PAYLOAD_COLUMNS,
     sample_rate: float | None = None,
     seed: int = 42,
+    order_columns: Sequence[str] = ("subsession_start_date",),
 ) -> DataFrame:
-    """(client_id, json_payload) for each client's latest subsession."""
+    """(client_id, json_payload) for each client's latest subsession.
+
+    Pass a unique tiebreaker in ``order_columns`` (e.g. document_id)
+    when subsession timestamps can collide within a client — W1 needs a
+    total order to be retry-deterministic (SURVEY §7.3).
+    """
     cleaned = valid_profiles(df)
     if sample_rate is not None:
         cleaned = cleaned.sample(fraction=sample_rate, seed=seed)
     latest = latest_per_key(
-        cleaned, keys=["client_id"], order_by=["subsession_start_date"]
+        cleaned, keys=["client_id"], order_by=list(order_columns)
     )
     cols = [c for c in payload_columns if c in latest.columns]
     return latest.select(

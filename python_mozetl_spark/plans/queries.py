@@ -3892,6 +3892,171 @@ def addon_coinstall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# R5c. graphics_trends + hardware_report reference jobs, graded on sf data
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weekly_trend_merge",
+    "The graphics-trends incremental backfill GRADED (mozetl/graphics/"
+    "graphics_telemetry_trends.py:233-427): the reference's walk-"
+    "backwards-one-week cache loop re-expressed as ONE Sunday-aligned "
+    "tumbling-window aggregation + idempotent anti-join merge.  The "
+    "query simulates two runs — a prior run over data before a mid-week "
+    "cutoff (its trailing incomplete week dropped, exactly the "
+    "reference's pop) merged with a re-run from that week's Sunday "
+    "start — and the MERGE is graded by the strongest possible oracle: "
+    "equality with the single-pass recompute over all data.",
+    ("A1", "streaming", "K-merge"),
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-04')
+            AS VARCHAR) AS week_start,
+  event_type, count(*) AS total, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def weekly_trend_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.graphics_trends import (
+        drop_incomplete_week,
+        merge_trend_cache,
+        weekly_trend,
+    )
+
+    e = t(spark, sf_dir, "events")
+    # mid-week cutoff inside the data range; its containing week starts
+    # on Sunday 2024-01-14 (weeks are Sunday-aligned, module doc)
+    cutoff = "2024-01-17 12:00:00"
+    week_start = "2024-01-14 00:00:00"
+    existing = drop_incomplete_week(
+        weekly_trend(e.where(F.col("ts") < F.lit(cutoff)), value="value"),
+        as_of=cutoff,
+    )
+    fresh = weekly_trend(
+        e.where(F.col("ts") >= F.lit(week_start)), value="value"
+    )
+    merged = merge_trend_cache(existing, fresh)
+    return merged.select(
+        F.col("week_start").cast("string").alias("week_start"),
+        "event_type",
+        "total",
+        "sum_value",
+    )
+
+
+@query(
+    "hardware_dimension_report",
+    "The hardware-report pipeline GRADED on sf data (mozetl/"
+    "hardware_report/summarize_json.py:217-469): longitudinal arrays "
+    "built newest-first per user, latest-VALID extraction via "
+    "array_position on the aligned validity array (the reference's "
+    "backwards scan), then the dimension report: counts -> small-group "
+    "collapse -> global shares.",
+    ("A13", "A14", "F1"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, value,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+firstvalid AS (
+  SELECT user_id, min(rn) AS i FROM seq WHERE value > 1.0 GROUP BY user_id),
+clients AS (
+  SELECT s.event_type AS latest_type
+  FROM seq s JOIN firstvalid f ON s.user_id = f.user_id AND s.rn = f.i),
+counts AS (SELECT latest_type, count(*) AS n FROM clients GROUP BY latest_type)
+SELECT latest_type, CAST(n AS BIGINT) AS n,
+  round(n / sum(n) OVER (), 6) AS share
+FROM counts
+""",
+)
+def hardware_dimension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.hardware_report import (
+        dimension_report,
+        extract_latest_valid,
+    )
+
+    e = t(spark, sf_dir, "events")
+    seq = e.groupBy(F.col("user_id").alias("client_id")).agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"),
+                        F.col("event_type"), F.col("value"),
+                    )
+                )
+            )
+        ).alias("__seq")
+    )
+    longitudinal = seq.select(
+        "client_id",
+        F.transform(F.col("__seq"), lambda x: x["event_type"]).alias("types"),
+        F.transform(F.col("__seq"), lambda x: x["value"] > 1.0).alias("valid"),
+    )
+    clients = extract_latest_valid(
+        longitudinal, {"latest_type": F.col("types")}, F.col("valid")
+    )
+    return dimension_report(clients, "latest_type", threshold=3)
+
+
+@query(
+    "profile_export_json",
+    "The TAAR-dynamo profile export GRADED (mozetl/taar/taar_dynamo.py:"
+    "118-133,322-394): row validation (try-parse date, non-empty "
+    "client), latest-subsession-per-client W1 dedup under a TOTAL "
+    "order, and the keyed JSON payload — the reference's rdd.zip + "
+    "toJSON alignment hazard (J9) as one to_json(struct) column, "
+    "byte-identical across engines (payload fields coalesced: Spark "
+    "to_json omits null struct fields, DuckDB serializes them).",
+    ("J9", "W1", "P9", "F2"),
+    oracle=f"""
+WITH v AS (
+  SELECT * FROM read_parquet('{_MS_PATH}')
+  WHERE client_id IS NOT NULL AND client_id <> ''
+    AND try_cast(substr(subsession_start_date, 1, 10) AS DATE) IS NOT NULL),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY client_id
+      ORDER BY subsession_start_date DESC, document_id DESC) AS rn
+  FROM v)
+SELECT client_id,
+  CAST(to_json(struct_pack(
+    city := coalesce(city, '-'),
+    subsession_start_date := subsession_start_date,
+    subsession_length := subsession_length,
+    locale := coalesce(locale, '-'),
+    os := os,
+    places_bookmarks_count := coalesce(places_bookmarks_count, -1)
+  )) AS VARCHAR) AS json_payload
+FROM r WHERE rn = 1
+""",
+)
+def profile_export_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.profile_export import export_profiles
+
+    tune_session(spark)
+    ms = spark.read.parquet(_MS_PATH).select(
+        "client_id",
+        "document_id",
+        "subsession_start_date",
+        F.coalesce("city", F.lit("-")).alias("city"),
+        "subsession_length",
+        F.coalesce("locale", F.lit("-")).alias("locale"),
+        "os",
+        F.coalesce("places_bookmarks_count", F.lit(-1)).alias(
+            "places_bookmarks_count"
+        ),
+    )
+    return export_profiles(
+        ms,
+        payload_columns=(
+            "city", "subsession_start_date", "subsession_length",
+            "locale", "os", "places_bookmarks_count",
+        ),
+        order_columns=("subsession_start_date", "document_id"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
 # The external correctness driver grades the FIRST 50 registry entries
@@ -3913,7 +4078,8 @@ def addon_coinstall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summary_stats, distinct_user_event_types, customer_year_sets,
 # token_positions, nation_suppliers, mod_sampled_agg,
 # customer_order_counts, multi_distinct, status_conditional_agg,
-# token_cooccurrence, stratified_mod_sample.
+# token_cooccurrence, stratified_mod_sample, user_event_enrich,
+# user_first_last, top_orders_per_customer.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -3923,6 +4089,9 @@ _DRIVER_WINDOW = [
     "search_engine_rollup",
     "addon_aggregates_rollup",
     "addon_coinstall_graph",
+    "weekly_trend_merge",
+    "hardware_dimension_report",
+    "profile_export_json",
     "csv_dim_weighted_orders",
     "parquet_sink_roundtrip",
     "multimodal_decode_stats",
@@ -3968,9 +4137,6 @@ _DRIVER_WINDOW = [
     "sessionized_events",
     "sliding_event_rollup",
     "sql_surface_lateral",
-    "top_orders_per_customer",
-    "user_event_enrich",
-    "user_first_last",
 ]
 
 

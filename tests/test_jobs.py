@@ -258,3 +258,35 @@ def test_clients_daily_schema_drift(spark):
     assert r["activity_date"] == "2017-01-01"
     assert r["search_count_all_sum"] == 0
     assert r["country"] is None
+
+
+def test_full_clients_daily_catalog_size_and_families(spark):
+    """Catalog-shrink guard: the round-5 full transcription of
+    fields.py:35-213 must stay complete — ~100 aggregate expressions
+    across every family, and the generated oracle must name every
+    output alias."""
+    from python_mozetl_spark.jobs.clients_daily import (
+        FIRST_FIELDS,
+        MAX_FIELDS,
+        MEAN_FIELDS,
+        SUM_FIELDS,
+        clients_daily_oracle_sql,
+        full_agg_spec,
+    )
+
+    spec = full_agg_spec()
+    n_aggs = len(spec.aggs) + len(spec.extra)
+    assert n_aggs >= 100, n_aggs
+    assert len(SUM_FIELDS) >= 40 and len(FIRST_FIELDS) >= 40
+    assert len(MEAN_FIELDS) == 6 and len(MAX_FIELDS) == 3
+    sql = clients_daily_oracle_sql("/tmp/x.parquet")
+    for alias in ["pings_aggregated_by_this_row", "active_hours_sum",
+                  "sessions_started_on_this_day", "profile_age_in_days",
+                  "geo_subdivision2", "search_count_alias_sum",
+                  "scalar_parent_browser_engagement_unique_domains_count_mean"]:
+        assert alias in sql, alias
+    # key parameterization (experiments_daily reuse)
+    sql3 = clients_daily_oracle_sql(
+        "/tmp/x.parquet", keys=("experiment_id", "client_id", "activity_date")
+    )
+    assert "PARTITION BY experiment_id, client_id, activity_date" in sql3
