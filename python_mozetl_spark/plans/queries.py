@@ -3963,10 +3963,13 @@ firstvalid AS (
 clients AS (
   SELECT s.event_type AS latest_type
   FROM seq s JOIN firstvalid f ON s.user_id = f.user_id AND s.rn = f.i),
-counts AS (SELECT latest_type, count(*) AS n FROM clients GROUP BY latest_type)
-SELECT latest_type, CAST(n AS BIGINT) AS n,
-  round(n / sum(n) OVER (), 6) AS share
-FROM counts
+counts AS (SELECT latest_type, count(*) AS n FROM clients GROUP BY latest_type),
+collapsed AS (
+  SELECT CASE WHEN n < 3 THEN 'Other' ELSE latest_type END AS latest_type,
+    CAST(sum(n) AS BIGINT) AS n
+  FROM counts GROUP BY 1)
+SELECT latest_type, n, round(n / sum(n) OVER (), 6) AS share
+FROM collapsed
 """,
 )
 def hardware_dimension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
