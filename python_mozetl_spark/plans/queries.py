@@ -3630,8 +3630,13 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.sources import read_partitioned
 
     o = t(spark, sf_dir, "orders")
+    # pid + sf in the scratch path: re-runs in one process overwrite
+    # idempotently, CONCURRENT processes (e.g. a pytest session next to
+    # a check run) never share a _temporary dir
     path = _os.path.join(
-        tempfile.gettempdir(), "python_mozetl_spark_roundtrip_orders"
+        tempfile.gettempdir(),
+        f"python_mozetl_spark_roundtrip_orders_{_os.getpid()}_"
+        f"{_os.path.basename(sf_dir.rstrip('/'))}",
     )
     write_partitioned_parquet(
         o,
@@ -4002,6 +4007,89 @@ def hardware_dimension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dimension_report(clients, "latest_type", threshold=3)
 
 
+_TAAR_LOCALES = ["de", "en-US", "fr", "pt-BR"]
+_TAAR_WL = [
+    "uBlock0@raymondhill.net", "tree-style-tab@example.org",
+    "darkreader@example.net", "vimium@example.io",
+    "study1@shield.mozilla.org", "helper@cliqz.com",
+]
+
+
+@query(
+    "taar_locale_topn",
+    "The taar_locale recommendation pipeline GRADED (mozetl/taar/"
+    "taar_locale.py:139-317): whitelist + locale-limits filter, "
+    "per-(locale, addon) client counts, the distributed DP release "
+    "(dense grid, executor-side md5-keyed Laplace noise, per-locale "
+    "sensitivity = the addon cap), shift-to-zero, top-N per locale, "
+    "share normalization.  Limits sit above any client's whitelisted "
+    "addon count so the seeded-shuffle cap never bites — the one "
+    "rand()-ordered stage is inert and the WHOLE pipeline is "
+    "deterministic, hence oracle-checkable end-to-end.",
+    ("A15", "W2", "A14"),
+    oracle=f"""
+WITH ca AS (
+  SELECT DISTINCT client_id, locale, u.addon_id AS addon
+  FROM (SELECT client_id, locale, unnest(active_addons) AS u
+        FROM read_parquet('{_MS_PATH}'))
+  WHERE locale IN ({", ".join(f"'{x}'" for x in _TAAR_LOCALES)})
+    AND u.addon_id IN ({", ".join(f"'{x}'" for x in _TAAR_WL)})),
+counts AS (SELECT locale, addon, count(*) AS n FROM ca GROUP BY 1, 2),
+grid AS (
+  SELECT l.locale, a.addon
+  FROM (VALUES {", ".join(f"('{x}')" for x in _TAAR_LOCALES)}) l(locale)
+  CROSS JOIN (VALUES {", ".join(f"('{x}')" for x in _TAAR_WL)}) a(addon)),
+dense AS (
+  SELECT g.locale, g.addon, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c USING (locale, addon)),
+u AS (
+  SELECT locale, addon, n,
+    ((('0x' || substr(md5('42' || chr(31) || locale || chr(31) || addon), 1, 15))::BIGINT
+      + 0.5) / 1152921504606846976.0) - 0.5 AS uu
+  FROM dense),
+noisy AS (
+  SELECT locale, addon,
+    n + (-(50.0 / 0.4) * sign(uu) * ln(1 - 2 * abs(uu))) AS cnt
+  FROM u),
+shifted AS (
+  SELECT locale, addon,
+    cnt - least(min(cnt) OVER (PARTITION BY locale), 0.0) AS pos
+  FROM noisy),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY locale
+                               ORDER BY pos DESC, addon) AS rn
+  FROM shifted)
+SELECT locale, addon,
+  round(pos / sum(pos) OVER (PARTITION BY locale), 6) AS share
+FROM ranked WHERE rn <= 3
+""",
+)
+def taar_locale_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.taar_locale import run_taar_locale
+
+    tune_session(spark)
+    ms = spark.read.parquet(_MS_PATH)
+    client_addons = (
+        ms.select(
+            "client_id", "locale",
+            F.explode("active_addons").alias("a"),
+        )
+        .select("client_id", "locale", F.col("a.addon_id").alias("addon"))
+        .where(F.col("locale").isNotNull())
+        .distinct()
+    )
+    out = run_taar_locale(
+        spark,
+        client_addons,
+        addon_limits={loc: 50 for loc in _TAAR_LOCALES},
+        whitelist=_TAAR_WL,
+        epsilon=0.4,
+        num_addons=3,
+        seed=42,
+    )
+    return out.select("locale", "addon", F.round("share", 6).alias("share"))
+
+
 @query(
     "profile_export_json",
     "The TAAR-dynamo profile export GRADED (mozetl/taar/taar_dynamo.py:"
@@ -4082,7 +4170,7 @@ def profile_export_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token_positions, nation_suppliers, mod_sampled_agg,
 # customer_order_counts, multi_distinct, status_conditional_agg,
 # token_cooccurrence, stratified_mod_sample, user_event_enrich,
-# user_first_last, top_orders_per_customer.
+# user_first_last, top_orders_per_customer, sql_surface_lateral.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -4095,6 +4183,7 @@ _DRIVER_WINDOW = [
     "weekly_trend_merge",
     "hardware_dimension_report",
     "profile_export_json",
+    "taar_locale_topn",
     "csv_dim_weighted_orders",
     "parquet_sink_roundtrip",
     "multimodal_decode_stats",
@@ -4139,7 +4228,6 @@ _DRIVER_WINDOW = [
     "segment_active_customers",
     "sessionized_events",
     "sliding_event_rollup",
-    "sql_surface_lateral",
 ]
 
 

@@ -287,15 +287,25 @@ def test_ngram_jaccard_strategies_agree(spark):
 
 
 def test_spread_is_noop_on_well_partitioned_input(spark):
+    import tempfile
+
     from python_mozetl_spark.session import spread
 
+    # non-scan frames pass through untouched (planning-time policy:
+    # anything post-shuffle already runs at shuffle.partitions, and
+    # estimating them would force the .rdd conversion spread avoids)
     well = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
-    assert spread(well) is well  # no extra shuffle at scale
-    narrow = spark.range(1000).coalesce(1)
-    assert (
-        spread(narrow).rdd.getNumPartitions()
-        == spark.sparkContext.defaultParallelism
-    )
+    assert spread(well) is well
+    inmem = spark.range(1000).coalesce(1)
+    assert spread(inmem) is inmem
+    # a small single-file scan IS spread to full parallelism
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(1000).coalesce(1).write.parquet(f"{d}/t")
+        narrow = spark.read.parquet(f"{d}/t")
+        assert (
+            spread(narrow).rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
 
 
 def test_srp_near_dup_matches_brute_force_on_planted_pairs(spark):
