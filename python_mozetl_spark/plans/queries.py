@@ -4007,6 +4007,106 @@ def hardware_dimension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dimension_report(clients, "latest_type", threshold=3)
 
 
+@query(
+    "graphics_device_shares",
+    "The graphics dashboard GRADED (mozetl/graphics/graphics_telemetry_"
+    "dashboard.py:151-292): the per-ping Python validate dict as a "
+    "when/otherwise projection (OS normalization, vendor merge incl. "
+    "the Intel-OSTC alias, compound device keys, validity gate), then "
+    "the countByKey pyramids as groupBy + top-N + 'Other' collapse + "
+    "shares, unioned across the three dashboard dimensions.  Adapter "
+    "structs are synthesized md5-deterministically from ping identity "
+    "so both engines derive identical inputs without a fixture column.",
+    ("P9", "A13", "A14", "A10"),
+    oracle=f"""
+WITH base AS (
+  SELECT os AS os_name, os_version, os_service_pack_major,
+    app_version AS build_version,
+    ('0x' || substr(md5('gfx|' || client_id || '|' || document_id), 1, 15))::BIGINT AS h0
+  FROM read_parquet('{_MS_PATH}')),
+adapt AS (
+  SELECT *,
+    (h0 % 11) <> 0 AS has_adapter,
+    CASE h0 % 5 WHEN 0 THEN '0x8086' WHEN 1 THEN '0x10de'
+      WHEN 2 THEN '0x1002' WHEN 3 THEN 'Intel Open Source Technology Center'
+      ELSE NULL END AS vendor_raw,
+    'dev' || CAST(h0 % 7 AS VARCHAR) AS dev_raw
+  FROM base),
+valid AS (
+  SELECT *,
+    CASE WHEN coalesce(vendor_raw, 'Unknown') =
+              'Intel Open Source Technology Center'
+         THEN '0x8086' ELSE coalesce(vendor_raw, 'Unknown') END AS vendor,
+    CASE WHEN coalesce(os_name, 'w') = 'Linux' THEN 'Linux'
+         WHEN coalesce(os_name, 'w') = 'Windows_NT'
+           THEN 'Windows-' || coalesce(os_version, '0') || '.' ||
+                coalesce(CAST(os_service_pack_major AS VARCHAR), '0')
+         WHEN coalesce(os_name, 'w') = 'Darwin'
+           THEN 'Darwin-' || coalesce(os_version, '0')
+         ELSE coalesce(os_name, 'w') || '-' || coalesce(os_version, '0')
+    END AS os_key
+  FROM adapt WHERE build_version IS NOT NULL AND has_adapter),
+dims AS (
+  SELECT 'OS' AS dim, os_key AS value FROM valid
+  UNION ALL SELECT 'vendorID', vendor FROM valid
+  UNION ALL SELECT 'deviceID', vendor || '/' || dev_raw FROM valid),
+counts AS (SELECT dim, value, count(*) AS n FROM dims GROUP BY dim, value),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY dim
+                               ORDER BY n DESC, value) AS rk
+  FROM counts),
+collapsed AS (
+  SELECT dim, CASE WHEN rk > 10 THEN 'Other' ELSE value END AS value,
+    CAST(sum(n) AS BIGINT) AS n
+  FROM ranked GROUP BY 1, 2)
+SELECT dim, value, n,
+  round(n / sum(n) OVER (PARTITION BY dim), 6) AS share
+FROM collapsed
+""",
+)
+def graphics_device_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.graphics_dashboard import run_graphics_dashboard
+
+    tune_session(spark)
+    ms = spark.read.parquet(_MS_PATH)
+    h = H.md5_int64(
+        F.concat_ws("|", F.lit("gfx"), F.col("client_id"), F.col("document_id"))
+    )
+    adapter = F.struct(
+        F.when(h % 5 == 0, F.lit("0x8086"))
+        .when(h % 5 == 1, F.lit("0x10de"))
+        .when(h % 5 == 2, F.lit("0x1002"))
+        .when(h % 5 == 3, F.lit("Intel Open Source Technology Center"))
+        .alias("vendorID"),
+        F.concat(F.lit("dev"), (h % 7).cast("string")).alias("deviceID"),
+        F.concat(F.lit("drv"), (h % 3).cast("string")).alias("driverVersion"),
+        F.lit("v").alias("driverVendor"),
+    )
+    pings = ms.select(
+        F.col("os").alias("os_name"),
+        "os_version",
+        "os_service_pack_major",
+        F.col("app_version").alias("build_version"),
+        F.when(h % 11 == 0, F.lit(None)).otherwise(F.array(adapter)).alias(
+            "adapters"
+        ),
+    )
+    tables = run_graphics_dashboard(pings, dims=("OS", "vendorID", "deviceID"))
+    parts = [
+        df.select(
+            F.lit(d).alias("dim"),
+            F.col(d).alias("value"),
+            "n",
+            F.round("share", 6).alias("share"),
+        )
+        for d, df in tables.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _TAAR_LOCALES = ["de", "en-US", "fr", "pt-BR"]
 _TAAR_WL = [
     "uBlock0@raymondhill.net", "tree-style-tab@example.org",
@@ -4170,7 +4270,8 @@ def profile_export_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token_positions, nation_suppliers, mod_sampled_agg,
 # customer_order_counts, multi_distinct, status_conditional_agg,
 # token_cooccurrence, stratified_mod_sample, user_event_enrich,
-# user_first_last, top_orders_per_customer, sql_surface_lateral.
+# user_first_last, top_orders_per_customer, sql_surface_lateral,
+# sliding_event_rollup.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -4184,6 +4285,7 @@ _DRIVER_WINDOW = [
     "hardware_dimension_report",
     "profile_export_json",
     "taar_locale_topn",
+    "graphics_device_shares",
     "csv_dim_weighted_orders",
     "parquet_sink_roundtrip",
     "multimodal_decode_stats",
@@ -4227,7 +4329,6 @@ _DRIVER_WINDOW = [
     "running_revenue",
     "segment_active_customers",
     "sessionized_events",
-    "sliding_event_rollup",
 ]
 
 
