@@ -4008,6 +4008,103 @@ def hardware_dimension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "missing_symbols_report",
+    "The symbolication crash report GRADED on sf-scaled events (mozetl/"
+    "symbolication/modules_with_missing_symbols.py:63-105): explode "
+    "module lists, dropDuplicates(uuid, module), the validity filter "
+    "(missing symbols, not a known module, not a deleted mapping), "
+    "crash counts per (filename, version, debug_id, debug_file), then "
+    "the per-filename version rollup — the reference's RDD map/filter/"
+    "reduceByKey pyramid as two hash aggregations + collect_list "
+    "(canonical-CSV emission).  Module structs are synthesized "
+    "md5-deterministically per event so both engines derive identical "
+    "crashes.",
+    ("A8", "A10", "E1", "P9"),
+    oracle="""
+WITH m AS (
+  SELECT CAST(event_id AS VARCHAR) AS uuid,
+    ('0x' || substr(md5('sym|' || CAST(event_id AS VARCHAR) || '|'
+                        || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events, (VALUES (1), (2)) t(i)),
+fields AS (
+  SELECT uuid,
+    CASE h % 6 WHEN 0 THEN 'xul.dll' WHEN 1 THEN 'libnss3.so'
+      WHEN 2 THEN 'igd10iumd64.dll' WHEN 3 THEN 'app (deleted).dll'
+      WHEN 4 THEN 'KNOWNMOD.dll' ELSE 'ntdll.dll' END AS filename,
+    'v' || CAST(h % 4 AS VARCHAR) AS version,
+    'D' || CAST(h % 5 AS VARCHAR) AS debug_id,
+    (h % 7) < 3 AS missing_symbols
+  FROM m),
+dedup AS (SELECT DISTINCT uuid, filename, version, debug_id,
+                 filename || '.pdb' AS debug_file, missing_symbols
+          FROM fields),
+validf AS (
+  SELECT * FROM dedup
+  WHERE missing_symbols AND filename NOT LIKE '%(deleted)%'
+    AND lower(filename) <> 'knownmod.dll'),
+counts AS (
+  SELECT filename, version, debug_id, debug_file, count(*) AS n
+  FROM validf GROUP BY filename, version, debug_id, debug_file)
+SELECT filename, CAST(sum(n) AS BIGINT) AS total_crashes,
+  string_agg(CAST(n AS VARCHAR) || ':' || version || ':' || debug_id
+             || ':' || debug_file, ','
+             ORDER BY n DESC, version DESC, debug_id DESC, debug_file DESC)
+    AS versions_csv
+FROM counts GROUP BY filename
+""",
+)
+def missing_symbols_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.jobs.symbolication import run_missing_symbols_report
+
+    e = t(spark, sf_dir, "events")
+
+    def module(i: int):
+        hi = H.md5_int64(
+            F.concat_ws(
+                "|", F.lit("sym"), F.col("event_id").cast("string"), F.lit(str(i))
+            )
+        )
+        filename = (
+            F.when(hi % 6 == 0, F.lit("xul.dll"))
+            .when(hi % 6 == 1, F.lit("libnss3.so"))
+            .when(hi % 6 == 2, F.lit("igd10iumd64.dll"))
+            .when(hi % 6 == 3, F.lit("app (deleted).dll"))
+            .when(hi % 6 == 4, F.lit("KNOWNMOD.dll"))
+            .otherwise(F.lit("ntdll.dll"))
+        )
+        return F.struct(
+            filename.alias("filename"),
+            F.concat(F.lit("v"), (hi % 4).cast("string")).alias("version"),
+            F.concat(F.lit("D"), (hi % 5).cast("string")).alias("debug_id"),
+            F.concat(filename, F.lit(".pdb")).alias("debug_file"),
+            # 7 is coprime to the filename modulus 6: h%6 and h%3
+            # are correlated (shared factor), h%7 is CRT-independent
+            (hi % 7 < 3).alias("missing_symbols"),
+        )
+
+    crashes = e.select(
+        F.col("event_id").cast("string").alias("uuid"),
+        F.array(module(1), module(2)).alias("modules"),
+    )
+    out = run_missing_symbols_report(crashes, known_modules=["KNOWNMOD.dll"])
+    return out.select(
+        "filename",
+        "total_crashes",
+        F.array_join(
+            F.transform(
+                F.col("versions"),
+                lambda v: F.concat_ws(
+                    ":",
+                    v["n_crashes"].cast("string"),
+                    v["version"], v["debug_id"], v["debug_file"],
+                ),
+            ),
+            ",",
+        ).alias("versions_csv"),
+    )
+
+
+@query(
     "graphics_device_shares",
     "The graphics dashboard GRADED (mozetl/graphics/graphics_telemetry_"
     "dashboard.py:151-292): the per-ping Python validate dict as a "
@@ -4263,7 +4360,7 @@ def profile_export_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  11 unchanged r03-graded simple relational
+# the r03-graded set.  21 unchanged r03-graded simple relational
 # queries remain just outside (two rounds old); FRONT THESE IN R06:
 # brand_collapse, segment_share, union_high_value, top_part_types,
 # summary_stats, distinct_user_event_types, customer_year_sets,
@@ -4271,7 +4368,7 @@ def profile_export_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customer_order_counts, multi_distinct, status_conditional_agg,
 # token_cooccurrence, stratified_mod_sample, user_event_enrich,
 # user_first_last, top_orders_per_customer, sql_surface_lateral,
-# sliding_event_rollup.
+# sliding_event_rollup, sessionized_events.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -4286,6 +4383,7 @@ _DRIVER_WINDOW = [
     "profile_export_json",
     "taar_locale_topn",
     "graphics_device_shares",
+    "missing_symbols_report",
     "csv_dim_weighted_orders",
     "parquet_sink_roundtrip",
     "multimodal_decode_stats",
@@ -4328,7 +4426,6 @@ _DRIVER_WINDOW = [
     "regional_revenue",
     "running_revenue",
     "segment_active_customers",
-    "sessionized_events",
 ]
 
 
