@@ -211,3 +211,107 @@ def heavy_hitters(
         .where(F.col("cnt") * den >= F.lit(num) * F.col("__n"))
         .drop("__n")
     )
+
+
+# --------------------------------------------------------------------------
+# Log-bucketed histogram quantiles (mergeable, integer-exact)
+# --------------------------------------------------------------------------
+# The production shape for quantiles over 100 TB: exact percentiles
+# (A12's percentile()) need a full sort or a per-group collect of the
+# whole column; a t-digest/KLL sketch is mergeable but its bucket
+# boundaries depend on float accumulation order, so two engines (or two
+# runs) disagree in the last ulp and the result is not oracle-checkable.
+# This sketch keeps the mergeable histogram shape but makes the bucket
+# function PURE INTEGER: for a non-negative long v,
+#
+#   L      = bit_length(v)            (length of the binary string)
+#   shift  = max(0, L - (subbits+1))
+#   bucket = (v >> shift) << shift    (zero the low bits)
+#
+# Values below 2^(subbits+1) are their own bucket (exact region);
+# above it each octave splits into 2^subbits sub-buckets, so the
+# bucket lower bound under-estimates v by at most 2^-subbits
+# relative (3.1% at the default subbits=5).  bit_length via the
+# binary-string length and the shifts are exact integer ops in Spark
+# (bin/shiftright/shiftleft) AND DuckDB (printf('%b'), >>, <<), which
+# is what lets the graded query hash-match cross-engine.
+#
+# State per group is at most 32*64 + 64 buckets — O(1) however large
+# the group; histograms merge by SUMMING counts on the bucket key
+# (associative + commutative, so partial aggregation and cross-batch
+# reaggregation are free), and the quantile read-out is a window
+# cumsum over the |buckets|-sized frame.
+
+
+def log_bucket(value_col: str, subbits: int = 5):
+    """The bucket lower bound of a non-negative integral column, as a
+    Column expression (codegen-able, no Python)."""
+    L = f"length(bin({value_col}))"
+    shift = f"greatest(0, {L} - {subbits + 1})"
+    return F.expr(f"shiftleft(shiftright({value_col}, {shift}), {shift})")
+
+
+def log_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    subbits: int = 5,
+) -> DataFrame:
+    """Per-group bucket histogram: (group..., bucket_lo, cnt).
+
+    One partial+final hash-agg pair on (group, bucket) — the map-side
+    combine collapses each partition to its live buckets before the
+    exchange, so shuffle volume is bucket-bounded, not row-bounded.
+    Requires ``value_col`` >= 0 (money-in-cents, counts, latencies).
+    """
+    group_cols = list(group_cols or [])
+    return (
+        df.select(*group_cols, log_bucket(value_col, subbits).alias("bucket_lo"))
+        .groupBy(*group_cols, "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(
+    hists: list[DataFrame], group_cols: list[str] | None = None
+) -> DataFrame:
+    """Sum counts on the bucket key: the cross-batch / cross-shard
+    reaggregation path (exact — integer counts, integer buckets)."""
+    group_cols = list(group_cols or [])
+    merged = hists[0]
+    for h in hists[1:]:
+        merged = merged.unionByName(h)
+    return merged.groupBy(*group_cols, "bucket_lo").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile read-out: (group..., q, est) where ``est`` is the lower
+    bound of the first bucket whose cumulative count reaches
+    ``ceil(q * N)`` — the rank-based lower quantile, under-estimating
+    the exact order statistic by < 2^-subbits relative.
+
+    Runs entirely on the bucket-sized frame: one cumsum window + one
+    min-aggregate per (group, q); the raw stream never re-enters.
+    """
+    group_cols = list(group_cols or [])
+    w = Window.partitionBy(*group_cols).orderBy("bucket_lo")
+    tot = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bucket_lo",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    qf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = cum.select(*group_cols, "bucket_lo", "cum", "n", qf).where(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    return hit.groupBy(*group_cols, "q").agg(
+        F.min("bucket_lo").alias("est"), F.first("n").alias("n")
+    )

@@ -42,6 +42,11 @@ from python_mozetl_spark.operators.timeseries import (  # noqa: F401
     retention_cohorts,
     rolling_zscore_anomalies,
 )
+from python_mozetl_spark.operators.incremental import (  # noqa: F401
+    agg_state,
+    finalize_agg_state,
+    merge_agg_states,
+)
 from python_mozetl_spark.operators.skew import salted_join  # noqa: F401
 from python_mozetl_spark.operators.windows import (  # noqa: F401
     latest_per_key,

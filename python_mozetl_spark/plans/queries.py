@@ -4344,6 +4344,117 @@ def profile_export_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_incremental_state",
+    "Incremental aggregation (operators/incremental.py): three date-"
+    "sliced batches each produce per-key algebraic state (n / exact-"
+    "decimal sum / sum-of-squares / min / max), the states MERGE by "
+    "re-aggregation, and derived stats finalize from the merged state "
+    "alone — the 100 TB incremental-rollup shape where each run folds "
+    "only its new partition into a |keys|-sized state table instead of "
+    "rescanning history.  Money is exact integer cents, so merge == "
+    "single-pass bit-for-bit; the oracle IS the single-pass recompute.",
+    ("A1", "incremental", "merge"),
+    oracle="""
+WITH c AS (SELECT o_orderpriority,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+s AS (SELECT o_orderpriority, COUNT(*) AS n,
+    SUM(cents::HUGEINT) AS sm,
+    SUM(cents::HUGEINT * cents::HUGEINT) AS s2,
+    MIN(cents) AS mn, MAX(cents) AS mx
+  FROM c GROUP BY o_orderpriority)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+  round(sm::DOUBLE / 100.0, 2) AS revenue,
+  round(sm::DOUBLE / n::DOUBLE / 100.0, 4) AS avg_price,
+  round(sqrt((s2::DOUBLE - sm::DOUBLE * sm::DOUBLE / n::DOUBLE)
+             / (n::DOUBLE - 1.0)) / 100.0, 4) AS std_price,
+  round(mn / 100.0, 2) AS min_price,
+  round(mx / 100.0, 2) AS max_price
+FROM s
+""",
+)
+def orders_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.incremental import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    keys, vals = ["o_orderpriority"], ["cents"]
+    o = t(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    )
+    # in production each batch is its own arriving partition; slicing one
+    # table three ways here exercises the same merge algebra
+    batches = [
+        o.where(F.col("o_orderdate") < "1997-01-01"),
+        o.where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1999-01-01")
+        ),
+        o.where(F.col("o_orderdate") >= "1999-01-01"),
+    ]
+    states = [agg_state(b, keys, vals) for b in batches]
+    fin = finalize_agg_state(merge_agg_states(states, keys, vals), keys, vals)
+    return fin.select(
+        "o_orderpriority",
+        F.col("cents_n").alias("n_orders"),
+        F.round(F.col("cents_sum").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cents_mean") / 100.0, 4).alias("avg_price"),
+        F.round(F.col("cents_std") / 100.0, 4).alias("std_price"),
+        F.round(F.col("cents_min") / 100.0, 2).alias("min_price"),
+        F.round(F.col("cents_max") / 100.0, 2).alias("max_price"),
+    )
+
+
+@query(
+    "price_quantile_sketch",
+    "Mergeable quantile sketch (ext/sketches.py:log_histogram): per-"
+    "returnflag p50/p90/p99 of extended price from a log-bucketed "
+    "histogram whose bucket function is PURE INTEGER (bit-length + "
+    "shifts), so — unlike t-digest/KLL — the sketch is bit-identical "
+    "cross-engine and oracle-checkable while keeping the mergeable "
+    "O(1)-state scale shape (≤ ~2k buckets per group, sum-merge, "
+    "read-out on the bucket-sized frame).  Relative error ≤ 2^-5.",
+    ("A12", "ext-sketch", "incremental"),
+    oracle="""
+WITH c AS (SELECT l_returnflag,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
+b AS (SELECT l_returnflag,
+    (cents >> greatest(0, length(printf('%b', cents)) - 6))
+      << greatest(0, length(printf('%b', cents)) - 6) AS bucket_lo
+  FROM c),
+h AS (SELECT l_returnflag, bucket_lo, COUNT(*) AS cnt
+      FROM b GROUP BY l_returnflag, bucket_lo),
+cum AS (SELECT l_returnflag, bucket_lo,
+    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket_lo) AS cum,
+    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM h),
+qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (SELECT l_returnflag, qv.q, bucket_lo, n
+  FROM cum CROSS JOIN qv WHERE cum >= ceil(qv.q * n))
+SELECT l_returnflag, round(q, 2) AS q,
+  CAST(min(n) AS BIGINT) AS n_items,
+  round(min(bucket_lo) / 100.0, 2) AS est_price
+FROM hit GROUP BY l_returnflag, q
+""",
+)
+def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.sketches import histogram_quantiles, log_histogram
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    )
+    hist = log_histogram(li, "cents", ["l_returnflag"])
+    est = histogram_quantiles(hist, [0.5, 0.9, 0.99], ["l_returnflag"])
+    return est.select(
+        "l_returnflag",
+        F.round("q", 2).alias("q"),
+        F.col("n").cast("long").alias("n_items"),
+        F.round(F.col("est") / 100.0, 2).alias("est_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -4373,6 +4484,8 @@ def profile_export_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
     # (a) added in round 5
+    "orders_incremental_state",
+    "price_quantile_sketch",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -4424,8 +4537,6 @@ _DRIVER_WINDOW = [
     "props_json_stats",
     "region_nation_rollup",
     "regional_revenue",
-    "running_revenue",
-    "segment_active_customers",
 ]
 
 

@@ -925,3 +925,37 @@ def test_synth_decode_roundtrip_matches_formula(spark, docs):
         w, h, base = r["n_chars"] % 16 + 1, r["doc_id"] % 8 + 1, r["doc_id"] * 37 % 256
         assert got["width"] == w and got["height"] == h
         assert got["pixel_sum"] == 3 * h * sum((base + x) % 256 for x in range(w))
+
+
+def test_log_histogram_quantile_error_bound_and_merge(spark):
+    """The sketch's two contracts (ext/sketches.py:log_histogram): the
+    quantile estimate is within 2^-subbits relative of (and never
+    above) the exact order statistic, and merging per-batch histograms
+    equals the single-pass histogram exactly."""
+    from python_mozetl_spark.ext.sketches import (
+        histogram_quantiles,
+        log_histogram,
+        merge_histograms,
+    )
+
+    vals = [((i * 7919) % 100003) + 1 for i in range(2000)]  # skewed-ish longs
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    hist = log_histogram(df, "v")
+    out = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(hist, [0.5, 0.9, 0.99]).collect()
+    }
+    import math
+
+    sv = sorted(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = sv[math.ceil(q * len(sv)) - 1]
+        est = out[q]
+        assert est <= exact
+        assert est >= exact * (1 - 2 ** -5) - 1
+
+    halves = [df.where(F.col("v") % 2 == 0), df.where(F.col("v") % 2 == 1)]
+    merged = merge_histograms([log_histogram(h, "v") for h in halves])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, hist.collect())
+    )

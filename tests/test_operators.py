@@ -354,3 +354,48 @@ def test_scd2_history_without_collapse_keeps_every_observation(spark):
             {"k": 1, "status": "A", "valid_from": 20, "valid_to": None},
         ],
     )
+
+
+def test_agg_state_merge_equals_single_pass_exactly(spark):
+    """Decimal-exact state: folding per-batch states re-aggregates to the
+    SAME state a single pass over the union produces — bit-for-bit, the
+    property incremental rollups rely on (operators/incremental.py)."""
+    from python_mozetl_spark.operators.incremental import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    import pytest
+
+    rows = [(i % 3, (i * 37) % 1001 - 200) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    batches = [
+        df.where(F.pmod(df.v, F.lit(4)) == r) for r in range(4)
+    ]  # uneven, disjoint, covering (pmod: negatives land in a batch too)
+    merged = merge_agg_states(
+        [agg_state(b, ["k"], ["v"]) for b in batches], ["k"], ["v"]
+    )
+    single = agg_state(df, ["k"], ["v"])
+    assert df_rows(merged) == df_rows(single)
+    fin = finalize_agg_state(merged, ["k"], ["v"])
+    row = {r["k"]: r for r in df_rows(fin)}
+    import statistics
+
+    vals = [v for k, v in rows if k == 1]
+    assert row[1]["v_n"] == len(vals)
+    assert float(row[1]["v_sum"]) == sum(vals)
+    assert row[1]["v_mean"] == pytest.approx(statistics.fmean(vals))
+    assert row[1]["v_std"] == pytest.approx(statistics.stdev(vals))
+    assert row[1]["v_min"] == min(vals) and row[1]["v_max"] == max(vals)
+
+
+def test_agg_state_single_batch_merge_is_identity(spark):
+    from python_mozetl_spark.operators.incremental import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    df = spark.createDataFrame([(1, 5), (1, 7), (2, 9)], ["k", "v"])
+    st = agg_state(df, ["k"], ["v"])
+    assert df_rows(merge_agg_states([st], ["k"], ["v"])) == df_rows(st)
