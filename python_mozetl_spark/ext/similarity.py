@@ -510,3 +510,90 @@ def cosine_topk_pandas(
     return out.select(
         "query_id", "neighbor_id", F.round("score", precision).alias("score")
     ).where(F.col("query_id") != F.col("neighbor_id"))
+
+
+def lloyd_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's k-means — the clustering
+    primitive with a CROSS-ENGINE-REPRODUCIBLE spec (pyspark.ml KMeans
+    k-means|| init is seeded-random and engine-private, so its
+    assignments can never be oracle-checked; this one can).
+
+    The spec, identical in any engine: initial centroids are the ``k``
+    lowest-id vectors; each iteration assigns every vector to the
+    centroid minimizing the squared euclidean distance ROUNDED to
+    ``round_dp`` (centroid index breaks exact ties), then recomputes
+    centroids as the per-dimension mean, also rounded to ``round_dp``.
+    Rounding at both decision points is what pins the float behavior:
+    distances and centroids agree across engines to ~1e-12, so the
+    6dp-rounded values — the only numbers compared or iterated on —
+    are identical.
+
+    Scale shape: the corpus crosses one hash exchange per iteration
+    (the (cluster, dim) mean agg after a posexplode of the vector);
+    assignment itself is a broadcast cross join against the k-row
+    centroid table with a row_number over (distance, cid) — no corpus
+    self-join anywhere.  Driver state is k×dim rounded floats per
+    iteration (centroid-sized, like ivf_topk's coarse quantizer).
+
+    Returns (id, cluster, d2): the final assignment under the
+    last-updated centroids.
+    """
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+
+    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        cdf = spark.createDataFrame(cents, ["__cid", "__cv"]).select(
+            "__cid", F.col("__cv").cast("array<double>").alias("__cv")
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with("__v", "__cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_dp,
+        )
+        scored = e.crossJoin(F.broadcast(cdf)).withColumn("__d2", d2)
+        w = Window.partitionBy(id_col).orderBy("__d2", "__cid")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(id_col, "__cid", "__d2", "__v")
+        )
+
+    cents = [
+        (i, [float(x) for x in r["__v"]])
+        for i, r in enumerate(e.orderBy(id_col).limit(k).collect())
+    ]
+    for _ in range(iters):
+        a = assign(cents)
+        means = (
+            a.select("__cid", F.posexplode("__v").alias("__i", "__x"))
+            .groupBy("__cid", "__i")
+            .agg(F.round(F.avg("__x"), round_dp).alias("__m"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in means:
+            upd.setdefault(r["__cid"], {})[r["__i"]] = r["__m"]
+        # a centroid that lost every member keeps its previous position
+        cents = [
+            (cid, [upd[cid][i] for i in sorted(upd[cid])] if cid in upd else v)
+            for cid, v in cents
+        ]
+    final = assign(cents)
+    return final.select(
+        F.col(id_col),
+        F.col("__cid").cast("long").alias("cluster"),
+        F.col("__d2").alias("d2"),
+    )

@@ -47,6 +47,7 @@ from python_mozetl_spark.operators.incremental import (  # noqa: F401
     finalize_agg_state,
     merge_agg_states,
 )
+from python_mozetl_spark.operators.linkage import blocked_link_pairs  # noqa: F401
 from python_mozetl_spark.operators.skew import salted_join  # noqa: F401
 from python_mozetl_spark.operators.windows import (  # noqa: F401
     latest_per_key,

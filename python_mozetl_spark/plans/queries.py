@@ -4455,6 +4455,134 @@ def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_dup_span_coverage",
+    "Substring-level dedup (ext/dedup.py:duplicated_span_coverage, the "
+    "Lee et al. 2022 span-dedup shape in n-gram-hash form): per doc, "
+    "the token coverage of 8-gram windows that also occur in another "
+    "document — catches shared boilerplate that document-level "
+    "near-dup misses.  Gram stream crosses exactly two exchanges: "
+    "cross-doc duplication via O(1)-state min!=max over the gram hash, "
+    "then a per-doc lead() interval-union fold.",
+    ("ext-dedup",),
+    oracle=r"""
+WITH tk AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+g AS (SELECT doc_id, i AS pos,
+    ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')),
+     1, 15))::BIGINT AS gh
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) s
+  WHERE len(w) >= 8),
+d AS (SELECT doc_id, pos,
+    min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
+      AS dup
+  FROM g),
+p AS (SELECT doc_id, pos,
+    least(8, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                      8)) AS c
+  FROM d WHERE dup),
+cov AS (SELECT doc_id, COUNT(*) AS dup_grams, SUM(c) AS covered
+        FROM p GROUP BY doc_id)
+SELECT tk.doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+  CAST(coalesce(cov.dup_grams, 0) AS BIGINT) AS dup_grams,
+  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_toks,
+  round(CASE WHEN len(w) > 0
+        THEN coalesce(cov.covered, 0)::DOUBLE / len(w) ELSE 0.0 END, 4)
+    AS dup_frac
+FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id
+""",
+)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import duplicated_span_coverage
+
+    d = t(spark, sf_dir, "documents")
+    return duplicated_span_coverage(d, "doc_id", "text", n=8)
+
+
+@query(
+    "part_name_links",
+    "Record linkage (operators/linkage.py:blocked_link_pairs): fuzzy "
+    "entity resolution over parts — candidate pairs form only within "
+    "a brand BLOCK (one hash exchange, chunk-grid bounded fanout via "
+    "the shared bounded_bucket_pairs guard rail), then the built-in "
+    "levenshtein verifies edit distance <= 2.  The classical "
+    "Fellegi-Sunter blocking shape; the oracle is the exact "
+    "within-block self-join.",
+    ("J2", "ext-dedup", "linkage"),
+    oracle="""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+  a.p_name AS p_name_a, b.p_name AS p_name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def part_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.linkage import blocked_link_pairs
+
+    p = t(spark, sf_dir, "part")
+    return blocked_link_pairs(
+        p, "p_partkey", ["p_brand"], "p_name", max_dist=2
+    )
+
+
+def _lloyd_oracle(k: int = 4, iters: int = 2) -> str:
+    """SQL that unrolls the deterministic Lloyd's spec (same init, same
+    6dp-rounded distances and centroids, same tie-break) — proving the
+    clustering itself, not just summary counts, is reproducible
+    cross-engine.  Mirrors ext/similarity.py:lloyd_clusters."""
+    d2 = (
+        "round(list_sum(list_transform(list_zip(e.v, c.v), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""s{it} AS (SELECT vec_id, cid, d2,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid, {d2} AS d2
+        FROM e CROSS JOIN {prev} c) q),
+a{it} AS (SELECT vec_id, cid FROM s{it} WHERE rn = 1),
+u{it} AS (SELECT a.cid, s.i, round(avg(e.v[s.i]), 6) AS m
+  FROM a{it} a JOIN e USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) s
+  GROUP BY a.cid, s.i),
+m{it} AS (SELECT cid, list(m ORDER BY i) AS v FROM u{it} GROUP BY cid),
+c{it} AS (SELECT p.cid, coalesce(m{it}.v, p.v) AS v
+  FROM {prev} p LEFT JOIN m{it} USING (cid)),""")
+        prev = f"c{it}"
+    parts.append(f"""fin AS (SELECT vec_id, cid, d2,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid, {d2} AS d2
+        FROM e CROSS JOIN {prev} c) q)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 FROM fin WHERE rn = 1""")
+    return "\n".join(parts)
+
+
+@query(
+    "embedding_lloyd_clusters",
+    "Deterministic Lloyd's k-means (ext/similarity.py:lloyd_clusters): "
+    "fixed init (k lowest ids), 6dp-rounded distances and centroids, "
+    "index tie-break — so unlike seeded k-means|| the ASSIGNMENTS "
+    "themselves hash-match an unrolled-SQL oracle.  Corpus crosses one "
+    "(cluster, dim) mean exchange per iteration; assignment is a "
+    "broadcast cross join against the k-row centroid table.",
+    ("F7", "ext-sim"),
+    oracle=_lloyd_oracle(k=4, iters=2),
+)
+def embedding_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import lloyd_clusters
+
+    e = t(spark, sf_dir, "embeddings")
+    return lloyd_clusters(e, "vec_id", "embedding", k=4, iters=2)
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -4486,6 +4614,9 @@ _DRIVER_WINDOW = [
     # (a) added in round 5
     "orders_incremental_state",
     "price_quantile_sketch",
+    "doc_dup_span_coverage",
+    "part_name_links",
+    "embedding_lloyd_clusters",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -4534,9 +4665,6 @@ _DRIVER_WINDOW = [
     "latest_event_per_user",
     "multimodal_features",
     "priority_join_agg",
-    "props_json_stats",
-    "region_nation_rollup",
-    "regional_revenue",
 ]
 
 

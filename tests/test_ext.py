@@ -959,3 +959,77 @@ def test_log_histogram_quantile_error_bound_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, hist.collect())
     )
+
+
+def test_duplicated_span_coverage_interval_union(spark):
+    """Planted boilerplate: a 6-token run shared by two docs yields
+    three duplicated 4-gram windows whose interval UNION (not sum) is
+    the covered length; a unique doc stays at zero
+    (ext/dedup.py:duplicated_span_coverage)."""
+    from python_mozetl_spark.ext.dedup import duplicated_span_coverage
+
+    shared = "s1 s2 s3 s4 s5 s6"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " u1 u2"),       # 8 toks, dup windows at pos 1-3
+            (2, "v1 " + shared),          # 7 toks, dup windows at pos 2-4
+            (3, "x1 x2 x3 x4 x5"),        # unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_coverage(df, n=4).collect()}
+    assert out[1]["dup_grams"] == 3 and out[1]["covered_toks"] == 6
+    assert out[1]["dup_frac"] == 0.75
+    assert out[2]["dup_grams"] == 3 and out[2]["covered_toks"] == 6
+    assert out[2]["dup_frac"] == round(6 / 7, 4)
+    assert out[3]["dup_grams"] == 0 and out[3]["covered_toks"] == 0
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_duplicated_span_coverage_within_doc_repeat_not_dup(spark):
+    """A gram repeated only WITHIN one document is not cross-doc
+    duplication (min==max over the gram hash)."""
+    from python_mozetl_spark.ext.dedup import duplicated_span_coverage
+
+    df = spark.createDataFrame(
+        [(1, "r1 r2 r3 r4 z r1 r2 r3 r4"), (2, "q1 q2 q3 q4 q5")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_coverage(df, n=4).collect()}
+    assert out[1]["dup_grams"] == 0 and out[2]["dup_grams"] == 0
+
+
+def test_lloyd_clusters_deterministic_and_separates_planted_blobs(spark):
+    """Fixed-init Lloyd's finds two well-separated planted blobs and is
+    run-to-run deterministic (ext/similarity.py:lloyd_clusters)."""
+    from python_mozetl_spark.ext.similarity import lloyd_clusters
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(10, 4) * 0.05 + np.array([5.0, 0, 0, 0])
+    b = rng.randn(10, 4) * 0.05 + np.array([-5.0, 0, 0, 0])
+    rows = [(i, [float(x) for x in a[i]]) for i in range(10)]
+    rows += [(10 + i, [float(x) for x in b[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out1 = {r["vec_id"]: r["cluster"] for r in
+            lloyd_clusters(df, k=2, iters=2).collect()}
+    out2 = {r["vec_id"]: r["cluster"] for r in
+            lloyd_clusters(df, k=2, iters=2).collect()}
+    assert out1 == out2
+    blob_a = {out1[i] for i in range(10)}
+    blob_b = {out1[10 + i] for i in range(10)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_lloyd_clusters_empty_cluster_keeps_position(spark):
+    """A centroid that captures no members keeps its previous position
+    instead of crashing or going null (the coalesce branch mirrored in
+    the SQL oracle)."""
+    from python_mozetl_spark.ext.similarity import lloyd_clusters
+
+    # ids 0,1,2 init the 3 centroids; every point is nearest centroid 0
+    # or 1 after the first update, starving centroid 2
+    rows = [(i, [float(i % 2), 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = lloyd_clusters(df, k=3, iters=2)
+    assert out.count() == 8
+    assert {r["cluster"] for r in out.collect()} <= {0, 1, 2}

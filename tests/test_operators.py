@@ -399,3 +399,44 @@ def test_agg_state_single_batch_merge_is_identity(spark):
     df = spark.createDataFrame([(1, 5), (1, 7), (2, 9)], ["k", "v"])
     st = agg_state(df, ["k"], ["v"])
     assert df_rows(merge_agg_states([st], ["k"], ["v"])) == df_rows(st)
+
+
+def test_blocked_link_pairs_blocks_and_verifies(spark):
+    """Linkage candidates form only WITHIN a block, each unordered pair
+    once, and the levenshtein verify gates the output
+    (operators/linkage.py:blocked_link_pairs)."""
+    from python_mozetl_spark.operators.linkage import blocked_link_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "B1", "acme corp"),
+            (2, "B1", "acme core"),   # dist 1 from id 1
+            (3, "B1", "zzz totally different"),
+            (4, "B2", "acme corp"),   # identical text, OTHER block: no pair
+            (5, None, "acme corp"),   # null block key -> its own block
+        ],
+        ["id", "blk", "name"],
+    )
+    out = blocked_link_pairs(df, "id", ["blk"], "name", max_dist=2)
+    rows = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert rows == {(1, 2): 1}
+
+
+def test_blocked_link_pairs_chunked_equals_unchunked(spark):
+    """The bounded_bucket_pairs guard rail is transparent: forcing the
+    chunk-grid path (max_block below the block size) yields the same
+    link set."""
+    from python_mozetl_spark.operators.linkage import blocked_link_pairs
+
+    rows = [(i, "K", f"name number {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "blk", "name"])
+    big = sorted(
+        map(tuple, blocked_link_pairs(df, "id", ["blk"], "name", 3).collect())
+    )
+    chunked = sorted(
+        map(
+            tuple,
+            blocked_link_pairs(df, "id", ["blk"], "name", 3, max_block=3).collect(),
+        )
+    )
+    assert big == chunked and len(big) > 0
