@@ -4583,6 +4583,92 @@ def embedding_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_clusters(e, "vec_id", "embedding", k=4, iters=2)
 
 
+@query(
+    "event_type_daily_trend",
+    "Per-group trend fitting: OLS of daily event volume against the "
+    "epoch-day index, per event type — regr_slope/intercept/r2 as "
+    "built-in JVM aggregates over the (type, day) rollup.  Two hash "
+    "aggs total; the regression runs on the day-frame, so the raw "
+    "stream crosses one exchange.",
+    ("A12", "W3"),
+    oracle="""
+WITH d AS (SELECT event_type,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+r AS (SELECT event_type,
+    COUNT(*) AS n_days,
+    regr_slope(n, day_idx) AS slope,
+    regr_intercept(n, day_idx) AS icept,
+    regr_r2(n, day_idx) AS r2
+  FROM d GROUP BY event_type)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+  round(slope, 6) AS slope, round(icept, 6) AS intercept,
+  round(r2, 6) AS r2
+FROM r
+""",
+)
+def event_type_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("double")
+            .alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("n", "day_idx"), 6).alias("slope"),
+        F.round(F.regr_intercept("n", "day_idx"), 6).alias("intercept"),
+        F.round(F.regr_r2("n", "day_idx"), 6).alias("r2"),
+    )
+
+
+def _morton_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of sinks/writers.py:zorder_key — same interleave
+    formula generated from the same loop shape.  Every term is fully
+    parenthesized: DuckDB gives << LOWER precedence than +, so bare
+    ``a << i + b << j`` would re-associate into nested shifts."""
+    n = len(cols)
+    terms = []
+    for lane, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(f"(((({c}) >> {b}) & 1) << {b * n + lane})")
+    return " + ".join(terms)
+
+
+@query(
+    "part_zorder_keys",
+    "Z-order layout key (sinks/writers.py:zorder_key): the Morton "
+    "bit-interleave of (p_size, p_partkey % 64) as pure integer "
+    "algebra — the clustering key behind write_zorder_parquet's "
+    "multi-dimensional data skipping, pinned bit-for-bit cross-engine. "
+    " Row-local expression, zero exchanges beyond the scan.",
+    ("K1", "zorder"),
+    oracle=f"""
+SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+  p_partkey % 64 AS y,
+  CAST({_morton_sql(['p_size', 'p_partkey % 64'], 6)} AS BIGINT) AS zkey
+FROM part
+""",
+)
+def part_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.sinks.writers import zorder_key
+
+    p = t(spark, sf_dir, "part").withColumn(
+        "__y", F.col("p_partkey") % 64
+    )
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("x"),
+        F.col("__y").alias("y"),
+        zorder_key(["p_size", "__y"], bits=6).cast("long").alias("zkey"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -4599,15 +4685,18 @@ def embedding_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  21 unchanged r03-graded simple relational
-# queries remain just outside (two rounds old); FRONT THESE IN R06:
-# brand_collapse, segment_share, union_high_value, top_part_types,
-# summary_stats, distinct_user_event_types, customer_year_sets,
-# token_positions, nation_suppliers, mod_sampled_agg,
-# customer_order_counts, multi_distinct, status_conditional_agg,
-# token_cooccurrence, stratified_mod_sample, user_event_enrich,
-# user_first_last, top_orders_per_customer, sql_surface_lateral,
-# sliding_event_rollup, sessionized_events.
+# the r03-graded set.  28 unchanged r03-graded queries now sit just
+# outside (seven were displaced by late round-5 additions); FRONT
+# THESE IN R06: brand_collapse, segment_share, union_high_value,
+# top_part_types, summary_stats, distinct_user_event_types,
+# customer_year_sets, token_positions, nation_suppliers,
+# mod_sampled_agg, customer_order_counts, multi_distinct,
+# status_conditional_agg, token_cooccurrence, stratified_mod_sample,
+# user_event_enrich, user_first_last, top_orders_per_customer,
+# sql_surface_lateral, sliding_event_rollup, sessionized_events,
+# segment_active_customers, running_revenue, regional_revenue,
+# region_nation_rollup, props_json_stats, priority_join_agg,
+# multimodal_features.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -4617,6 +4706,8 @@ _DRIVER_WINDOW = [
     "doc_dup_span_coverage",
     "part_name_links",
     "embedding_lloyd_clusters",
+    "event_type_daily_trend",
+    "part_zorder_keys",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -4663,8 +4754,6 @@ _DRIVER_WINDOW = [
     "event_type_pivot",
     "filtered_scan",
     "latest_event_per_user",
-    "multimodal_features",
-    "priority_join_agg",
 ]
 
 

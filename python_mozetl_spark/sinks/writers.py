@@ -158,3 +158,59 @@ def foreach_partition_sink(df: DataFrame, writer_factory, batch_size: int = 200)
             write(batch)
 
     df.foreachPartition(handle)
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Morton (Z-order) key: the bits of ``cols`` interleaved, column 0
+    in the lowest lane.  PURE integer bit algebra built from
+    shiftright/&/shiftleft terms — codegen'd JVM expressions, and the
+    same formula is expressible in any SQL engine (the
+    ``part_zorder_keys`` graded query pins it against DuckDB).
+
+    Inputs must already be non-negative ints below ``2**bits`` —
+    Z-order is a LAYOUT key, so callers bucket/scale real values first
+    (e.g. epoch-day, id % 2^k, price decile).  ``bits`` defaults to 16
+    which keeps the interleaved key for up to 4 columns inside a
+    signed 64-bit long.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+    terms = []
+    for lane, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(
+                f"shiftleft(shiftright(CAST({c} AS BIGINT), {b}) & 1, "
+                f"{b * n + lane})"
+            )
+    return F.expr(" + ".join(terms))
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    target_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """K1 layout variant: MULTI-dimensional clustering for data
+    skipping.
+
+    ``sort_by`` range-clustering (above) gives tight min/max stats on
+    ONE leading key; a table queried by several independent predicates
+    (day AND customer, part AND supplier) leaves the second key
+    scattered across every file.  Z-ordering sorts by the interleaved
+    Morton key instead, so each output file owns a small HYPER-RECTANGLE
+    of the key space and parquet row-group stats stay tight on EVERY
+    interleaved dimension at once — point/range scans on any of them
+    skip most files.  The write is one repartitionByRange + in-task
+    sort on the key, identical cost shape to the linear-sort path.
+    """
+    keyed = df.withColumn("__z", zorder_key(zorder_by, bits))
+    keyed = keyed.repartitionByRange(target_files, "__z").sortWithinPartitions(
+        "__z"
+    )
+    keyed.drop("__z").write.mode(mode).parquet(path)
