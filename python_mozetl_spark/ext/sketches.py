@@ -315,3 +315,66 @@ def histogram_quantiles(
     return hit.groupBy(*group_cols, "q").agg(
         F.min("bucket_lo").alias("est"), F.first("n").alias("n")
     )
+
+
+def kmv_overlap(
+    df: DataFrame, key_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise set-OVERLAP estimates between groups from KMV sketch
+    algebra (Beyer et al., SIGMOD'07) — jaccard / distinct-union /
+    distinct-intersection per group pair without ever shuffling the
+    raw key sets against each other.
+
+    Per group: the k smallest distinct md5 hashes (same sketch as
+    :func:`kmv_distinct`, kept as exact integers).  Per pair: pool the
+    two sketches, keep the k smallest of the distinct union — a valid
+    KMV sketch of the union — then
+    ``jaccard ≈ |pooled ∩ both sketches| / |pooled|`` and
+    ``union ≈ (k−1)·2^60 / h_k`` (exact counts when the pooled union
+    is below k, i.e. both groups were exact).  Because the hash family
+    is md5, every estimate is deterministic and oracle-checkable.
+
+    Scale shape: one raw-stream exchange (the per-group top-k window);
+    the pair join runs on |groups| k-length arrays.
+    """
+    hashed = df.select(
+        F.col(group_col), H.md5_int64(F.col(key_col)).alias("__h")
+    ).dropDuplicates([group_col, "__h"])
+    w = Window.partitionBy(group_col).orderBy("__h")
+    sk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("__h")).alias("__hs"))
+    )
+    pairs = sk.alias("a").join(
+        sk.alias("b"), F.col(f"a.{group_col}") < F.col(f"b.{group_col}")
+    )
+    un = F.array_sort(F.array_union(F.col("a.__hs"), F.col("b.__hs")))
+    pooled = F.when(F.size(un) > k, F.slice(un, 1, k)).otherwise(un)
+    staged = pairs.select(
+        F.col(f"a.{group_col}").alias("group_a"),
+        F.col(f"b.{group_col}").alias("group_b"),
+        F.col("a.__hs").alias("__ha"),
+        F.col("b.__hs").alias("__hb"),
+        pooled.alias("__ku"),
+        F.size(un).alias("__nu"),
+    )
+    both = F.filter(
+        F.col("__ku"),
+        lambda x: F.array_contains("__ha", x) & F.array_contains("__hb", x),
+    )
+    jac = F.size(both) / F.size("__ku").cast("double")
+    union_est = F.when(
+        F.col("__nu") <= k, F.col("__nu").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * float(1 << 60))
+        / F.element_at("__ku", k).cast("double")
+    )
+    return staged.select(
+        "group_a",
+        "group_b",
+        F.round(jac, 6).alias("est_jaccard"),
+        F.round(union_est, 2).alias("est_union"),
+        F.round(jac * union_est, 2).alias("est_inter"),
+    )

@@ -4669,6 +4669,53 @@ def part_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_type_user_overlap",
+    "KMV set-overlap sketch (ext/sketches.py:kmv_overlap): pairwise "
+    "distinct-user jaccard / union / intersection estimates between "
+    "event types from pooled k-min sketches — audience-overlap algebra "
+    "with one raw-stream exchange and |groups| k-length arrays, never "
+    "a user-set self-join.  md5 hashing makes every estimate "
+    "deterministic and oracle-equal (the SIGMOD'07 KMV estimator).",
+    ("ext-sketch", "A5"),
+    oracle="""
+WITH h AS (SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM events),
+r AS (SELECT event_type, hh,
+        row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn FROM h),
+sk AS (SELECT event_type, list(hh ORDER BY hh) AS hs
+       FROM r WHERE rn <= 64 GROUP BY event_type),
+p AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
+        a.hs AS ha, b.hs AS hb,
+        list_sort(list_distinct(list_concat(a.hs, b.hs))) AS un
+      FROM sk a JOIN sk b ON a.event_type < b.event_type),
+s AS (SELECT group_a, group_b, ha, hb, len(un) AS nu,
+        CASE WHEN len(un) > 64 THEN un[1:64] ELSE un END AS ku
+      FROM p),
+e AS (SELECT group_a, group_b, nu, ku,
+        CAST(len(list_filter(ku, x -> list_contains(ha, x)
+                                  AND list_contains(hb, x))) AS DOUBLE)
+          / len(ku) AS jac,
+        CASE WHEN nu <= 64 THEN CAST(nu AS DOUBLE)
+             ELSE 72634054790231359488.0 / ku[64] END AS uni
+      FROM s)
+SELECT group_a, group_b,
+  round(jac, 6) AS est_jaccard,
+  round(uni, 2) AS est_union,
+  round(jac * uni, 2) AS est_inter
+FROM e
+""",
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.sketches import kmv_overlap
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return kmv_overlap(e, "uid", "event_type", k=64)
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -4708,6 +4755,7 @@ _DRIVER_WINDOW = [
     "embedding_lloyd_clusters",
     "event_type_daily_trend",
     "part_zorder_keys",
+    "event_type_user_overlap",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -4753,7 +4801,6 @@ _DRIVER_WINDOW = [
     "dp_lang_source_counts",
     "event_type_pivot",
     "filtered_scan",
-    "latest_event_per_user",
 ]
 
 

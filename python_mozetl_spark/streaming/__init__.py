@@ -19,3 +19,7 @@ from python_mozetl_spark.streaming.sink import (  # noqa: F401
     idempotent_merge_batch,
     merge_stream_to_parquet,
 )
+from python_mozetl_spark.streaming.sketch import (  # noqa: F401
+    batch_histogram_quantiles,
+    histogram_quantiles_stream,
+)

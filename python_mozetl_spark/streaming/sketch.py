@@ -1,0 +1,131 @@
+"""Streaming quantiles: the log-bucket histogram sketch as per-key
+stream state.
+
+Why this exists: percentile monitoring over an unbounded stream cannot
+sort, and the classic streaming digests (t-digest, KLL) make the state
+float-order-dependent.  The log-bucket histogram
+(ext/sketches.py:log_histogram) is MERGEABLE with pure-integer state,
+so the streaming fold is exact sketch algebra: each micro-batch's
+bucket counts SUM into the per-key state dict, and the read-out after
+any batch equals the batch sketch over everything seen so far — the
+equality the batch-twin test pins.
+
+State per key is the live bucket set (≤ ~2k entries at subbits=5
+whatever the value range), stored as two parallel long arrays.  The
+bucket function here is the same integer formula as the batch/SQL
+sides (bit-length + shifts, NumPy-vectorized over each Arrow batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _bucket_lo_np(v: np.ndarray, subbits: int) -> np.ndarray:
+    """Vectorized twin of ext/sketches.py:log_bucket (non-negative
+    int64 input).  float log2 seeds the bit length; two integer
+    corrections pin the boundary cases exactly."""
+    v = v.astype(np.int64)
+    pos = v > 0
+    bl = np.zeros_like(v)
+    bl[pos] = np.floor(np.log2(v[pos])).astype(np.int64) + 1
+    one = np.int64(1)
+    bl = np.where(pos & (np.left_shift(one, bl) <= v), bl + 1, bl)
+    bl = np.where(pos & (bl > 0) & (np.left_shift(one, bl - 1) > v), bl - 1, bl)
+    shift = np.maximum(0, bl - (subbits + 1))
+    return np.left_shift(np.right_shift(v, shift), shift)
+
+
+def _quantile_row(
+    key_col: str,
+    key: object,
+    hist: dict[int, int],
+    qs: Sequence[float],
+) -> pd.DataFrame:
+    n = sum(hist.values())
+    out: dict[str, list] = {key_col: [key], "n": [n]}
+    items = sorted(hist.items())
+    for q in qs:
+        target = -(-q * n // 1)  # ceil
+        cum, est = 0, items[-1][0] if items else 0
+        for lo, c in items:
+            cum += c
+            if cum >= target:
+                est = lo
+                break
+        out[f"p{int(round(q * 100))}"] = [est]
+    return pd.DataFrame(out)
+
+
+def histogram_quantiles_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "cents",
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    subbits: int = 5,
+) -> DataFrame:
+    """Running per-key quantile estimates; emit-on-update semantics.
+
+    After every micro-batch each touched key emits its current
+    (n, p50, p90, p99) — identical to the batch sketch over the full
+    prefix, because histogram merge is exact integer addition.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hist: dict[int, int] = {}
+        if state.exists:
+            b, c = state.get
+            hist = dict(zip(b, c))
+        for pdf in pdfs:
+            los, cnts = np.unique(
+                _bucket_lo_np(pdf[value_col].to_numpy(), subbits),
+                return_counts=True,
+            )
+            for lo, c in zip(los.tolist(), cnts.tolist()):
+                hist[lo] = hist.get(lo, 0) + c
+        state.update((list(hist.keys()), list(hist.values())))
+        yield _quantile_row(key_col, key[0], hist, qs)
+
+    qcols = ", ".join(f"p{int(round(q * 100))} long" for q in qs)
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, n long, {qcols}",
+        stateStructType="buckets array<long>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_histogram_quantiles(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "cents",
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    subbits: int = 5,
+) -> DataFrame:
+    """The batch twin: what every key's stream emission converges to
+    once all input is processed (same sketch, same read-out)."""
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.ext.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    est = histogram_quantiles(
+        log_histogram(df, value_col, [key_col], subbits), list(qs), [key_col]
+    )
+    agg = [
+        F.max(
+            F.when(F.col("q") == float(q), F.col("est"))
+        ).alias(f"p{int(round(q * 100))}")
+        for q in qs
+    ]
+    return est.groupBy(key_col).agg(F.max("n").alias("n"), *agg)

@@ -1033,3 +1033,29 @@ def test_lloyd_clusters_empty_cluster_keeps_position(spark):
     out = lloyd_clusters(df, k=3, iters=2)
     assert out.count() == 8
     assert {r["cluster"] for r in out.collect()} <= {0, 1, 2}
+
+
+def test_kmv_overlap_exact_below_k_and_estimates_above(spark):
+    """KMV overlap algebra (ext/sketches.py:kmv_overlap): below k the
+    pooled sketch is the exact union, so jaccard/union/intersection
+    are exact; above k the estimates land within the sketch's standard
+    error of the planted truth."""
+    from python_mozetl_spark.ext.sketches import kmv_overlap
+
+    # exact regime: two groups of 30/40 with 20 shared, k=64
+    rows = [("a", f"u{i}") for i in range(30)]
+    rows += [("b", f"u{i}") for i in range(10, 50)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    r = kmv_overlap(df, "u", "g", k=64).collect()[0]
+    assert r["est_union"] == 50.0
+    assert r["est_jaccard"] == round(20 / 50, 6)
+    assert r["est_inter"] == 20.0
+
+    # estimate regime: 2000/2000 with 1000 shared (true union 3000,
+    # jaccard 1/3); k=256 -> se ~ 1/sqrt(254) ~ 6%
+    big = [("a", f"x{i}") for i in range(2000)]
+    big += [("b", f"x{i}") for i in range(1000, 3000)]
+    r = kmv_overlap(spark.createDataFrame(big, ["g", "u"]), "u", "g", k=256)
+    row = r.collect()[0]
+    assert abs(row["est_union"] - 3000) / 3000 < 0.2
+    assert abs(row["est_jaccard"] - 1 / 3) < 0.1

@@ -408,3 +408,54 @@ def test_exactly_once_merge_sink_replay(spark):
         fn(changes, 7)
         fn(changes, 7)
         assert table_state(table) == first
+
+
+def test_streaming_histogram_quantiles_matches_batch_sketch(spark):
+    """The streaming quantile sketch converges to the batch sketch: the
+    histogram fold is exact integer merge, so each key's final
+    emission equals batch_histogram_quantiles over all input
+    (streaming/sketch.py)."""
+    import glob
+    import os
+
+    from python_mozetl_spark.streaming import (
+        batch_histogram_quantiles,
+        histogram_quantiles_stream,
+    )
+
+    rows = [
+        (f"t{i % 3}", ((i * 7919) % 100003) + 1) for i in range(3000)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        df = spark.createDataFrame(rows, ["event_type", "cents"]).repartition(5)
+        df.write.mode("overwrite").parquet(src)
+        n_files = len(glob.glob(os.path.join(src, "*.parquet")))
+        assert n_files > 1  # statefulness must span micro-batches
+        stream_df = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            histogram_quantiles_stream(stream_df)
+            .writeStream.format("memory")
+            .queryName("hist_quantiles_t")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.table("hist_quantiles_t").collect()
+        final = {}
+        for r in emitted:  # n only grows; max-n emission is converged
+            if r["n"] >= final.get(r["event_type"], (-1,))[0]:
+                final[r["event_type"]] = (r["n"], r["p50"], r["p90"], r["p99"])
+        expect = {
+            r["event_type"]: (r["n"], r["p50"], r["p90"], r["p99"])
+            for r in batch_histogram_quantiles(
+                spark.createDataFrame(rows, ["event_type", "cents"])
+            ).collect()
+        }
+        assert final == expect
