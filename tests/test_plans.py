@@ -221,3 +221,64 @@ def test_csv_dim_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     # the fact side aggregates with map-side partials after the join
     assert plan.count("HashAggregate") >= 2
+
+
+def test_quantile_sketch_single_raw_stream_exchange(spark):
+    """The quantile sketch's raw stream crosses ONE hash exchange (the
+    (group, bucket) agg pair); the cumsum/read-out windows run on the
+    bucket-sized frame behind it."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["price_quantile_sketch"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    # partial+final hash agg on (returnflag, bucket) = one exchange of
+    # the lineitem stream; everything after operates on bucket rows
+    lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    raw = [l for l in lines if "bucket_lo" in l and "cnt" not in l]
+    assert len(raw) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key is row-local integer algebra: no exchange beyond
+    the scan spread, no Python, no join."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["part_zorder_keys"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocked_linkage_single_block_exchange(spark):
+    """Record linkage shuffles the record stream ONCE on the block key
+    (window count + collect_list reuse it); the levenshtein verify is
+    post-explode, never a second shuffle of the records."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["part_name_links"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    block_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "__block" in l
+    ]
+    # the window-count pass and the small/big branch aggs all hang off
+    # block-key partitionings; the RECORD stream itself feeds exactly
+    # one of them (the others re-shuffle the already-bucket-sized frame)
+    assert 1 <= len(block_exchanges) <= 3, plan
+    assert plan.count("FileScan parquet") <= 3
+
+
+def test_kmv_overlap_one_raw_exchange_then_array_algebra(spark):
+    """The KMV overlap query shuffles the event stream on the group key
+    once (dedup + top-k window); the pair join runs on k-length arrays
+    with no further event-stream exchange."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["event_type_user_overlap"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 2  # sketch subtree per join side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
