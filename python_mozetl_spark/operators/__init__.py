@@ -10,6 +10,15 @@ from python_mozetl_spark.operators.asof import asof_join  # noqa: F401
 from python_mozetl_spark.operators.merge import (  # noqa: F401
     merge_upsert,
     scd2_history,
+    snapshot_diff,
+)
+from python_mozetl_spark.operators.expectations import (  # noqa: F401
+    AcceptedValues,
+    InRange,
+    NotNull,
+    RefIntegrity,
+    Unique,
+    run_expectations,
 )
 from python_mozetl_spark.operators.convert import (  # noqa: F401
     ColumnSpec,

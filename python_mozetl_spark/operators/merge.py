@@ -118,3 +118,69 @@ def scd2_history(
             Window.partitionBy(*key_cols).orderBy(order_col)
         ).alias("valid_to"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table:
+    one row per difference — ``change`` 'I' (key only in ``new``),
+    'D' (only in ``old``), 'U' (present in both, any compare column
+    null-safely different) with the changed column names in declared
+    order; unchanged keys are dropped.
+
+    The complement of :func:`merge_upsert`: merge APPLIES a change
+    feed, diff RECOVERS one — the pair round-trips (pytest-pinned),
+    which is how warehouse snapshots publish incremental feeds without
+    the writer cooperating.  One shuffle per side on the key (the full
+    outer join); comparisons are row-local; nothing collects.
+    """
+    om = old.select(
+        *key_cols, *compare_cols, F.lit(1).alias("__po")
+    ).alias("o")
+    nm = new.select(
+        *key_cols, *compare_cols, F.lit(1).alias("__pn")
+    ).alias("n")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    j = om.join(nm, cond, "full_outer")
+    diffs = [
+        ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in compare_cols
+    ]
+    any_diff = diffs[0]
+    for d in diffs[1:]:
+        any_diff = any_diff | d
+    change = (
+        F.when(F.col("o.__po").isNull(), "I")
+        .when(F.col("n.__pn").isNull(), "D")
+        .when(any_diff, "U")
+    )
+    changed = F.when(
+        change == "U",
+        F.filter(
+            F.array(
+                *[
+                    F.when(d, F.lit(c))
+                    for c, d in zip(compare_cols, diffs)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change",
+            changed.alias("changed_cols"),
+        )
+    )

@@ -4716,6 +4716,145 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(e, "uid", "event_type", k=64)
 
 
+@query(
+    "orders_quality_report",
+    "Data-quality expectation suite (operators/expectations.py, the "
+    "Deequ/dbt-test shape): not-null + uniqueness + accepted-values + "
+    "range rules compile into ONE hash agg over ONE scan (however many "
+    "rules), referential integrity adds one broadcast anti-join count "
+    "— the per-load gate a 100 TB pipeline runs before publishing a "
+    "partition.  The range rule is deliberately tight so the report "
+    "carries a failing row.",
+    ("A2", "quality-gate"),
+    oracle="""
+WITH b AS (SELECT COUNT(*) AS n,
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+    SUM(CASE WHEN o_orderstatus IS NULL
+             OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v1,
+    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+             OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS v2,
+    COUNT(DISTINCT o_orderkey) AS u0
+  FROM orders),
+rf AS (SELECT COUNT(*) AS bad FROM orders o
+       LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey IS NULL)
+SELECT rule, metric, passed, ord FROM (
+  SELECT 'not_null(o_orderkey)' AS rule,
+    round(v0::DOUBLE / n, 6) AS metric,
+    round(v0::DOUBLE / n, 6) <= 0.0 AS passed, CAST(0 AS BIGINT) AS ord
+  FROM b
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+    round((n - u0)::DOUBLE / n, 6),
+    round((n - u0)::DOUBLE / n, 6) <= 0.0, 1 FROM b
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+    round(v1::DOUBLE / n, 6),
+    round(v1::DOUBLE / n, 6) <= 0.0, 2 FROM b
+  UNION ALL
+  SELECT 'in_range(o_totalprice)',
+    round(v2::DOUBLE / n, 6),
+    round(v2::DOUBLE / n, 6) <= 0.05, 3 FROM b
+  UNION ALL
+  SELECT 'ref_integrity(o_custkey->c_custkey)',
+    round(rf.bad::DOUBLE / b.n, 6),
+    round(rf.bad::DOUBLE / b.n, 6) <= 0.0, 4 FROM rf, b
+) t
+""",
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.expectations import (
+        AcceptedValues,
+        InRange,
+        NotNull,
+        RefIntegrity,
+        Unique,
+        run_expectations,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rules = [
+        NotNull("o_orderkey"),
+        Unique(("o_orderkey",)),
+        AcceptedValues("o_orderstatus", ("O", "F", "P")),
+        InRange("o_totalprice", 0, 300_000, tolerance=0.05),
+        RefIntegrity("o_custkey", c, "c_custkey"),
+    ]
+    return run_expectations(o, rules)
+
+
+@query(
+    "orders_snapshot_diff",
+    "CDC snapshot diff (operators/merge.py:snapshot_diff): recover the "
+    "insert/delete/update feed between two keyed snapshots via one "
+    "null-safe full outer join — the complement of merge_upsert "
+    "(apply a feed vs recover one; the pair round-trips, pytest). "
+    "Changes synthesized deterministically (%193 deleted, %97 price "
+    "bumped, %89 restatused, %997 inserted) so the oracle mirrors "
+    "them exactly; changed column names in declared order.",
+    ("J3", "merge", "cdc"),
+    oracle="""
+WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+      AS o_orderstatus,
+    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 193 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'O', 100.0
+  FROM orders WHERE o_orderkey % 997 = 0),
+j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'I'
+         WHEN n.o_orderkey IS NULL THEN 'D'
+         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'U'
+    END AS change,
+    CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+              AND (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+      THEN list_filter([
+        CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+             THEN 'o_orderstatus' END,
+        CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+             THEN 'o_totalprice' END], x -> x IS NOT NULL)
+      ELSE [] END AS changed_cols
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, change, changed_cols FROM j WHERE change IS NOT NULL
+""",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.merge import snapshot_diff
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.where(F.col("o_orderkey") % 193 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 997 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        o,
+        new.unionByName(inserts),
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -4732,8 +4871,8 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  28 unchanged r03-graded queries now sit just
-# outside (seven were displaced by late round-5 additions); FRONT
+# the r03-graded set.  31 unchanged r03-graded queries now sit just
+# outside (ten were displaced by late round-5 additions); FRONT
 # THESE IN R06: brand_collapse, segment_share, union_high_value,
 # top_part_types, summary_stats, distinct_user_event_types,
 # customer_year_sets, token_positions, nation_suppliers,
@@ -4743,7 +4882,8 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sql_surface_lateral, sliding_event_rollup, sessionized_events,
 # segment_active_customers, running_revenue, regional_revenue,
 # region_nation_rollup, props_json_stats, priority_join_agg,
-# multimodal_features.
+# multimodal_features, latest_event_per_user, filtered_scan,
+# event_type_pivot.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -4756,6 +4896,8 @@ _DRIVER_WINDOW = [
     "event_type_daily_trend",
     "part_zorder_keys",
     "event_type_user_overlap",
+    "orders_quality_report",
+    "orders_snapshot_diff",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -4799,8 +4941,6 @@ _DRIVER_WINDOW = [
     "doc_token_explode",
     "doc_token_stats",
     "dp_lang_source_counts",
-    "event_type_pivot",
-    "filtered_scan",
 ]
 
 

@@ -440,3 +440,100 @@ def test_blocked_link_pairs_chunked_equals_unchunked(spark):
         )
     )
     assert big == chunked and len(big) > 0
+
+
+def test_run_expectations_rule_semantics(spark):
+    """Each expectation kind measures what it claims and applies its
+    tolerance (operators/expectations.py)."""
+    from python_mozetl_spark.operators.expectations import (
+        AcceptedValues,
+        InRange,
+        NotNull,
+        RefIntegrity,
+        Unique,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, 10),
+            (2, "a", 50.0, 10),   # out of range
+            (3, "zz", 5.0, 11),   # bad value, dangling ref
+            (3, None, None, 10),  # dup key, nulls
+        ],
+        ["k", "v", "x", "fk"],
+    )
+    dim = spark.createDataFrame([(10,), (12,)], ["dk"])
+    out = {
+        r["rule"]: (r["metric"], r["passed"])
+        for r in run_expectations(
+            df,
+            [
+                NotNull("v"),
+                Unique(("k",)),
+                AcceptedValues("v", ("a", "b"), tolerance=0.5),
+                InRange("x", 0, 10),
+                RefIntegrity("fk", dim, "dk"),
+            ],
+        ).collect()
+    }
+    assert out["not_null(v)"] == (0.25, False)
+    assert out["unique(k)"] == (0.25, False)
+    # null + 'zz' violate accepted_values, but tolerance 0.5 passes it
+    assert out["accepted_values(v)"] == (0.5, True)
+    assert out["in_range(x)"] == (0.5, False)   # 50.0 and the null
+    assert out["ref_integrity(fk->dk)"] == (0.25, False)
+
+
+def test_run_expectations_single_scan_plan(spark):
+    """However many rules, the fact side is scanned once: rules compile
+    into one agg over one (broadcast-joined) frame, no unions."""
+    from python_mozetl_spark.operators.expectations import (
+        InRange,
+        NotNull,
+        Unique,
+        run_expectations,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("x")
+    )
+    rep = run_expectations(
+        df, [NotNull("k"), Unique(("k",)), InRange("x", 0, 6), NotNull("x")]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert rep.count() == 4
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark):
+    """I/D/U classification with changed-column attribution, and the
+    CDC contract: applying the recovered feed to the old snapshot
+    reconstructs the new one (operators/merge.py:snapshot_diff)."""
+    from python_mozetl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        ["k", "s", "p"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.5), (4, None, 4.0), (5, "e", 5.0)],
+        ["k", "s", "p"],
+    )
+    d = snapshot_diff(old, new, ["k"], ["s", "p"])
+    rows = {r["k"]: (r["change"], r["changed_cols"]) for r in d.collect()}
+    assert rows == {
+        2: ("U", ["s", "p"]),
+        3: ("D", []),
+        5: ("I", []),
+    }  # k=1 unchanged, k=4 null-safely unchanged -> absent
+
+    # round-trip: old - deleted - updated + (new rows for I/U keys) == new
+    feed_keys = d.where(F.col("change") != "D").select("k")
+    dropped = d.select("k")
+    rebuilt = old.join(dropped, "k", "left_anti").unionByName(
+        new.join(feed_keys, "k", "left_semi")
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
