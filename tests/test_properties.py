@@ -321,3 +321,113 @@ def test_pagerank_conserves_mass_on_symmetric_graphs(sess, edges):
     ranks = [r["rank"] for r in pagerank(df, "s", "d", iterations=2).collect()]
     assert all(r > 0 for r in ranks)
     assert abs(sum(ranks) - 1.0) < 1e-4
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(0, 10**12), min_size=1, max_size=60),
+    subbits=st.integers(2, 6),
+)
+def test_log_histogram_quantile_bounds_hold(sess, vals, subbits):
+    """Property: for ANY non-negative ints and sub-bucket width, the
+    sketch quantile never exceeds the exact order statistic and stays
+    within 2^-subbits relative below it; bucket counts always sum to n
+    (ext/sketches.py:log_histogram)."""
+    import math
+
+    from python_mozetl_spark.ext.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    df = sess.createDataFrame([(v,) for v in vals], ["v"])
+    hist = log_histogram(df, "v", subbits=subbits)
+    assert sum(r["cnt"] for r in hist.collect()) == len(vals)
+    out = {r["q"]: r["est"] for r in
+           histogram_quantiles(hist, [0.5, 0.99]).collect()}
+    sv = sorted(vals)
+    for q in (0.5, 0.99):
+        exact = sv[math.ceil(q * len(sv)) - 1]
+        assert out[q] <= exact
+        assert out[q] >= exact * (1 - 2.0 ** -subbits) - 1
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-10**6, 10**6)),
+        min_size=1,
+        max_size=50,
+    ),
+    nsplit=st.integers(2, 4),
+)
+def test_agg_state_merge_associative_any_partitioning(sess, rows, nsplit):
+    """Property: however the rows are partitioned into batches, merged
+    state equals the single-pass state bit-for-bit (decimal-exact
+    components; operators/incremental.py)."""
+    from python_mozetl_spark.operators.incremental import (
+        agg_state,
+        merge_agg_states,
+    )
+    from tests.conftest import df_rows
+
+    df = sess.createDataFrame(rows, ["k", "v"])
+    batches = [
+        df.where(F.pmod(F.xxhash64("v"), F.lit(nsplit)) == i)
+        for i in range(nsplit)
+    ]
+    merged = merge_agg_states(
+        [agg_state(b, ["k"], ["v"]) for b in batches], ["k"], ["v"]
+    )
+    assert df_rows(merged) == df_rows(agg_state(df, ["k"], ["v"]))
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_morton_key_is_injective_and_quadrant_monotonic(sess, pairs):
+    """Property: the Z-order key is a bijection on the (x, y) grid —
+    distinct points give distinct keys — and points sharing the high
+    quadrant bits sort contiguously (the locality the layout relies
+    on; sinks/writers.py:zorder_key)."""
+    from python_mozetl_spark.sinks.writers import zorder_key
+
+    df = sess.createDataFrame(list(pairs), ["x", "y"])
+    out = df.select("x", "y", zorder_key(["x", "y"], bits=6).alias("z")).collect()
+    zs = {(r["x"], r["y"]): r["z"] for r in out}
+    assert len(set(zs.values())) == len(pairs)
+    # quadrant prefix property: the top bit lanes dominate the order
+    for (x, y), z in zs.items():
+        quadrant = ((y >> 5) << 1) | (x >> 5)
+        assert z >> 10 == quadrant
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 30), st.text("ab", max_size=2)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_snapshot_diff_self_is_empty_and_detects_any_edit(sess, base):
+    """Property: diff(x, x) is empty; flipping one row's value yields
+    exactly one U row attributing that column
+    (operators/merge.py:snapshot_diff)."""
+    from python_mozetl_spark.operators.merge import snapshot_diff
+
+    old = sess.createDataFrame(base, ["k", "s"])
+    assert snapshot_diff(old, old, ["k"], ["s"]).count() == 0
+    k0, s0 = base[0]
+    edited = [(k0, s0 + "zz")] + base[1:]
+    d = snapshot_diff(old, sess.createDataFrame(edited, ["k", "s"]),
+                      ["k"], ["s"]).collect()
+    assert len(d) == 1
+    assert d[0]["k"] == k0 and d[0]["change"] == "U"
+    assert d[0]["changed_cols"] == ["s"]
