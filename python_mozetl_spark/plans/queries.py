@@ -4855,6 +4855,106 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_trailing_7d_value",
+    "RANGE-frame windowed aggregate (time-based, not row-based): per "
+    "event, the user's trailing-7-day value sum and event count — the "
+    "sliding-horizon feature a fraud/engagement model computes at "
+    "serve time.  One (user, time) window exchange; the frame bound "
+    "is event-time seconds, so ties share a frame and row order "
+    "within a tie cannot change the answer.",
+    ("W3", "J7"),
+    oracle="""
+SELECT event_id, user_id,
+  round(SUM(value) OVER w, 2) AS trail_7d_value,
+  CAST(COUNT(*) OVER w AS BIGINT) AS trail_7d_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+""",
+)
+def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trail_7d_value"),
+        F.count(F.lit(1)).over(w).alias("trail_7d_events"),
+    )
+
+
+@query(
+    "token_triangles",
+    "Distributed triangle counting over the token co-occurrence graph "
+    "(ordered-adjacency join chain): edges kept one-directional "
+    "(a < b) so each triangle materializes exactly once as "
+    "(a<b<c) — the standard trick that keeps the wedge join at "
+    "m^1.5 instead of counting every triangle six ways.  Per-vertex "
+    "triangle participation counts; oracle is the same join chain.",
+    ("ext-graph", "J2"),
+    oracle=r"""
+WITH tk AS (SELECT doc_id,
+    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS w
+  FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM tk),
+e AS (SELECT DISTINCT a.tok AS a, b.tok AS b
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+verts AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT v AS token, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY v
+""",
+)
+def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.functions import text as T
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokens("text"))).alias("tok"),
+    )
+    e = (
+        tok.alias("x")
+        .join(
+            tok.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.tok") < F.col("y.tok")),
+        )
+        .select(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
+        .distinct()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    verts = (
+        tri.select(F.col("a").alias("token"))
+        .unionAll(tri.select(F.col("b").alias("token")))
+        .unionAll(tri.select(F.col("c").alias("token")))
+    )
+    return verts.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -4871,8 +4971,8 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  31 unchanged r03-graded queries now sit just
-# outside (ten were displaced by late round-5 additions); FRONT
+# the r03-graded set.  33 unchanged r03-graded queries now sit just
+# outside (twelve were displaced by late round-5 additions); FRONT
 # THESE IN R06: brand_collapse, segment_share, union_high_value,
 # top_part_types, summary_stats, distinct_user_event_types,
 # customer_year_sets, token_positions, nation_suppliers,
@@ -4883,7 +4983,7 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # segment_active_customers, running_revenue, regional_revenue,
 # region_nation_rollup, props_json_stats, priority_join_agg,
 # multimodal_features, latest_event_per_user, filtered_scan,
-# event_type_pivot.
+# event_type_pivot, doc_token_stats, dp_lang_source_counts.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -4898,6 +4998,8 @@ _DRIVER_WINDOW = [
     "event_type_user_overlap",
     "orders_quality_report",
     "orders_snapshot_diff",
+    "user_trailing_7d_value",
+    "token_triangles",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -4939,8 +5041,6 @@ _DRIVER_WINDOW = [
     "doc_lang_id",
     "doc_quality",
     "doc_token_explode",
-    "doc_token_stats",
-    "dp_lang_source_counts",
 ]
 
 
