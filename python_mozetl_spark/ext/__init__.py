@@ -1,5 +1,6 @@
 from python_mozetl_spark.ext.dedup import (  # noqa: F401
     bounded_bucket_pairs,
+    duplicated_span_coverage,
     cross_corpus_lsh_filter,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -40,12 +41,17 @@ from python_mozetl_spark.ext.search import (  # noqa: F401
 )
 from python_mozetl_spark.ext.similarity import (  # noqa: F401
     brute_force_topk,
+    lloyd_clusters,
     bucketed_topk,
     cosine_topk_pandas,
     quantized_topk,
 )
 from python_mozetl_spark.ext.sketches import (  # noqa: F401
     heavy_hitters,
+    histogram_quantiles,
+    kmv_overlap,
+    log_histogram,
+    merge_histograms,
     hll_distinct,
     hll_merge,
     kmv_distinct,
