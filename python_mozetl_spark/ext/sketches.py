@@ -256,6 +256,7 @@ def log_histogram(
     value_col: str,
     group_cols: list[str] | None = None,
     subbits: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group bucket histogram: (group..., bucket_lo, cnt).
 
@@ -263,12 +264,28 @@ def log_histogram(
     combine collapses each partition to its live buckets before the
     exchange, so shuffle volume is bucket-bounded, not row-bounded.
     Requires ``value_col`` >= 0 (money-in-cents, counts, latencies).
+
+    ``weight_col`` makes it a WEIGHTED histogram (each row counts
+    ``weight`` times; e.g. value = doc length bucket, weight = token
+    count): quantiles then cut the weighted mass.  Weights must be
+    non-negative integers to keep the state exact-mergeable — a
+    weighted histogram equals the expanded row-per-unit histogram
+    (pytest-pinned).
     """
     group_cols = list(group_cols or [])
+    cnt = (
+        F.sum(weight_col).cast("long")
+        if weight_col
+        else F.count(F.lit(1))
+    )
     return (
-        df.select(*group_cols, log_bucket(value_col, subbits).alias("bucket_lo"))
+        df.select(
+            *group_cols,
+            log_bucket(value_col, subbits).alias("bucket_lo"),
+            *([weight_col] if weight_col else []),
+        )
         .groupBy(*group_cols, "bucket_lo")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(cnt.alias("cnt"))
     )
 
 

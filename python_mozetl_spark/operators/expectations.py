@@ -104,6 +104,8 @@ def run_expectations(df: DataFrame, rules: list) -> DataFrame:
     one-row result explodes into the per-rule report.  ``ord``
     preserves the declared rule order for stable comparison.
     """
+    if not rules:  # an empty suite silently "passing" is a footgun
+        raise ValueError("run_expectations needs at least one rule")
     staged = df
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     metric_of: list[tuple] = []  # (rule, metric-expr builder input)

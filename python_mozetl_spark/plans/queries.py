@@ -4955,6 +4955,72 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_pmi_pairs",
+    "Pointwise mutual information over token co-occurrence: for pairs "
+    "co-occurring in >= 5 documents, pmi = ln(P(a,b) / P(a)P(b)) with "
+    "document-level probabilities — the classic association score "
+    "feeding phrase detection and embedding prep.  Pair counts ride "
+    "the ordered self-join (a < b, each pair once); marginals are "
+    "vocab-sized and broadcast back.",
+    ("ext-text", "A5"),
+    oracle=r"""
+WITH tk AS (SELECT doc_id,
+    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS w
+  FROM documents),
+n AS (SELECT COUNT(*) AS nd FROM tk),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM tk),
+marg AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+pair AS (SELECT a.tok AS a, b.tok AS b, COUNT(*) AS cab
+         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.tok, b.tok
+         HAVING COUNT(*) >= 5)
+SELECT p.a, p.b, CAST(p.cab AS BIGINT) AS n_docs,
+  round(ln(p.cab::DOUBLE * n.nd / (ma.c::DOUBLE * mb.c)), 6) AS pmi
+FROM pair p JOIN marg ma ON ma.tok = p.a
+            JOIN marg mb ON mb.tok = p.b
+            CROSS JOIN n
+""",
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.array_distinct(T.tokens("text")).alias("__w"))
+    nd = tk.count()  # one scalar job; the doc count is a literal downstream
+    tok = tk.select("doc_id", F.explode("__w").alias("tok"))
+    marg = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    pair = (
+        tok.alias("x")
+        .join(
+            tok.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.tok") < F.col("y.tok")),
+        )
+        .groupBy(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 5)
+    )
+    ma = marg.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    mb = marg.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .select(
+            "a",
+            "b",
+            F.col("cab").alias("n_docs"),
+            F.round(
+                F.log(
+                    F.col("cab").cast("double")
+                    * F.lit(float(nd))
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -4971,8 +5037,8 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  33 unchanged r03-graded queries now sit just
-# outside (twelve were displaced by late round-5 additions); FRONT
+# the r03-graded set.  34 unchanged r03-graded queries now sit just
+# outside (thirteen were displaced by late round-5 additions); FRONT
 # THESE IN R06: brand_collapse, segment_share, union_high_value,
 # top_part_types, summary_stats, distinct_user_event_types,
 # customer_year_sets, token_positions, nation_suppliers,
@@ -4983,7 +5049,8 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # segment_active_customers, running_revenue, regional_revenue,
 # region_nation_rollup, props_json_stats, priority_join_agg,
 # multimodal_features, latest_event_per_user, filtered_scan,
-# event_type_pivot, doc_token_stats, dp_lang_source_counts.
+# event_type_pivot, doc_token_stats, dp_lang_source_counts,
+# doc_token_explode.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -5000,6 +5067,7 @@ _DRIVER_WINDOW = [
     "orders_snapshot_diff",
     "user_trailing_7d_value",
     "token_triangles",
+    "token_pmi_pairs",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -5040,7 +5108,6 @@ _DRIVER_WINDOW = [
     "daily_event_rollup",
     "doc_lang_id",
     "doc_quality",
-    "doc_token_explode",
 ]
 
 

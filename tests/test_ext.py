@@ -1059,3 +1059,25 @@ def test_kmv_overlap_exact_below_k_and_estimates_above(spark):
     row = r.collect()[0]
     assert abs(row["est_union"] - 3000) / 3000 < 0.2
     assert abs(row["est_jaccard"] - 1 / 3) < 0.1
+
+
+def test_weighted_log_histogram_equals_expanded_rows(spark):
+    """A weighted histogram is exactly the row-per-unit expansion:
+    same buckets, same counts, same quantile read-out
+    (ext/sketches.py:log_histogram weight_col)."""
+    from python_mozetl_spark.ext.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    rows = [(5, 3), (70, 2), (900, 4), (901, 1)]
+    wdf = spark.createDataFrame(rows, ["v", "w"])
+    edf = spark.createDataFrame(
+        [(v,) for v, w in rows for _ in range(w)], ["v"]
+    )
+    wh = log_histogram(wdf, "v", weight_col="w")
+    eh = log_histogram(edf, "v")
+    assert sorted(map(tuple, wh.collect())) == sorted(map(tuple, eh.collect()))
+    wq = sorted(map(tuple, histogram_quantiles(wh, [0.5, 0.9]).collect()))
+    eq = sorted(map(tuple, histogram_quantiles(eh, [0.5, 0.9]).collect()))
+    assert wq == eq

@@ -537,3 +537,25 @@ def test_snapshot_diff_classifies_and_roundtrips(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_run_expectations_rejects_empty_suite(spark):
+    import pytest
+
+    from python_mozetl_spark.operators.expectations import run_expectations
+
+    with pytest.raises(ValueError, match="at least one rule"):
+        run_expectations(spark.range(3), [])
+
+
+def test_run_expectations_on_empty_frame_reports_zero_metrics(spark):
+    """Zero-row input: metrics are null-safe (0/0 -> null metric) and
+    the report still carries every rule."""
+    from python_mozetl_spark.operators.expectations import (
+        NotNull,
+        run_expectations,
+    )
+
+    df = spark.range(1).where("id < 0")
+    out = run_expectations(df, [NotNull("id")]).collect()
+    assert len(out) == 1 and out[0]["rule"] == "not_null(id)"
