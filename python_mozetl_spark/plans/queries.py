@@ -4461,9 +4461,12 @@ def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Lee et al. 2022 span-dedup shape in n-gram-hash form): per doc, "
     "the token coverage of 8-gram windows that also occur in another "
     "document — catches shared boilerplate that document-level "
-    "near-dup misses.  Gram stream crosses exactly two exchanges: "
-    "cross-doc duplication via O(1)-state min!=max over the gram hash, "
-    "then a per-doc lead() interval-union fold.",
+    "near-dup misses.  Cross-doc duplication is a map-side-combined "
+    "min!=max AGGREGATE on the gram hash (hot boilerplate grams "
+    "collapse before the exchange; the flag join broadcasts when "
+    "small, AQE-skew-splits when not — a window would funnel a hot "
+    "gram into one task's sort), then a per-doc lead() interval-union "
+    "fold.",
     ("ext-dedup",),
     oracle=r"""
 WITH tk AS (SELECT doc_id,
