@@ -4894,11 +4894,14 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "token_triangles",
     "Distributed triangle counting over the token co-occurrence graph "
-    "(ordered-adjacency join chain): edges kept one-directional "
-    "(a < b) so each triangle materializes exactly once as "
-    "(a<b<c) — the standard trick that keeps the wedge join at "
-    "m^1.5 instead of counting every triangle six ways.  Per-vertex "
-    "triangle participation counts; oracle is the same join chain.",
+    "with DEGREE-ORDERED orientation (the Suri-Vassilvitskii / "
+    "Schank-Wagner trick): each undirected edge points from its "
+    "lower-(degree, id) endpoint to the higher one, so every triangle "
+    "materializes exactly once AND a high-degree hub never fans out — "
+    "its edges point INTO it, which is what actually bounds the wedge "
+    "join at m^1.5 on skewed graphs (plain id-ordering degenerates on "
+    "a low-id hub).  Per-vertex triangle participation counts; the "
+    "oracle replays the identical orientation.",
     ("ext-graph", "J2"),
     oracle=r"""
 WITH tk AS (SELECT doc_id,
@@ -4906,8 +4909,13 @@ WITH tk AS (SELECT doc_id,
                               x -> x <> '')) AS w
   FROM documents),
 tok AS (SELECT doc_id, unnest(w) AS tok FROM tk),
-e AS (SELECT DISTINCT a.tok AS a, b.tok AS b
-      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+e0 AS (SELECT DISTINCT a.tok AS a, b.tok AS b
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+deg AS (SELECT v, COUNT(*) AS d FROM
+        (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+e AS (SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS a,
+             CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a END AS b
+      FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
 tri AS (SELECT e1.a, e1.b, e2.b AS c
         FROM e e1 JOIN e e2 ON e2.a = e1.b
                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
@@ -4925,7 +4933,7 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(T.tokens("text"))).alias("tok"),
     )
-    e = (
+    e0 = (
         tok.alias("x")
         .join(
             tok.alias("y"),
@@ -4934,6 +4942,24 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
         .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    # deg is vertex-sized: let Catalyst/AQE pick broadcast vs shuffle
+    e = (
+        e0.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("a"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("b"),
+        )
     )
     tri = (
         e.alias("e1")
