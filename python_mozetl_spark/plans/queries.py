@@ -5050,6 +5050,87 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_transition_probs",
+    "First-order Markov transition matrix over per-user event "
+    "sequences: P(next | current) from lag/lead pairs under a total "
+    "(ts, event_id) order — the session-flow model behind next-action "
+    "prediction and funnel design.  One (user, time) window exchange "
+    "builds the pairs; the probability normalization runs on the "
+    "|types|² transition frame.",
+    ("W3", "J7", "ext-graph"),
+    oracle="""
+WITH seq AS (SELECT user_id, event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+tot AS (SELECT cur, SUM(n) AS tn FROM c GROUP BY cur)
+SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n_transitions,
+  round(c.n::DOUBLE / tot.tn, 6) AS prob
+FROM c JOIN tot ON tot.cur = c.cur
+""",
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        F.col("n").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+@query(
+    "label_centroids",
+    "Vector pooling (average pooling per group): per-label centroid of "
+    "the embedding column via posexplode -> (label, dim) mean -> "
+    "ordered reassembly — the aggregation primitive behind class "
+    "prototypes, IVF coarse quantizers (ext/similarity.py:ivf_assign "
+    "builds exactly this), and mean-pooled document embeddings.  "
+    "Corpus crosses one (label, dim) agg exchange; the reassembly "
+    "windowless collect_list runs on the |labels|x|dims| frame.",
+    ("F5", "A1", "ext-sim"),
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT label, i, round(avg(v[i]), 6) AS m, COUNT(*) AS n
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s
+      GROUP BY label, i)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+  list(m ORDER BY i) AS centroid
+FROM d GROUP BY label
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("i", "x"),
+    )
+    per_dim = dims.groupBy("label", "i").agg(
+        F.round(F.avg("x"), 6).alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "m"))), lambda s: s.m
+        ).alias("centroid"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -5066,8 +5147,8 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  34 unchanged r03-graded queries now sit just
-# outside (thirteen were displaced by late round-5 additions); FRONT
+# the r03-graded set.  36 unchanged r03-graded queries now sit just
+# outside (fifteen were displaced by late round-5 additions); FRONT
 # THESE IN R06: brand_collapse, segment_share, union_high_value,
 # top_part_types, summary_stats, distinct_user_event_types,
 # customer_year_sets, token_positions, nation_suppliers,
@@ -5079,7 +5160,7 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # region_nation_rollup, props_json_stats, priority_join_agg,
 # multimodal_features, latest_event_per_user, filtered_scan,
 # event_type_pivot, doc_token_stats, dp_lang_source_counts,
-# doc_token_explode.
+# doc_token_explode, doc_lang_id, doc_quality.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -5097,6 +5178,8 @@ _DRIVER_WINDOW = [
     "user_trailing_7d_value",
     "token_triangles",
     "token_pmi_pairs",
+    "event_transition_probs",
+    "label_centroids",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -5135,8 +5218,6 @@ _DRIVER_WINDOW = [
     "capped_events_per_user",
     "customers_without_orders",
     "daily_event_rollup",
-    "doc_lang_id",
-    "doc_quality",
 ]
 
 
