@@ -5131,6 +5131,84 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "price_winsorized_revenue",
+    "Robust aggregation by sketch composition: per-returnflag revenue "
+    "with prices WINSORIZED to the sketch's [p05, p95] — thresholds "
+    "come from the log-bucket histogram (integer bucket lower bounds, "
+    "so the clip levels are deterministic cross-engine), clipping is "
+    "row-local least/greatest, and the final sum is exact integer "
+    "cents.  The outlier-proof rollup shape: two passes over the "
+    "stream (histogram, clip+sum), both single-exchange, no sort.",
+    ("A12", "ext-sketch"),
+    oracle="""
+WITH c AS (SELECT l_returnflag,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
+b AS (SELECT l_returnflag,
+    (cents >> greatest(0, length(printf('%b', cents)) - 6))
+      << greatest(0, length(printf('%b', cents)) - 6) AS bucket_lo
+  FROM c),
+h AS (SELECT l_returnflag, bucket_lo, COUNT(*) AS cnt
+      FROM b GROUP BY l_returnflag, bucket_lo),
+cum AS (SELECT l_returnflag, bucket_lo,
+    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket_lo) AS cum,
+    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM h),
+qv AS (SELECT unnest([0.05, 0.95]) AS q),
+hit AS (SELECT l_returnflag, qv.q, min(bucket_lo) AS est
+  FROM cum CROSS JOIN qv WHERE cum >= ceil(qv.q * n)
+  GROUP BY l_returnflag, qv.q),
+th AS (SELECT l_returnflag,
+    min(CASE WHEN q = 0.05 THEN est END) AS lo,
+    min(CASE WHEN q = 0.95 THEN est END) AS hi
+  FROM hit GROUP BY l_returnflag),
+w AS (SELECT c.l_returnflag,
+    least(greatest(c.cents, th.lo), th.hi) AS wc,
+    CASE WHEN c.cents < th.lo OR c.cents > th.hi THEN 1 ELSE 0 END AS clip
+  FROM c JOIN th ON th.l_returnflag = c.l_returnflag)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+  round(SUM(wc::HUGEINT)::DOUBLE / 100.0, 2) AS winsorized_revenue,
+  round(SUM(clip)::DOUBLE / COUNT(*), 6) AS clipped_frac
+FROM w GROUP BY l_returnflag
+""",
+)
+def price_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    )
+    hist = log_histogram(li, "cents", ["l_returnflag"])
+    est = histogram_quantiles(hist, [0.05, 0.95], ["l_returnflag"])
+    th = est.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("q") == 0.05, F.col("est"))).alias("lo"),
+        F.min(F.when(F.col("q") == 0.95, F.col("est"))).alias("hi"),
+    )
+    w = li.join(F.broadcast(th), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "wc"
+        ),
+        F.when(
+            (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("clip"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("wc").cast("decimal(38,0)")).cast("double") / 100.0, 2
+        ).alias("winsorized_revenue"),
+        F.round(
+            F.sum("clip").cast("double") / F.count(F.lit(1)), 6
+        ).alias("clipped_frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -5147,8 +5225,8 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  36 unchanged r03-graded queries now sit just
-# outside (fifteen were displaced by late round-5 additions); FRONT
+# the r03-graded set.  37 unchanged r03-graded queries now sit just
+# outside (sixteen were displaced by late round-5 additions); FRONT
 # THESE IN R06: brand_collapse, segment_share, union_high_value,
 # top_part_types, summary_stats, distinct_user_event_types,
 # customer_year_sets, token_positions, nation_suppliers,
@@ -5160,7 +5238,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # region_nation_rollup, props_json_stats, priority_join_agg,
 # multimodal_features, latest_event_per_user, filtered_scan,
 # event_type_pivot, doc_token_stats, dp_lang_source_counts,
-# doc_token_explode, doc_lang_id, doc_quality.
+# doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -5180,6 +5258,7 @@ _DRIVER_WINDOW = [
     "token_pmi_pairs",
     "event_transition_probs",
     "label_centroids",
+    "price_winsorized_revenue",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -5217,7 +5296,6 @@ _DRIVER_WINDOW = [
     "asof_click_before_purchase",
     "capped_events_per_user",
     "customers_without_orders",
-    "daily_event_rollup",
 ]
 
 
