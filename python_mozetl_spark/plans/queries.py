@@ -5209,6 +5209,64 @@ def price_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_gap_quantiles",
+    "Inter-event time distribution: per event type, p50/p90 of the "
+    "seconds since the user's previous event (any type), estimated by "
+    "the log-bucket sketch — lag under a total (ts, id) order gives "
+    "exact integer gaps, the histogram folds them mergeably, and the "
+    "read-out runs on the bucket frame.  The engagement-cadence "
+    "metric: one (user, time) window exchange + one (type, bucket) "
+    "agg.",
+    ("W3", "ext-sketch"),
+    oracle="""
+WITH g AS (SELECT event_type,
+    CAST(epoch(ts) AS BIGINT)
+      - lag(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS gap
+  FROM events),
+f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+b AS (SELECT event_type,
+    (gap >> greatest(0, length(printf('%b', gap)) - 6))
+      << greatest(0, length(printf('%b', gap)) - 6) AS bucket_lo
+  FROM f),
+h AS (SELECT event_type, bucket_lo, COUNT(*) AS cnt
+      FROM b GROUP BY event_type, bucket_lo),
+cum AS (SELECT event_type, bucket_lo,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h),
+qv AS (SELECT unnest([0.5, 0.9]) AS q),
+hit AS (SELECT event_type, qv.q, bucket_lo, n
+  FROM cum CROSS JOIN qv WHERE cum >= ceil(qv.q * n))
+SELECT event_type, round(q, 2) AS q,
+  CAST(min(n) AS BIGINT) AS n_gaps,
+  CAST(min(bucket_lo) AS BIGINT) AS est_gap_seconds
+FROM hit GROUP BY event_type, q
+""",
+)
+def event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gaps = e.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    hist = log_histogram(gaps, "gap", ["event_type"])
+    est = histogram_quantiles(hist, [0.5, 0.9], ["event_type"])
+    return est.select(
+        "event_type",
+        F.round("q", 2).alias("q"),
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("est").cast("long").alias("est_gap_seconds"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -5225,8 +5283,8 @@ def price_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  37 unchanged r03-graded queries now sit just
-# outside (sixteen were displaced by late round-5 additions); FRONT
+# the r03-graded set.  38 unchanged r03-graded queries now sit just
+# outside (seventeen were displaced by late round-5 additions); FRONT
 # THESE IN R06: brand_collapse, segment_share, union_high_value,
 # top_part_types, summary_stats, distinct_user_event_types,
 # customer_year_sets, token_positions, nation_suppliers,
@@ -5238,7 +5296,8 @@ def price_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # region_nation_rollup, props_json_stats, priority_join_agg,
 # multimodal_features, latest_event_per_user, filtered_scan,
 # event_type_pivot, doc_token_stats, dp_lang_source_counts,
-# doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup.
+# doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup,
+# customers_without_orders.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -5259,6 +5318,7 @@ _DRIVER_WINDOW = [
     "event_transition_probs",
     "label_centroids",
     "price_winsorized_revenue",
+    "event_gap_quantiles",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -5295,7 +5355,6 @@ _DRIVER_WINDOW = [
     # (c) stalest unchanged grades (last driver row r03)
     "asof_click_before_purchase",
     "capped_events_per_user",
-    "customers_without_orders",
 ]
 
 
