@@ -5267,6 +5267,70 @@ def event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_length_auc",
+    "Distributed exact AUC (Mann-Whitney with tie-corrected average "
+    "ranks): per source, how well char length separates English from "
+    "non-English docs — the ranking-quality metric every model-eval "
+    "pipeline needs, computed as pure rank algebra (one (source, "
+    "score) window for ranks + tie counts, one agg; no sampling, no "
+    "sort beyond the window).  All-integer numerators until the final "
+    "division keep it oracle-exact.",
+    ("W3", "A12", "ml-eval"),
+    oracle="""
+WITH s AS (SELECT source, n_chars AS score,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+r AS (SELECT source, score, pos,
+    rank() OVER (PARTITION BY source ORDER BY score) AS rmin,
+    COUNT(*) OVER (PARTITION BY source, score) AS ties
+  FROM s),
+a AS (SELECT source,
+    SUM(CASE WHEN pos = 1
+        THEN rmin + (ties - 1) / 2.0 ELSE 0 END) AS pos_ranks,
+    SUM(pos) AS np, SUM(1 - pos) AS nn
+  FROM r GROUP BY source)
+SELECT source, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+  round((pos_ranks - np * (np + 1) / 2.0) / (np::DOUBLE * nn), 6) AS auc
+FROM a WHERE np > 0 AND nn > 0
+""",
+)
+def doc_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    wr = Window.partitionBy("source").orderBy("score")
+    wt = Window.partitionBy("source", "score")
+    r = s.select(
+        "source",
+        "pos",
+        F.rank().over(wr).alias("rmin"),
+        F.count(F.lit(1)).over(wt).alias("ties"),
+    )
+    a = r.groupBy("source").agg(
+        F.sum(
+            F.when(
+                F.col("pos") == 1,
+                F.col("rmin") + (F.col("ties") - 1) / F.lit(2.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("pos_ranks"),
+        F.sum("pos").alias("np"),
+        F.sum(1 - F.col("pos")).alias("nn"),
+    )
+    return a.where((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        "source",
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("pos_ranks") - F.col("np") * (F.col("np") + 1) / F.lit(2.0))
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -5283,8 +5347,8 @@ def event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (round 5): front (a) queries ADDED this round,
 # (b) queries whose IMPLEMENTATION changed this round (their old green
 # rows no longer describe current code), then (c) the stalest grades —
-# the r03-graded set.  38 unchanged r03-graded queries now sit just
-# outside (seventeen were displaced by late round-5 additions); FRONT
+# the r03-graded set.  39 unchanged r03-graded queries now sit just
+# outside (eighteen were displaced by late round-5 additions); FRONT
 # THESE IN R06: brand_collapse, segment_share, union_high_value,
 # top_part_types, summary_stats, distinct_user_event_types,
 # customer_year_sets, token_positions, nation_suppliers,
@@ -5297,7 +5361,7 @@ def event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_features, latest_event_per_user, filtered_scan,
 # event_type_pivot, doc_token_stats, dp_lang_source_counts,
 # doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup,
-# customers_without_orders.
+# customers_without_orders, capped_events_per_user.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -5319,6 +5383,7 @@ _DRIVER_WINDOW = [
     "label_centroids",
     "price_winsorized_revenue",
     "event_gap_quantiles",
+    "doc_length_auc",
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
@@ -5354,7 +5419,6 @@ _DRIVER_WINDOW = [
     "embedding_clusters",
     # (c) stalest unchanged grades (last driver row r03)
     "asof_click_before_purchase",
-    "capped_events_per_user",
 ]
 
 
