@@ -34,6 +34,7 @@ from python_mozetl_spark.ext.quality import (  # noqa: F401
     unigram_logprob,
 )
 from python_mozetl_spark.ext.search import (  # noqa: F401
+    bm25_topk,
     index_terms,
     phrase_match,
     phrase_search,
@@ -46,7 +47,14 @@ from python_mozetl_spark.ext.similarity import (  # noqa: F401
     cosine_topk_pandas,
     quantized_topk,
 )
+from python_mozetl_spark.ext.vocab import (  # noqa: F401
+    bpe_learn,
+    pair_counts,
+    word_freqs,
+)
 from python_mozetl_spark.ext.sketches import (  # noqa: F401
+    cm_estimate,
+    cm_sketch,
     heavy_hitters,
     histogram_quantiles,
     kmv_overlap,

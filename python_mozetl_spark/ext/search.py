@@ -119,3 +119,72 @@ def phrase_match(
         F.size(F.filter(starts, hit)).cast("bigint").alias("n_matches"),
     )
     return counted.where(F.col("n_matches") > 0)
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the inverted index:
+    ``(id_col, score)`` for the ``k`` best-scoring documents.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    with the standard "+1" idf (Robertson/Spärck Jones, as used by
+    Lucene): idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape (100 TB corpus, |query| terms):
+
+    - postings are filtered to the query's terms BEFORE any agg/join —
+      the predicate reaches the tokenize scan, so the whole query
+      touches |query|/|vocab| of the index;
+    - corpus stats (N, Σ|d|) are one tiny global agg broadcast by
+      crossJoin — avgdl is computed as one exact-integer division
+      (sum/count), so it is bit-identical cross-engine;
+    - per-term df counts are |query|-rows, broadcast;
+    - doc lengths join the filtered tf slice on id (co-partitioned),
+      never the full corpus;
+    - ordering totals on (rounded score DESC, id) so the k-boundary
+      cannot flip between engines.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    doclen = toks.select(id_col, F.size("__toks").cast("bigint").alias("__dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__dl").cast("bigint").alias("__sumdl"),
+    )
+    post = toks.select(
+        id_col, F.explode("__toks").alias("term")
+    ).where(F.col("term").isin(list(query_terms)))
+    tf = post.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tf")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        tf.join(broadcast(dfc), "term")
+        .join(doclen, id_col)
+        .crossJoin(broadcast(stats))
+    )
+    n, dfq = F.col("__n").cast("double"), F.col("__df").cast("double")
+    # ln(1 + z) spelled literally (not log1p) so Spark and the DuckDB
+    # oracle evaluate the identical floating-point expression tree.
+    idf = F.log(F.lit(1.0) + (n - dfq + 0.5) / (dfq + 0.5))
+    avgdl = F.col("__sumdl").cast("double") / n
+    tfq = F.col("__tf").cast("double")
+    denom = tfq + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl)
+    term_score = idf * tfq * (k1 + 1.0) / denom
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum(term_score), round_to).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

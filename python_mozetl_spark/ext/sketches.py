@@ -395,3 +395,95 @@ def kmv_overlap(
         F.round(union_est, 2).alias("est_union"),
         F.round(jac * union_est, 2).alias("est_inter"),
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) of the
+    frequency distribution of ``key_col``: counter rows
+    ``(d, bucket, cnt)`` — ``depth`` independent md5-salted hash rows
+    of ``width`` counters each.
+
+    Built pre-aggregated: one corpus-wide hash agg on the key (exact
+    per-key counts, map-side partials), then the depth-fanout runs on
+    the |distinct keys| frame — never ×depth on the raw stream.  The
+    sketch is width×depth rows regardless of data size and is exactly
+    mergeable (counter-wise sum), so shards/days can sketch
+    independently and merge later — same reaggregation story as KMV.
+
+    md5-salted hashing keeps every counter deterministic and
+    oracle-checkable cross-engine.
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        (F.count(F.lit(1)) if weight_col is None else F.sum(weight_col))
+        .cast("bigint")
+        .alias("__c")
+    )
+    fanned = counts.select(
+        "__c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            H.md5_int64(F.col("__k").cast("string"), salt=f"cm{d}|")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__db"),
+    )
+    return fanned.groupBy(
+        F.col("__db.d").alias("d"), F.col("__db.bucket").alias("bucket")
+    ).agg(F.sum("__c").cast("bigint").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the Count-Min sketch for each row of ``items``:
+    adds ``cm_est`` = min over the ``depth`` rows of the addressed
+    counter (≥ true count always; equality whp for heavy keys).
+
+    The items side fans out ×depth, joins the width×depth sketch
+    (broadcast — it is constant-sized), and min-reduces back: the
+    sketch never re-touches the raw corpus.
+    """
+    from pyspark.sql.functions import broadcast
+
+    fanned = items.select(
+        *items.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            H.md5_int64(F.col(key_col).cast("string"), salt=f"cm{d}|")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__db"),
+    ).select(*items.columns, F.col("__db.d").alias("__d"), F.col("__db.bucket").alias("__b"))
+    joined = fanned.join(
+        broadcast(sketch),
+        (F.col("__d") == F.col("d")) & (F.col("__b") == F.col("bucket")),
+    )
+    return joined.groupBy(*items.columns).agg(
+        F.min("cnt").cast("bigint").alias("cm_est")
+    )

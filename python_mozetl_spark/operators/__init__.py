@@ -43,7 +43,19 @@ from python_mozetl_spark.operators.sample import (  # noqa: F401
     stratified_sample,
     weighted_sample,
 )
-from python_mozetl_spark.operators.sessionize import sessionize  # noqa: F401
+from python_mozetl_spark.operators.sessionize import (  # noqa: F401
+    session_attribution,
+    sessionize,
+)
+from python_mozetl_spark.operators.bloom import (  # noqa: F401
+    bloom_build,
+    bloom_contains,
+    bloom_semi_join,
+)
+from python_mozetl_spark.operators.encode import (  # noqa: F401
+    frequency_encode,
+    loo_target_encode,
+)
 from python_mozetl_spark.operators.timeseries import (  # noqa: F401
     funnel_counts,
     gapfill_daily,

@@ -1,0 +1,148 @@
+"""Bloom-filter semi-join pruning — the classic 100 TB runtime-filter.
+
+Pattern: build a Bloom filter over the (filtered) dimension's join
+keys, push a pure-codegen membership test into the fact scan to drop
+the vast majority of non-matching rows BEFORE the shuffle, then run
+the exact semi-join on the survivors.  Because a Bloom filter has no
+false negatives, the pruned+exact result is IDENTICAL to the plain
+join — which is exactly what makes the operator oracle-checkable
+(the DuckDB twin is the straightforward join).
+
+Spark's optimizer does an automatic version of this
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``, injected bloom
+on shuffle joins); this operator is the explicit form for when the
+filter should be built once and reused across many queries, pushed
+into a scan Spark cannot see through (e.g. a checkpointed stage), or
+sized by hand.
+
+Scale shape:
+
+- the build is one distributed agg over the dim keys (``bit_or`` of
+  single-bit words grouped by word index) and one driver collect of
+  at most ``num_bits/64`` rows — the collect is BOUNDED BY CONFIG
+  (e.g. 2^16 bits = 8 KiB), independent of data size, the same class
+  as collecting k-means centroids;
+- the membership test is k md5s + bit arithmetic against a literal
+  array — whole-stage-codegen'd, no join, no shuffle, evaluated
+  scan-side so the fact stream shrinks by ~|dim|/|fact| before its
+  one exchange;
+- hashing is the repo's md5 family, so the filter is deterministic
+  across engines/retries (no false-negative risk from hash drift).
+
+Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k; the default
+(m=2^16, k=5) holds ~4 k keys at <3% FP — survivors are still
+exact-verified, FP only costs shuffle bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.functions import hashing as H
+
+
+def _bit_positions(key: Column, num_bits: int, num_hashes: int, salt: str) -> list[Column]:
+    """The k salted-md5 bit positions for one key."""
+    return [
+        H.md5_int64(key.cast("string"), salt=f"{salt}{i}|") % num_bits
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+    salt: str = "bloom",
+) -> list[int]:
+    """Build the filter distributed; return the dense 64-bit word list
+    (length ``num_bits // 64`` — constant-sized by construction).
+
+    One explode of k positions per key, one ``bit_or`` hash agg on the
+    word index, one bounded collect.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = df.select(
+        F.explode(
+            F.array(*_bit_positions(F.col(key_col), num_bits, num_hashes, salt))
+        ).alias("__pos")
+    )
+    words = (
+        pos.select(
+            (F.col("__pos") / 64).cast("bigint").alias("__w"),
+            F.expr("shiftleft(1L, cast(__pos % 64 AS int))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__m)").alias("__bits"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[int(r["__w"])] = int(r["__bits"])
+    return dense
+
+
+def bloom_contains(
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    num_hashes: int = 5,
+    salt: str = "bloom",
+    out_col: str = "__bf_hit",
+) -> DataFrame:
+    """Add a boolean membership-test column: true iff all k addressed
+    bits are set.  Pure codegen (md5 + shift/AND on a literal array);
+    intermediate columns are dropped."""
+    num_bits = len(words) * 64
+    tmp = df.withColumn(
+        "__bf_words", F.array(*[F.lit(int(w)).cast("bigint") for w in words])
+    )
+    conds = []
+    for i, pos in enumerate(
+        _bit_positions(F.col(key_col), num_bits, num_hashes, salt)
+    ):
+        tmp = tmp.withColumn(f"__bf_p{i}", pos)
+        # arithmetic shift is fine for bit 63: we mask to the lowest
+        # bit after the shift, so sign-fill never leaks in.
+        conds.append(
+            F.expr(
+                f"(shiftright(element_at(__bf_words, "
+                f"cast(__bf_p{i} DIV 64 AS int) + 1), "
+                f"cast(__bf_p{i} % 64 AS int)) & 1) = 1"
+            )
+        )
+    hit = conds[0]
+    for c in conds[1:]:
+        hit = hit & c
+    out = tmp.withColumn(out_col, hit)
+    return out.drop("__bf_words", *[f"__bf_p{i}" for i in range(num_hashes)])
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Exact ``LEFT SEMI`` join of ``fact`` against ``dim``'s keys,
+    with a Bloom prune pushed ahead of the shuffle.
+
+    Result is row-identical to ``fact.join(dim_keys, leftsemi)`` —
+    the bloom drops only rows the exact join would drop (no false
+    negatives), and the survivors are re-verified by the real join
+    (false positives cost bytes, never rows).
+    """
+    words = bloom_build(dim, dim_key, num_bits, num_hashes, salt)
+    pruned = (
+        bloom_contains(fact, fact_key, words, num_hashes, salt)
+        .where(F.col("__bf_hit"))
+        .drop("__bf_hit")
+    )
+    keys = dim.select(F.col(dim_key).alias(fact_key)).dropDuplicates()
+    return pruned.join(keys, fact_key, "leftsemi")

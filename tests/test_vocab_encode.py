@@ -1,0 +1,233 @@
+"""BPE vocabulary induction (ext/vocab.py), BM25 (ext/search.py),
+Count-Min (ext/sketches.py), Bloom prune (operators/bloom.py),
+target encoding (operators/encode.py), session attribution
+(operators/sessionize.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from python_mozetl_spark.ext.search import bm25_topk
+from python_mozetl_spark.ext.sketches import cm_estimate, cm_sketch
+from python_mozetl_spark.ext.vocab import (
+    apply_merge,
+    bpe_learn,
+    encode_word,
+    initial_symbols,
+    pair_counts,
+    word_freqs,
+)
+from python_mozetl_spark.operators.bloom import (
+    bloom_build,
+    bloom_contains,
+    bloom_semi_join,
+)
+from python_mozetl_spark.operators.encode import (
+    frequency_encode,
+    loo_target_encode,
+)
+from python_mozetl_spark.operators.sessionize import session_attribution
+
+from tests.conftest import assert_df_equals, df_rows
+
+
+# ----------------------------------------------------------------- BPE
+
+
+def test_pair_counts_weighted_with_eow(spark):
+    df = spark.createDataFrame([("ab ab b",)], "text string")
+    wf = word_freqs(df).select(initial_symbols("word").alias("syms"), "freq")
+    assert_df_equals(
+        pair_counts(wf),
+        [
+            {"a": "a", "b": "b", "pair_count": 2},   # within 'ab' ×2
+            {"a": "b", "b": "</w>", "pair_count": 3},  # 'ab'×2 + 'b'×1
+        ],
+    )
+
+
+def test_apply_merge_nonoverlapping_left_to_right(spark):
+    df = spark.createDataFrame([(["a", "a", "a", "a", "</w>"],)], "syms array<string>")
+    out = df.select(apply_merge(F.col("syms"), "a", "a").alias("syms"))
+    assert df_rows(out) == [{"syms": ["aa", "aa", "</w>"]}]
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    corpus = [
+        ("the cat sat on the mat",),
+        ("the bat and the cat",),
+        ("that hat is the cat hat",),
+    ]
+    df = spark.createDataFrame(corpus, "text string")
+    merges = bpe_learn(df, n_merges=6, checkpoint_every=2)
+    assert len(merges) >= 3
+    # counts strictly follow the greedy argmax: re-derive each step on
+    # the driver with the pure-Python encoder and compare segmentations
+    words = {w for (t,) in corpus for w in t.split()}
+    wf = spark.createDataFrame([(w,) for w in sorted(words)], "word string")
+    enc = wf.select("word", initial_symbols("word").alias("s"))
+    for a, b, _ in merges:
+        enc = enc.select("word", apply_merge(F.col("s"), a, b).alias("s"))
+    for r in enc.collect():
+        assert r["s"] == encode_word(r["word"], merges), r["word"]
+
+
+def test_bpe_first_merge_is_global_argmax(spark):
+    df = spark.createDataFrame([("aaab aaab ccc",)], "text string")
+    merges = bpe_learn(df, n_merges=1)
+    # pairs: (a,a)×2 per 'aaab' word ×2 occurrences = 4 — the max
+    assert merges[0][:2] == ("a", "a") and merges[0][2] == 4
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    rows = [(1, "x x y"), (2, "x z"), (3, "z z z"), (4, "y")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(
+        df, "doc_id", "text", ["x", "y"], k=10
+    ).collect()}
+
+    def bm25(tf, dfq, dl, n=4, sumdl=9, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (sumdl / n)))
+
+    exp1 = round(bm25(2, 2, 3) + bm25(1, 2, 3), 6)   # doc1: x×2, y×1
+    exp2 = round(bm25(1, 2, 2), 6)                   # doc2: x×1
+    exp4 = round(bm25(1, 2, 1), 6)                   # doc4: y×1
+    assert out == {1: exp1, 2: exp2, 4: exp4}        # doc3 has no query term
+
+
+def test_bm25_limit_is_total_ordered(spark):
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(30)], "doc_id int, text string"
+    )
+    got = [r["doc_id"] for r in bm25_topk(df, "doc_id", "text", ["x"], k=5).collect()]
+    assert got == [0, 1, 2, 3, 4]  # equal scores -> id tiebreak
+
+
+# ----------------------------------------------------------- Count-Min
+
+
+def test_cm_never_underestimates_and_merges(spark):
+    rows = [(f"k{i % 7}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    sk = cm_sketch(df, "k", width=4, depth=3)  # tiny: force collisions
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    est = cm_estimate(sk, exact, "k", width=4, depth=3)
+    for r in est.collect():
+        assert r["cm_est"] >= r["exact"]
+    # mergeability: sketch(A∪B) == counter-wise sum of sketch(A), sketch(B)
+    a = df.limit(40)
+    b = df.exceptAll(a)
+    merged = (
+        cm_sketch(a, "k", width=4, depth=3)
+        .unionByName(cm_sketch(b, "k", width=4, depth=3))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert df_rows(merged) == df_rows(cm_sketch(df, "k", width=4, depth=3))
+
+
+def test_cm_exact_when_no_collisions(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    items = df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    est = cm_estimate(cm_sketch(df, "k", width=512, depth=4), items, "k",
+                      width=512, depth=4)
+    for r in est.collect():
+        assert r["cm_est"] == r["exact"]
+
+
+# --------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives_and_semi_join_exact(spark):
+    dim = spark.createDataFrame([(i * 3,) for i in range(200)], "k bigint")
+    fact = spark.createDataFrame([(i,) for i in range(600)], "k bigint")
+    words = bloom_build(dim, "k", num_bits=1 << 12, num_hashes=5)
+    assert len(words) == (1 << 12) // 64
+    hit = bloom_contains(fact, "k", words)
+    members = {r["k"] for r in hit.where(F.col("__bf_hit")).collect()}
+    assert set(range(0, 600, 3)) <= members  # every true member passes
+    out = bloom_semi_join(fact, "k", dim, "k")
+    assert sorted(r["k"] for r in out.collect()) == list(range(0, 600, 3))
+
+
+def test_bloom_rejects_unaligned_bits(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", num_bits=100)
+
+
+# ------------------------------------------------------------- Encode
+
+
+def test_loo_excludes_own_row_and_nulls_singletons(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 7.0)],
+        "id int, cat string, y double",
+    )
+    out = {r["id"]: r["loo_enc"] for r in loo_target_encode(df, "cat", "y").collect()}
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    assert out[4] is None  # singleton category, unsmoothed
+
+
+def test_loo_smoothing_pulls_toward_global_mean(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 100.0)],
+        "id int, cat string, y double",
+    )
+    out = {r["id"]: r["loo_enc"] for r in
+           loo_target_encode(df, "cat", "y", smoothing=1.0).collect()}
+    g = (10 + 20 + 100) / 3
+    assert out[1] == round((20 + g) / 2, 6)
+    assert out[3] == round(g / 1, 6)  # singleton -> prior mean
+
+
+def test_frequency_encode_counts_and_shares(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",), ("a",)], "cat string")
+    rows = {(r["cat"], r["cat_count"], r["cat_share"])
+            for r in frequency_encode(df, "cat").collect()}
+    assert rows == {("a", 3, 0.75), ("b", 1, 0.25)}
+
+
+# -------------------------------------------------------- Attribution
+
+
+def test_session_attribution_first_last_touch(spark):
+    rows = [
+        # user 1, one session: click -> view -> purchase(5.0)
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),
+        (2, 1, "2024-01-01 10:05:00", "view", 0.0),
+        (3, 1, "2024-01-01 10:10:00", "purchase", 5.0),
+        # user 1, later session (gap > 30 min): purchase only -> direct
+        (4, 1, "2024-01-01 12:00:00", "purchase", 7.0),
+        # user 2: no conversion
+        (5, 2, "2024-01-01 10:00:00", "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = session_attribution(
+        df, ["user_id"], "ts", "event_type", "value", "purchase",
+        gap_seconds=1800, tiebreak="event_id",
+    )
+    assert_df_equals(
+        out,
+        [
+            {"user_id": 1, "session_id": 1, "first_touch": "click",
+             "last_touch": "view", "n_events": 3, "conv_count": 1,
+             "conv_value": 5.0},
+            {"user_id": 1, "session_id": 2, "first_touch": None,
+             "last_touch": None, "n_events": 1, "conv_count": 1,
+             "conv_value": 7.0},
+            {"user_id": 2, "session_id": 1, "first_touch": "view",
+             "last_touch": "view", "n_events": 1, "conv_count": 0,
+             "conv_value": 0.0},
+        ],
+    )
