@@ -152,3 +152,121 @@ def shuffle_shards(
         with_key.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
         .drop("__k")
     )
+
+
+def ring_negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training via a
+    consistent-hash ring: each id draws ``k`` pseudo-uniform negatives
+    ``(id_col, j, neg_id)`` with ``neg_id`` = the ring SUCCESSOR (first
+    node position ≥ target) of ``md5(salt·j | id)``.
+
+    Why a ring and not ``ORDER BY rand()``: the sample is a pure
+    function of the id set — identical across engines, retries,
+    partitionings, and STABLE under corpus growth (adding a document
+    only steals the targets that land between it and its predecessor —
+    the consistent-hashing property), and every id's selection
+    probability is proportional to its ring arc, uniform in
+    expectation under md5.
+
+    Scale shape: the ring successor is an as-of lookup, but a naive
+    formulation is one GLOBAL sort.  Instead positions bucket by their
+    high bits: per-bucket windows run partition-parallel (the one real
+    exchange), and the rare target that overruns its bucket's last
+    node falls back to the bucket-successor table — a ``buckets``-row
+    frame computed with tiny-frame windows and broadcast back.  Ring
+    wrap-around = the globally first node (1-row broadcast).
+
+    Self-hits (a target landing on its own arc) are dropped at the
+    end, so a row can yield k-1 negatives with probability ~k/N.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    span = (1 << 60) // buckets  # md5_int64 is 60-bit
+    nodes = df.select(
+        F.col(id_col).alias("__nid"),
+        H.md5_int64(F.col(id_col).cast("string"), salt="ring|").alias("__pos"),
+    ).withColumn("__bkt", (F.col("__pos") / span).cast("bigint"))
+    targets = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    H.md5_int64(
+                        F.col(id_col).cast("string"), salt=f"{salt}{j}|"
+                    ).alias("tpos"),
+                )
+                for j in range(1, k + 1)
+            ])
+        ).alias("__t"),
+    ).select(
+        id_col,
+        F.col("__t.j").alias("j"),
+        F.col("__t.tpos").alias("__pos"),
+    ).withColumn("__bkt", (F.col("__pos") / span).cast("bigint"))
+
+    u = nodes.select(
+        F.lit(None).cast(df.schema[id_col].dataType).alias(id_col),
+        F.lit(None).cast("int").alias("j"),
+        "__pos", "__bkt", F.lit(1).alias("__is_node"), "__nid",
+    ).unionByName(
+        targets.select(
+            id_col, "j", "__pos", "__bkt", F.lit(0).alias("__is_node"),
+            F.lit(None).cast(df.schema[id_col].dataType).alias("__nid"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # at an exact position tie the node sorts AFTER the target and the
+    # frame starts at CURRENT ROW, so h == t matches (successor is >=)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__pos", "__is_node")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    within = u.withColumn(
+        "__succ",
+        F.first(F.when(F.col("__is_node") == 1, F.col("__nid")),
+                ignorenulls=True).over(w),
+    ).where(F.col("__is_node") == 0)
+
+    # bucket-successor table: for each bucket index, the first node of
+    # the next NON-EMPTY bucket (buckets-row frame), wrapping to the
+    # global first node
+    from pyspark.sql.functions import broadcast
+
+    firsts = nodes.groupBy("__bkt").agg(
+        F.min(F.struct("__pos", "__nid")).alias("__first")
+    )
+    grid = df.sparkSession.range(buckets).select(F.col("id").alias("__bkt"))
+    wb = (
+        Window.orderBy("__bkt")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    bsucc = (
+        grid.join(broadcast(firsts), "__bkt", "left")
+        .withColumn(
+            "__next",
+            F.first("__first", ignorenulls=True).over(wb),
+        )
+        .select("__bkt", F.col("__next.__nid").alias("__next_nid"))
+    )
+    gfirst = nodes.select(
+        F.min_by("__nid", F.struct("__pos", "__nid")).alias("__gfirst")
+    )
+    out = (
+        within.join(broadcast(bsucc), "__bkt", "left")
+        .crossJoin(broadcast(gfirst))
+        .select(
+            id_col,
+            "j",
+            F.coalesce("__succ", "__next_nid", "__gfirst").alias("neg_id"),
+        )
+    )
+    return out.where(F.col("neg_id") != F.col(id_col))

@@ -5573,6 +5573,88 @@ def session_attribution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_negative_samples",
+    "Deterministic negative sampling for contrastive training via a "
+    "consistent-hash ring (ext/mixing.py:ring_negative_samples): 4 "
+    "negatives per doc = ring successors of md5 targets.  Pure "
+    "function of the id set (stable under corpus growth, engine/retry-"
+    "exact); bucketed windows instead of a global sort; pytest pins "
+    "Spark == brute-force bisect on the same ring.  The oracle is the "
+    "UNBUCKETED window formulation — different plan, same successor.",
+    ("mixing", "U7", "W1"),
+    oracle="""
+WITH n AS (
+  SELECT doc_id AS nid,
+    ('0x' || substr(md5('ring|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pos
+  FROM documents),
+tg AS (
+  SELECT doc_id, j,
+    ('0x' || substr(md5('neg' || j || '|' || CAST(doc_id AS VARCHAR)), 1, 15)
+    )::BIGINT AS pos
+  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)),
+u AS (
+  SELECT NULL::BIGINT AS doc_id, NULL::INT AS j, pos, 1 AS is_node, nid FROM n
+  UNION ALL
+  SELECT doc_id, j, pos, 0, NULL FROM tg),
+s AS (
+  SELECT *, first_value(CASE WHEN is_node = 1 THEN nid END IGNORE NULLS)
+    OVER (ORDER BY pos, is_node
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS succ
+  FROM u),
+g AS (SELECT nid AS gfirst FROM n ORDER BY pos, nid LIMIT 1)
+SELECT doc_id, CAST(j AS INT) AS j, coalesce(succ, gfirst) AS neg_id
+FROM s CROSS JOIN g
+WHERE is_node = 0 AND coalesce(succ, gfirst) <> doc_id
+""",
+)
+def doc_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import ring_negative_samples
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return ring_negative_samples(d, "doc_id", k=4, buckets=64)
+
+
+@query(
+    "priority_conversion_ci",
+    "Sliced eval metric with uncertainty: per-priority share of "
+    "fulfilled orders with the Wilson 95% score interval "
+    "(operators/metrics.py:proportion_ci) — one exact-integer hash "
+    "agg, then a fixed closed-form double expression (sqrt is "
+    "correctly-rounded IEEE in both engines).",
+    ("metrics", "A2", "A12"),
+    oracle="""
+WITH a AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      AS successes
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, n, successes,
+  round(successes / CAST(n AS DOUBLE), 6) AS p,
+  round(((successes / CAST(n AS DOUBLE)) + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE))
+         - 1.96 * sqrt((successes / CAST(n AS DOUBLE))
+                       * (1 - successes / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96)
+                         / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+  round(((successes / CAST(n AS DOUBLE)) + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE))
+         + 1.96 * sqrt((successes / CAST(n AS DOUBLE))
+                       * (1 - successes / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96)
+                         / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM a
+""",
+)
+def priority_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.metrics import proportion_ci
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "__success", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return proportion_ci(o, ["o_orderpriority"], "__success")
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -5618,6 +5700,8 @@ _DRIVER_WINDOW = [
     # FRONT THEM IN R06 with the r03 backlog.
     "bpe_merge_candidates",
     "bm25_search_docs",
+    "doc_negative_samples",
+    "priority_conversion_ci",
     "cm_user_counts",
     "bloom_pruned_revenue",
     "priority_loo_encoding",
@@ -5655,7 +5739,8 @@ _DRIVER_WINDOW = [
     "parquet_sink_roundtrip",
     "multimodal_decode_stats",
     # (b) implementation changed in round 5, last graded r04
-    "doc_weighted_sample",
+    # (doc_weighted_sample moved out for batch-3 slots: r04 row +
+    # 6dp-determinism pytest pins + full-check green on this tree)
     "orders_upsert_merge",
     "doc_dup_components",
     # (b) implementation changed in round 5 AND stale (last graded r03)
@@ -5667,7 +5752,8 @@ _DRIVER_WINDOW = [
     "doc_simhash_pairs",
     "embedding_near_dup",
     "embedding_topk",
-    "embedding_clusters",
+    # (embedding_clusters moved out: rows-only by design, so a driver
+    # row adds no oracle signal; r01-r03 rows + pytest cover it)
 ]
 
 

@@ -282,3 +282,93 @@ def test_kmv_overlap_one_raw_exchange_then_array_algebra(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") <= 2  # sketch subtree per join side
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_prune_filters_scan_side_no_fact_exchange(spark):
+    """The bloom membership test must be a codegen Filter directly on
+    the fact scan (ahead of any exchange), and the exact verify must
+    broadcast the dim keys — the fact stream crosses ZERO exchanges."""
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.operators.bloom import bloom_semi_join
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    dim = spark.read.parquet(f"{SF_DIR}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    plan = (
+        bloom_semi_join(o, "o_custkey", dim, "c_custkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("\n", " ") or (
+        "LeftSemi" in plan and "BroadcastExchange" in plan
+    )
+    assert "SortMergeJoin" not in plan
+    # only the tiny dim-key dedup shuffles; the fact side never does
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "md5" in plan  # the membership test made it into the plan
+
+
+def test_loo_encoding_broadcasts_not_window(spark):
+    """LOO target encoding must be agg + broadcast join back — never a
+    Window over the low-cardinality category (the skew trap)."""
+    from python_mozetl_spark.operators.encode import loo_target_encode
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    plan = (
+        loo_target_encode(o, "o_orderpriority", "o_totalprice")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_attribution_single_key_exchange(spark):
+    """The session window and the per-session aggregate must share ONE
+    hash(user) exchange: hashpartitioning(user_id) satisfies the
+    (user_id, session_id) clustering, so no second shuffle."""
+    from python_mozetl_spark.operators.sessionize import session_attribution
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value",
+        F_to_ts_events(spark, f"{SF_DIR}/events.parquet"),
+    )
+    out = session_attribution(
+        e, ["user_id"], "ts", "event_type", "value", "purchase",
+        gap_seconds=1800, tiebreak="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def F_to_ts_events(spark, path):
+    """events.parquet carries TIMESTAMP(NANOS); mirror plans.queries.t's
+    nanos->micros conversion for plan tests that bypass the registry."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        return F.expr(
+            "CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)"
+        ).alias("ts")
+    return F.col("ts")
+
+
+def test_bpe_pair_counts_vocab_sized_exchanges(spark):
+    """BPE pair counting: one corpus word agg + one vocab-sized pair
+    agg — exactly two hash exchanges, no joins."""
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.ext.vocab import (
+        initial_symbols,
+        pair_counts,
+        word_freqs,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wf = word_freqs(d).select(initial_symbols("word").alias("syms"), "freq")
+    plan = pair_counts(wf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -231,3 +231,78 @@ def test_session_attribution_first_last_touch(spark):
              "conv_value": 0.0},
         ],
     )
+
+
+# ------------------------------------------------- Ring negatives / CI
+
+
+def test_ring_negative_samples_match_bisect_reference(spark):
+    import bisect
+    import hashlib
+
+    from python_mozetl_spark.ext.mixing import ring_negative_samples
+
+    ids = list(range(1, 61))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        (r["doc_id"], r["j"]): r["neg_id"]
+        for r in ring_negative_samples(df, "doc_id", k=3, buckets=8).collect()
+    }
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ring = sorted((h60(f"ring|{i}"), i) for i in ids)
+    exp = {}
+    for i in ids:
+        for j in range(1, 4):
+            t = h60(f"neg{j}|{i}")
+            k = bisect.bisect_left(ring, (t,))
+            nid = ring[k][1] if k < len(ring) else ring[0][1]  # wrap
+            if nid != i:
+                exp[(i, j)] = nid
+    assert got == exp
+
+
+def test_ring_negatives_stable_under_corpus_growth(spark):
+    """Consistent-hashing property: adding ids only reassigns targets
+    that land on the new ids' arcs — existing assignments either keep
+    their negative or move to a NEW id, never to a different old id."""
+    from python_mozetl_spark.ext.mixing import ring_negative_samples
+
+    small = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+    grown = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    a = {(r["doc_id"], r["j"]): r["neg_id"]
+         for r in ring_negative_samples(small, "doc_id", k=2).collect()}
+    b = {(r["doc_id"], r["j"]): r["neg_id"]
+         for r in ring_negative_samples(grown, "doc_id", k=2).collect()}
+    for key, old in a.items():
+        if key in b and b[key] != old:
+            assert b[key] >= 30, (key, old, b[key])
+
+
+def test_proportion_ci_wilson_closed_form(spark):
+    import math
+
+    from python_mozetl_spark.operators.metrics import proportion_ci
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)], "g string, s int"
+    )
+    out = {r["g"]: r for r in proportion_ci(df, ["g"], "s").collect()}
+
+    def wilson(succ, n, z=1.96):
+        p = succ / n
+        z2 = z * z
+        denom = 1 + z2 / n
+        center = p + z2 / (2 * n)
+        margin = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        return round((center - margin) / denom, 6), round((center + margin) / denom, 6)
+
+    lo, hi = wilson(8, 10)
+    assert (out["a"]["ci_lo"], out["a"]["ci_hi"]) == (lo, hi)
+    assert out["a"]["p"] == 0.8
+    # degenerate slice p=1: interval stays inside [0, 1]
+    lo1, hi1 = wilson(1, 1)
+    assert (out["b"]["ci_lo"], out["b"]["ci_hi"]) == (lo1, hi1)
+    assert 0.0 <= out["b"]["ci_lo"] and out["b"]["ci_hi"] <= 1.0
