@@ -16,6 +16,7 @@ from python_mozetl_spark.ext.graph import (  # noqa: F401
     pagerank,
 )
 from python_mozetl_spark.ext.mixing import (  # noqa: F401
+    ring_negative_samples,
     shuffle_shards,
     split_assign,
     weighted_mix,
@@ -42,6 +43,7 @@ from python_mozetl_spark.ext.search import (  # noqa: F401
 )
 from python_mozetl_spark.ext.similarity import (  # noqa: F401
     brute_force_topk,
+    kcenter_coreset,
     lloyd_clusters,
     bucketed_topk,
     cosine_topk_pandas,

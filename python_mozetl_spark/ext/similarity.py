@@ -597,3 +597,81 @@ def lloyd_clusters(
         F.col("__cid").cast("long").alias("cluster"),
         F.col("__d2").alias("d2"),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approximation
+    — the farthest-point diversity sampler used for training-data
+    selection): seed with the lowest-id vector, then repeatedly pick
+    the point FARTHEST from the selected set.
+
+    Deterministic cross-engine spec, same discipline as
+    :func:`lloyd_clusters`: every compared quantity is the squared
+    euclidean distance ROUNDED to ``round_dp``; the farthest-point
+    argmax breaks ties by lowest id; the final assignment breaks
+    distance ties by center SELECTION ORDER.  min-over-centers of
+    rounded distances is order-free, so the incremental
+    ``least(prev, new)`` form (the SQL oracle) equals the recompute-all
+    form (this implementation).
+
+    Scale shape: k scans, each a broadcast cross join against the
+    ≤k-row center table + a 1-row argmax collect (bounded by
+    construction); no corpus self-join, driver state is k×dim floats.
+
+    Returns (id, center_id, d2): every point's nearest selected
+    center — the coreset assignment whose max d2 is the coverage
+    radius.
+    """
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+
+    def scored_frame(cents: list[tuple[int, int, list[float]]]) -> DataFrame:
+        cdf = spark.createDataFrame(
+            cents, ["__ord", "__cid", "__cv"]
+        ).select(
+            "__ord", "__cid", F.col("__cv").cast("array<double>").alias("__cv")
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with("__v", "__cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_dp,
+        )
+        return e.crossJoin(F.broadcast(cdf)).withColumn("__d2", d2)
+
+    first = e.orderBy(id_col).limit(1).collect()[0]
+    cents = [(1, first[id_col], [float(x) for x in first["__v"]])]
+    for _ in range(1, k):
+        far = (
+            scored_frame(cents)
+            .groupBy(id_col)
+            .agg(F.min("__d2").alias("__dmin"), F.first("__v").alias("__v"))
+            .orderBy(F.desc("__dmin"), id_col)
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append(
+            (len(cents) + 1, far[id_col], [float(x) for x in far["__v"]])
+        )
+    w = Window.partitionBy(id_col).orderBy("__d2", "__ord")
+    return (
+        scored_frame(cents)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__cid").cast("long").alias("center_id"),
+            F.col("__d2").alias("d2"),
+        )
+    )

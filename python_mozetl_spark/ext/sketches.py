@@ -397,6 +397,24 @@ def kmv_overlap(
     )
 
 
+def cm_bucket_structs(key_col: str, width: int, depth: int):
+    """The CM addressing expression shared by the batch build, the
+    point-query probe, and the streaming twin: ``depth`` structs
+    ``(d, bucket)`` with ``bucket = md5('cm{d}|' || key) % width``."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    H.md5_int64(F.col(key_col).cast("string"), salt=f"cm{d}|")
+                    % width
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cm_sketch(
     df: DataFrame,
     key_col: str,
@@ -425,21 +443,7 @@ def cm_sketch(
         .alias("__c")
     )
     fanned = counts.select(
-        "__c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (
-                            H.md5_int64(F.col("__k").cast("string"), salt=f"cm{d}|")
-                            % width
-                        ).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("__db"),
+        "__c", F.explode(cm_bucket_structs("__k", width, depth)).alias("__db")
     )
     return fanned.groupBy(
         F.col("__db.d").alias("d"), F.col("__db.bucket").alias("bucket")
@@ -465,20 +469,7 @@ def cm_estimate(
 
     fanned = items.select(
         *items.columns,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (
-                            H.md5_int64(F.col(key_col).cast("string"), salt=f"cm{d}|")
-                            % width
-                        ).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("__db"),
+        F.explode(cm_bucket_structs(key_col, width, depth)).alias("__db"),
     ).select(*items.columns, F.col("__db.d").alias("__d"), F.col("__db.bucket").alias("__b"))
     joined = fanned.join(
         broadcast(sketch),

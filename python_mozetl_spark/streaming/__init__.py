@@ -21,5 +21,6 @@ from python_mozetl_spark.streaming.sink import (  # noqa: F401
 )
 from python_mozetl_spark.streaming.sketch import (  # noqa: F401
     batch_histogram_quantiles,
+    cm_sketch_stream,
     histogram_quantiles_stream,
 )

@@ -129,3 +129,33 @@ def batch_histogram_quantiles(
         for q in qs
     ]
     return est.groupBy(key_col).agg(F.max("n").alias("n"), *agg)
+
+
+def cm_sketch_stream(
+    events: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming Count-Min sketch: the counter table ``(d, bucket,
+    cnt)`` maintained as a NATIVE streaming aggregation (complete
+    mode) — no custom state needed, because CM counters are pure sums:
+    each row fans out to its ``depth`` addressed counters
+    (ext/sketches.py:cm_bucket_structs, the same md5 addressing as the
+    batch build) and the state store does the merge.
+
+    After any prefix of micro-batches the emitted table equals the
+    batch ``cm_sketch`` over the same prefix (exact integer sums —
+    the batch-twin test pins it).  State is ≤ width×depth rows
+    regardless of stream volume; the classic monitor-forever shape.
+    """
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.ext.sketches import cm_bucket_structs
+
+    fanned = events.select(
+        F.explode(cm_bucket_structs(key_col, width, depth)).alias("__db")
+    )
+    return fanned.groupBy(
+        F.col("__db.d").alias("d"), F.col("__db.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

@@ -459,3 +459,47 @@ def test_streaming_histogram_quantiles_matches_batch_sketch(spark):
             ).collect()
         }
         assert final == expect
+
+
+def test_streaming_cm_sketch_matches_batch(spark):
+    """The streaming Count-Min counter table converges to the batch
+    sketch: counters are pure sums, so the complete-mode emission
+    after all micro-batches equals cm_sketch over all input."""
+    import glob
+    import os
+
+    from python_mozetl_spark.ext.sketches import cm_sketch
+    from python_mozetl_spark.streaming import cm_sketch_stream
+
+    rows = [(f"u{i % 23}",) for i in range(500)]
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        df = spark.createDataFrame(rows, ["user"]).repartition(4)
+        df.write.mode("overwrite").parquet(src)
+        assert len(glob.glob(os.path.join(src, "*.parquet"))) > 1
+        stream_df = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            cm_sketch_stream(stream_df, "user", width=16, depth=3)
+            .writeStream.format("memory")
+            .queryName("cm_stream_t")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in spark.table("cm_stream_t").collect()
+        }
+        exp = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in cm_sketch(
+                spark.createDataFrame(rows, ["user"]), "user", width=16, depth=3
+            ).collect()
+        }
+        assert got == exp

@@ -306,3 +306,49 @@ def test_proportion_ci_wilson_closed_form(spark):
     lo1, hi1 = wilson(1, 1)
     assert (out["b"]["ci_lo"], out["b"]["ci_hi"]) == (lo1, hi1)
     assert 0.0 <= out["b"]["ci_lo"] and out["b"]["ci_hi"] <= 1.0
+
+
+# ------------------------------------------------------------- Coreset
+
+
+def test_kcenter_matches_python_greedy(spark):
+    from python_mozetl_spark.ext.similarity import kcenter_coreset
+
+    vecs = {i: [float(i % 5), float(i // 5)] for i in range(1, 16)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<float>"
+    )
+    out = {r["vec_id"]: (r["center_id"], r["d2"])
+           for r in kcenter_coreset(df, k=4).collect()}
+
+    def d2(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    sel = [min(vecs)]  # seed: lowest id
+    for _ in range(3):
+        far = max(
+            (i for i in vecs),
+            key=lambda i: (min(d2(vecs[i], vecs[c]) for c in sel), -i),
+        )
+        sel.append(far)
+    exp = {}
+    for i in vecs:
+        ordd = [(d2(vecs[i], vecs[c]), ordn + 1, c) for ordn, c in enumerate(sel)]
+        dd, _, c = min(ordd)
+        exp[i] = (c, dd)
+    assert out == exp
+
+
+def test_kcenter_coverage_radius_shrinks(spark):
+    """More centers can only shrink (never grow) the coverage radius."""
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.ext.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(3 * i % 7)]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    r3 = kcenter_coreset(df, k=3).agg(F.max("d2")).collect()[0][0]
+    r6 = kcenter_coreset(df, k=6).agg(F.max("d2")).collect()[0][0]
+    assert r6 <= r3
