@@ -294,3 +294,122 @@ def sample_frames(
             )
 
     return media.select(id_col, content_col).mapInPandas(frames, FRAME_SCHEMA)
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Dependency-free RIFF/WAVE writer: PCM (format 1), mono, 16-bit
+    little-endian — the audio twin of :func:`encode_bmp`."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_audio(content: bytes) -> dict:
+    """Pure-Python RIFF/WAVE PCM decode (16-bit, any channel count):
+    walks the chunk list properly (skips unknown chunks, honors the
+    word-alignment pad byte), then computes integer sample stats —
+    ``{"sample_rate", "channels", "n_samples", "sum_abs", "peak"}``
+    with ``n_samples`` per channel, ``sum_abs``/``peak`` over ALL
+    channel samples.  Non-PCM / non-16-bit raises ``ValueError`` (the
+    ffmpeg plug-point, same stance as :func:`decode_image`)."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported wav: fmt={audio_fmt} bits={bits}")
+    n = len(data) // 2
+    vals = struct.unpack(f"<{n}h", data[: 2 * n])
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_samples": n // channels,
+        "sum_abs": sum(abs(v) for v in vals),
+        "peak": max((abs(v) for v in vals), default=0),
+    }
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate long, channels long, n_samples long, "
+    "sum_abs long, peak long"
+)
+
+
+def synth_doc_wavs(documents: DataFrame) -> DataFrame:
+    """Deterministic WAV payload per document: sample count/rate derived
+    JVM-side, PCM samples ``((doc_id*31 + i*7) % 4096) - 2048`` encoded
+    in one Arrow pass — integer-analytic, so the oracle recomputes the
+    decoded stats without parsing a byte."""
+    params = documents.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 64 + 8).cast("int").alias("n"),
+        (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("int").alias("rate"),
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        encode_wav(
+                            int(rate),
+                            [
+                                ((int(mid) * 31 + i * 7) % 4096) - 2048
+                                for i in range(int(n))
+                            ],
+                        )
+                        for mid, n, rate in zip(
+                            pdf["media_id"], pdf["n"], pdf["rate"]
+                        )
+                    ],
+                }
+            )
+
+    return params.mapInPandas(enc, "media_id long, content binary")
+
+
+def audio_features(media: DataFrame, id_col: str = "media_id",
+                   content_col: str = "content") -> DataFrame:
+    """REAL audio decode over a binary column: Arrow-batched
+    :func:`decode_audio` per payload → typed PCM stats; undecodable
+    payloads surface as nulls (PERMISSIVE)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        cols = ["sample_rate", "channels", "n_samples", "sum_abs", "peak"]
+        for pdf in batches:
+            out = {"media_id": []} | {c: [] for c in cols}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    d = decode_audio(bytes(blob))
+                except (ValueError, IndexError, TypeError, struct.error):
+                    d = {c: None for c in cols}
+                out["media_id"].append(mid)
+                for c in cols:
+                    out[c].append(d[c])
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, content_col).mapInPandas(dec, AUDIO_SCHEMA)

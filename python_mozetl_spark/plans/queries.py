@@ -5655,6 +5655,38 @@ def priority_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proportion_ci(o, ["o_orderpriority"], "__success")
 
 
+@query(
+    "multimodal_audio_stats",
+    "REAL audio decode graded end-to-end (the WAV twin of "
+    "multimodal_decode_stats): per-document RIFF/WAVE PCM-16 payloads "
+    "are ENCODED in one Arrow mapInPandas pass and DECODED by the "
+    "dependency-free chunk-walking parser in a second — blob never "
+    "leaves its partition.  The oracle recomputes sample-rate/count/"
+    "sum|s|/peak analytically from the integer synthesis formula, so "
+    "any chunk/alignment/endianness parse bug hash-mismatches.",
+    ("ext-mm", "pandas-udf"),
+    oracle="""
+SELECT p.doc_id AS media_id,
+  CAST(p.rate AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(p.n AS BIGINT) AS n_samples,
+  CAST(sum(abs((p.doc_id * 31 + t.i * 7) % 4096 - 2048)) AS BIGINT) AS sum_abs,
+  CAST(max(abs((p.doc_id * 31 + t.i * 7) % 4096 - 2048)) AS BIGINT) AS peak
+FROM (SELECT doc_id, n_chars % 64 + 8 AS n,
+             8000 + (doc_id % 4) * 4000 AS rate
+      FROM documents) p
+CROSS JOIN range(0, 72) t(i)
+WHERE t.i < p.n
+GROUP BY p.doc_id, p.rate, p.n
+""",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.multimodal import audio_features, synth_doc_wavs
+
+    d = t(spark, sf_dir, "documents")
+    return audio_features(synth_doc_wavs(d))
+
+
 def _kcenter_oracle(k: int = 6) -> str:
     """SQL unrolling the greedy k-center spec (same seed, same
     6dp-rounded distances, same tie-breaks) — mirrors
@@ -5765,6 +5797,7 @@ _DRIVER_WINDOW = [
     "doc_negative_samples",
     "priority_conversion_ci",
     "embedding_kcenter_coreset",
+    "multimodal_audio_stats",
     "cm_user_counts",
     "bloom_pruned_revenue",
     "priority_loo_encoding",
@@ -5802,10 +5835,9 @@ _DRIVER_WINDOW = [
     "parquet_sink_roundtrip",
     "multimodal_decode_stats",
     # (b) implementation changed in round 5, last graded r04
-    # (doc_weighted_sample and orders_upsert_merge moved out for
-    # batch-3 slots: both hold r04 rows, their r5 semantic fixes are
-    # pytest-pinned, and both are full-check green on this tree)
-    "doc_dup_components",
+    # (doc_weighted_sample, orders_upsert_merge and doc_dup_components
+    # moved out for batch-3 slots: all hold r04 rows, their r5 changes
+    # are pytest-pinned, and all are full-check green on this tree)
     # (b) implementation changed in round 5 AND stale (last graded r03)
     "embedding_bucket_topk",
     "doc_minhash_pairs",

@@ -1081,3 +1081,60 @@ def test_weighted_log_histogram_equals_expanded_rows(spark):
     wq = sorted(map(tuple, histogram_quantiles(wh, [0.5, 0.9]).collect()))
     eq = sorted(map(tuple, histogram_quantiles(eh, [0.5, 0.9]).collect()))
     assert wq == eq
+
+
+def test_decode_audio_wav_paths():
+    """RIFF chunk walking: roundtrip, odd-size pad alignment, unknown
+    chunks skipped, stereo counted per channel, non-PCM rejected."""
+    import struct
+
+    import pytest
+
+    from python_mozetl_spark.ext.multimodal import decode_audio, encode_wav
+
+    samples = [0, 100, -100, 2047, -2048, 7]
+    d = decode_audio(encode_wav(16000, samples))
+    assert d == {
+        "sample_rate": 16000, "channels": 1, "n_samples": 6,
+        "sum_abs": sum(abs(s) for s in samples),
+        "peak": 2048,
+    }
+
+    # hand-build: LIST chunk with ODD size (pad byte) BEFORE fmt/data,
+    # stereo 16-bit
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    data = struct.pack("<4h", 10, -20, 30, -40)  # 2 frames x 2 channels
+    odd = b"x" * 3
+    blob = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"  # pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    d2 = decode_audio(blob)
+    assert d2 == {"sample_rate": 8000, "channels": 2, "n_samples": 2,
+                  "sum_abs": 100, "peak": 40}
+
+    with pytest.raises(ValueError):
+        decode_audio(b"OggS" + b"\x00" * 40)
+    ulaw = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # mu-law
+    with pytest.raises(ValueError):
+        decode_audio(
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(ulaw)) + ulaw
+            + b"data" + struct.pack("<I", 0)
+        )
+
+
+def test_audio_features_permissive_nulls(spark):
+    from python_mozetl_spark.ext.multimodal import audio_features, encode_wav
+
+    rows = [
+        (1, encode_wav(8000, [5, -5])),
+        (2, b"not audio at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert out[1]["sum_abs"] == 10 and out[1]["sample_rate"] == 8000
+    assert out[2]["sum_abs"] is None and out[3]["peak"] is None
