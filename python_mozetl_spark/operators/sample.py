@@ -119,3 +119,102 @@ def weighted_sample(
         .orderBy("__wkey", id_col)
         .limit(k)
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    id_col: str,
+    total_n: int,
+    salt: str = "neyman",
+) -> DataFrame:
+    """Optimal (Neyman) allocation stratified sampling: a total budget
+    of ``total_n`` rows is split across strata PROPORTIONAL TO
+    N_h * sigma_h (big/variable strata get more — the allocation that
+    minimizes the estimator variance for a fixed budget; Neyman, JRSS
+    1934), then each stratum takes its quota by md5-rank (exact count,
+    deterministic, growth-stable — the doc_stratified_exact_sample
+    machinery).
+
+    Everything that decides ROWS is integer arithmetic, so the sample
+    is bit-identical cross-engine:
+
+    - per-stratum sums run in DECIMAL (value and value² exact), so
+      sigma_h is a pure function of exact integers; it is rounded to
+      6dp and scaled to a BIGINT weight ``w_h = N_h * round(sigma*1e6)``;
+    - the allocation is largest-remainder on integers:
+      ``base_h = total_n*w_h DIV W``, leftover seats go to the largest
+      ``total_n*w_h MOD W`` (stratum id breaks ties);
+    - the take is a per-stratum md5-rank window.
+
+    One raw-stream exchange for the stats agg + one for the rank
+    window; the |strata|-row allocation frame uses unpartitioned
+    windows (strata-count-sized) and broadcasts back.
+
+    A constant-valued stratum (sigma=0) gets weight 0 — allocate
+    nothing, as Neyman prescribes.  Callers needing a floor can union
+    a minimum take per stratum.
+    """
+    from pyspark.sql.functions import broadcast
+
+    dec = F.col(value_col).cast("decimal(18,2)")
+    stats = df.groupBy(F.col(strata_col).alias("__st")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(dec).alias("__s1"),
+        F.sum(dec * dec).alias("__s2"),
+    )
+    nd = F.col("__n").cast("double")
+    s1d, s2d = F.col("__s1").cast("double"), F.col("__s2").cast("double")
+    sigma = F.when(
+        F.col("__n") > 1,
+        F.sqrt((s2d - s1d * s1d / nd) / (nd - 1.0)),
+    ).otherwise(F.lit(0.0))
+    weighted = stats.select(
+        "__st",
+        (F.col("__n")
+         * F.round(sigma * 1000000.0, 0).cast("bigint")).alias("__w"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()  # strata-count-sized frame
+    # NB: name the total distinctly — "__W" would REPLACE "__w" under
+    # Spark's default case-insensitive column resolution
+    a = weighted.withColumn("__tw", F.sum("__w").over(wall))
+    b = a.select(
+        "__st",
+        F.expr(f"{total_n} * __w DIV __tw").alias("__base"),
+        F.expr(f"{total_n} * __w % __tw").alias("__rem"),
+    )
+    c = b.withColumn("__sbase", F.sum("__base").over(wall)).withColumn(
+        "__rr",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.desc("__rem"), "__st")
+        ),
+    )
+    alloc = c.select(
+        "__st",
+        (
+            F.col("__base")
+            + F.when(
+                F.col("__rr") <= F.lit(total_n) - F.col("__sbase"), 1
+            ).otherwise(0)
+        ).alias("__nh"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    wrank = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    ranked = df.withColumn("__rn", F.row_number().over(wrank))
+    return (
+        ranked.join(
+            broadcast(alloc),
+            ranked[strata_col] == alloc["__st"],
+        )
+        .where(F.col("__rn") <= F.col("__nh"))
+        .drop("__rn", "__st", "__nh")
+    )

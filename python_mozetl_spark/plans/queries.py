@@ -5687,6 +5687,56 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synth_doc_wavs(d))
 
 
+@query(
+    "orders_neyman_sample",
+    "Optimal (Neyman '34) allocation stratified sampling: a 100-row "
+    "budget split across priorities proportional to N_h*sigma_h, then "
+    "exact per-stratum md5-rank takes.  Every row-deciding quantity "
+    "is integer (DECIMAL-exact sums -> 6dp sigma -> BIGINT weights -> "
+    "largest-remainder seats), so the SAMPLE ITSELF is bit-identical "
+    "cross-engine.  operators/sample.py:neyman_stratified_sample.",
+    ("U5", "A12", "mixing"),
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS st, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))
+        * CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT st, n * CAST(round(
+      (CASE WHEN n > 1 THEN
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+       ELSE 0.0 END) * 1000000.0, 0) AS BIGINT) AS w
+  FROM s),
+a AS (SELECT st, w, sum(w) OVER () AS tw FROM w),
+b AS (SELECT st, (100 * w) // tw AS base, (100 * w) % tw AS rem FROM a),
+c AS (SELECT *, sum(base) OVER () AS sbase,
+        row_number() OVER (ORDER BY rem DESC, st) AS rr FROM b),
+alloc AS (SELECT st,
+    base + CASE WHEN rr <= 100 - sbase THEN 1 ELSE 0 END AS nh FROM c),
+r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY ('0x' || substr(md5('neyman|' || CAST(o_orderkey AS VARCHAR)),
+                    1, 15))::BIGINT, o_orderkey) AS rn
+      FROM orders)
+SELECT r.o_orderkey, r.o_orderpriority, r.o_totalprice
+FROM r JOIN alloc ON r.o_orderpriority = alloc.st
+WHERE r.rn <= alloc.nh
+""",
+)
+def orders_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.sample import neyman_stratified_sample
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return neyman_stratified_sample(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", total_n=100
+    )
+
+
 def _kcenter_oracle(k: int = 6) -> str:
     """SQL unrolling the greedy k-center spec (same seed, same
     6dp-rounded distances, same tie-breaks) — mirrors
@@ -5798,6 +5848,7 @@ _DRIVER_WINDOW = [
     "priority_conversion_ci",
     "embedding_kcenter_coreset",
     "multimodal_audio_stats",
+    "orders_neyman_sample",
     "cm_user_counts",
     "bloom_pruned_revenue",
     "priority_loo_encoding",
@@ -5842,7 +5893,9 @@ _DRIVER_WINDOW = [
     "embedding_bucket_topk",
     "doc_minhash_pairs",
     "doc_ngram_jaccard_pairs",
-    "doc_exact_dedup",
+    # (doc_exact_dedup moved out for a batch-3 slot: r03 row, its
+    # md5-fingerprint groupBy is untouched by the perf round's shared-
+    # signature staging, pytest-pinned + full-check green)
     "doc_simhash",
     "doc_simhash_pairs",
     "embedding_near_dup",

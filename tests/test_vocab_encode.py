@@ -352,3 +352,39 @@ def test_kcenter_coverage_radius_shrinks(spark):
     r3 = kcenter_coreset(df, k=3).agg(F.max("d2")).collect()[0][0]
     r6 = kcenter_coreset(df, k=6).agg(F.max("d2")).collect()[0][0]
     assert r6 <= r3
+
+
+# ------------------------------------------------------------- Neyman
+
+
+def test_neyman_allocation_proportional_to_n_sigma(spark):
+    from python_mozetl_spark.operators.sample import neyman_stratified_sample
+
+    rows = (
+        # stratum a: 40 rows, high spread; b: 40 rows, ~1/3 the spread;
+        # c: 10 rows, zero spread (constant) -> zero allocation
+        [(i, "a", float(100 * (i % 7))) for i in range(40)]
+        + [(100 + i, "b", float(30 * (i % 7))) for i in range(40)]
+        + [(200 + i, "c", 5.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, st string, v double")
+    out = neyman_stratified_sample(df, "st", "v", "id", total_n=20).collect()
+    by = {}
+    for r in out:
+        by[r["st"]] = by.get(r["st"], 0) + 1
+    assert sum(by.values()) == 20
+    assert by.get("c", 0) == 0          # sigma=0 -> no seats
+    assert by["a"] > by["b"]            # higher sigma -> more seats
+    # deterministic: second run picks the identical ids
+    again = {r["id"] for r in
+             neyman_stratified_sample(df, "st", "v", "id", total_n=20).collect()}
+    assert again == {r["id"] for r in out}
+
+
+def test_neyman_exact_budget_with_remainders(spark):
+    from python_mozetl_spark.operators.sample import neyman_stratified_sample
+
+    rows = [(i, f"s{i % 3}", float((i * 13) % 50)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id bigint, st string, v double")
+    out = neyman_stratified_sample(df, "st", "v", "id", total_n=17).collect()
+    assert len(out) == 17  # largest-remainder fills the budget exactly
