@@ -51,3 +51,121 @@ def proportion_ci(
         F.round((center - margin) / denom, round_to).alias("ci_lo"),
         F.round((center + margin) / denom, round_to).alias("ci_hi"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    split_col,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between the two sides of a boolean
+    ``split_col`` (reference=false vs current=true) over fixed-width
+    bins of ``value_col`` — THE production data-drift monitor
+    (PSI < 0.1 stable, > 0.25 action).
+
+    Fixed [lo, hi) bin edges (under/overflow clamp to the edge bins)
+    make the binning pure integer arithmetic; shares and the
+    ``(p−q)·ln(p/q)`` contribution are one double expression per bin
+    row.  Bins empty on EITHER side contribute NULL (ln(0) — callers
+    choosing the eps-smoothing convention can coalesce); total PSI is
+    the sum over non-null rows.
+
+    One (split, bin) hash agg over the raw stream; everything after is
+    |bins|-row frames with unpartitioned windows.
+    """
+    split = split_col if not isinstance(split_col, str) else F.col(split_col)
+    width = (hi - lo) / n_bins
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    counts = df.groupBy(
+        bin_idx.alias("bin"), split.cast("boolean").alias("__cur")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy("__cur")
+    shared = counts.withColumn("__tot", F.sum("__c").over(wall)).select(
+        "bin",
+        F.when(~F.col("__cur"), F.col("__c").cast("double") / F.col("__tot"))
+        .alias("__p"),
+        F.when(F.col("__cur"), F.col("__c").cast("double") / F.col("__tot"))
+        .alias("__q"),
+    )
+    per_bin = shared.groupBy("bin").agg(
+        F.max("__p").alias("__p"), F.max("__q").alias("__q")
+    )
+    contrib = F.when(
+        (F.col("__p") > 0) & (F.col("__q") > 0),
+        (F.col("__p") - F.col("__q")) * F.log(F.col("__p") / F.col("__q")),
+    )
+    return per_bin.select(
+        "bin",
+        F.round(F.coalesce("__p", F.lit(0.0)), round_to).alias("ref_share"),
+        F.round(F.coalesce("__q", F.lit(0.0)), round_to).alias("cur_share"),
+        F.round(contrib, round_to).alias("psi_contrib"),
+    )
+
+
+def chi_squared(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categoricals: one (a, b) contingency agg over the raw stream, then
+    row/column/grand totals as unpartitioned window sums over the
+    |A|×|B| contingency frame (never a second pass over the data).
+
+    Returns one row ``(chi2, dof, n)`` — all derived from exact
+    integer counts, so deterministic cross-engine.  Compare chi2 to
+    the critical value for ``dof`` externally (no p-value: that needs
+    the incomplete gamma, which is not reproducible-by-construction
+    across engines).
+    """
+    from pyspark.sql import Window
+
+    obs = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+    wa, wb, wall = (
+        Window.partitionBy("__a"),
+        Window.partitionBy("__b"),
+        Window.partitionBy(),
+    )
+    # NOTE: observed-zero cells missing from the contingency frame have
+    # E>0 and contribute E to chi2; reconstruct them by crossing the
+    # distinct margins so the statistic is the textbook one.
+    cells = (
+        obs.select("__a").distinct()
+        .crossJoin(obs.select("__b").distinct())
+        .join(obs, ["__a", "__b"], "left")
+        .withColumn("__o", F.coalesce("__o", F.lit(0)))
+    )
+    t = (
+        cells.withColumn("__ra", F.sum("__o").over(wa))
+        .withColumn("__rb", F.sum("__o").over(wb))
+        .withColumn("__n", F.sum("__o").over(wall))
+    )
+    e = F.col("__ra").cast("double") * F.col("__rb").cast("double") / F.col(
+        "__n"
+    ).cast("double")
+    term = (F.col("__o").cast("double") - e) * (
+        F.col("__o").cast("double") - e
+    ) / e
+    return t.select("__a", "__b", "__o", "__n", term.alias("__t")).agg(
+        F.round(F.sum("__t"), round_to).alias("chi2"),
+        (
+            (F.count_distinct(F.col("__a")) - 1)
+            * (F.count_distinct(F.col("__b")) - 1)
+        ).cast("bigint").alias("dof"),
+        F.max("__n").alias("n"),
+    )

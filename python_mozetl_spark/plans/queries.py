@@ -5737,6 +5737,94 @@ def orders_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "price_psi_drift",
+    "Population Stability Index — the production data-drift monitor: "
+    "order-value distribution of 1998+ orders vs the 1995-97 "
+    "reference, 10 fixed-width bins, per-bin (p-q)*ln(p/q) "
+    "contributions.  One (bin, side) hash agg over the raw stream; "
+    "bin-frame windows after.  operators/metrics.py:psi_drift.",
+    ("metrics", "drift", "A2"),
+    oracle="""
+WITH b AS (
+  SELECT least(9, greatest(0,
+           CAST(floor((o_totalprice - 0.0) / 50000.0) AS INT))) AS bin,
+         (o_orderdate >= TIMESTAMP '1998-01-01') AS cur,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT bin,
+    CASE WHEN NOT cur THEN c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE)
+    END AS p,
+    CASE WHEN cur THEN c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE)
+    END AS q
+  FROM b),
+m AS (SELECT bin, max(p) AS p, max(q) AS q FROM s GROUP BY 1)
+SELECT bin,
+  round(coalesce(p, 0.0), 6) AS ref_share,
+  round(coalesce(q, 0.0), 6) AS cur_share,
+  round(CASE WHEN p > 0 AND q > 0 THEN (p - q) * ln(p / q) END, 6)
+    AS psi_contrib
+FROM m
+""",
+)
+def price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.metrics import psi_drift
+
+    o = t(spark, sf_dir, "orders")
+    return psi_drift(
+        o,
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"),
+        "o_totalprice",
+        lo=0.0,
+        hi=500000.0,
+        n_bins=10,
+    )
+
+
+@query(
+    "priority_status_chi2",
+    "Pearson chi-squared independence test between order priority and "
+    "status: one contingency agg over the raw stream, margins as "
+    "window sums over the |A|x|B| cell frame (observed-zero cells "
+    "reconstructed so the statistic is the textbook one).  All from "
+    "exact integer counts.  operators/metrics.py:chi_squared.",
+    ("metrics", "A2", "A6"),
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2),
+cells AS (
+  SELECT x.a, y.b, coalesce(obs.o, 0) AS o
+  FROM (SELECT DISTINCT a FROM obs) x
+  CROSS JOIN (SELECT DISTINCT b FROM obs) y
+  LEFT JOIN obs ON obs.a = x.a AND obs.b = y.b),
+t AS (
+  SELECT a, b, o,
+    sum(o) OVER (PARTITION BY a) AS ra,
+    sum(o) OVER (PARTITION BY b) AS rb,
+    sum(o) OVER () AS n
+  FROM cells)
+SELECT
+  round(sum((CAST(o AS DOUBLE)
+             - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(o AS DOUBLE)
+               - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))),
+        6) AS chi2,
+  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+  CAST(max(n) AS BIGINT) AS n
+FROM t
+""",
+)
+def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.metrics import chi_squared
+
+    o = t(spark, sf_dir, "orders")
+    return chi_squared(o, "o_orderpriority", "o_orderstatus")
+
+
 def _kcenter_oracle(k: int = 6) -> str:
     """SQL unrolling the greedy k-center spec (same seed, same
     6dp-rounded distances, same tie-breaks) — mirrors
@@ -5849,6 +5937,8 @@ _DRIVER_WINDOW = [
     "embedding_kcenter_coreset",
     "multimodal_audio_stats",
     "orders_neyman_sample",
+    "price_psi_drift",
+    "priority_status_chi2",
     "cm_user_counts",
     "bloom_pruned_revenue",
     "priority_loo_encoding",
@@ -5896,8 +5986,10 @@ _DRIVER_WINDOW = [
     # (doc_exact_dedup moved out for a batch-3 slot: r03 row, its
     # md5-fingerprint groupBy is untouched by the perf round's shared-
     # signature staging, pytest-pinned + full-check green)
-    "doc_simhash",
-    "doc_simhash_pairs",
+    # (doc_simhash / doc_simhash_pairs moved out for batch-3 slots:
+    # r03 rows; their r5 change is the shared bounded_bucket_pairs
+    # guard rail, which doc_minhash_pairs exercises in-window; both
+    # pytest-pinned + full-check green on this tree)
     "embedding_near_dup",
     "embedding_topk",
     # (embedding_clusters moved out: rows-only by design, so a driver

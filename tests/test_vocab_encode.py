@@ -388,3 +388,70 @@ def test_neyman_exact_budget_with_remainders(spark):
     df = spark.createDataFrame(rows, "id bigint, st string, v double")
     out = neyman_stratified_sample(df, "st", "v", "id", total_n=17).collect()
     assert len(out) == 17  # largest-remainder fills the budget exactly
+
+
+# --------------------------------------------------------- Drift / chi2
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.operators.metrics import psi_drift
+
+    rows = [(float(v), cur) for v in range(100) for cur in (True, False)]
+    df = spark.createDataFrame(rows, "v double, cur boolean")
+    out = psi_drift(df, "cur", "v", lo=0.0, hi=100.0, n_bins=5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["psi_contrib"] == 0.0
+        assert r["ref_share"] == r["cur_share"] == 0.2
+
+
+def test_psi_detects_shift_and_clamps_overflow(spark):
+    import math
+
+    from python_mozetl_spark.operators.metrics import psi_drift
+
+    rows = [(float(v % 10), False) for v in range(100)] + [
+        (200.0, True) for _ in range(50)  # overflow -> clamps to top bin
+    ]
+    df = spark.createDataFrame(rows, "v double, cur boolean")
+    out = {r["bin"]: r for r in
+           psi_drift(df, "cur", "v", lo=0.0, hi=10.0, n_bins=5).collect()}
+    assert out[4]["cur_share"] == 1.0        # everything clamped to bin 4
+    exp = round((0.2 - 1.0) * math.log(0.2 / 1.0), 6)
+    assert out[4]["psi_contrib"] == exp
+    assert out[0]["psi_contrib"] is None     # empty on the current side
+
+
+def test_chi_squared_matches_hand_computation(spark):
+    from python_mozetl_spark.operators.metrics import chi_squared
+
+    # 2x2 with a known statistic: [[10, 20], [30, 40]]
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20
+        + [("y", "u")] * 30 + [("y", "v")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_squared(df, "a", "b").collect()[0]
+    n = 100
+    exp = 0.0
+    for o, ra, rb in [(10, 30, 40), (20, 30, 60), (30, 70, 40), (40, 70, 60)]:
+        e = ra * rb / n
+        exp += (o - e) ** 2 / e
+    assert r["chi2"] == round(exp, 6)
+    assert r["dof"] == 1 and r["n"] == 100
+
+
+def test_chi_squared_reconstructs_zero_cells(spark):
+    from python_mozetl_spark.operators.metrics import chi_squared
+
+    # (y, v) never observed: the zero cell still contributes E
+    rows = [("x", "u")] * 5 + [("x", "v")] * 5 + [("y", "u")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_squared(df, "a", "b").collect()[0]
+    exp = 0.0
+    for o, ra, rb in [(5, 10, 15), (5, 10, 5), (10, 10, 15), (0, 10, 5)]:
+        e = ra * rb / 20
+        exp += (o - e) ** 2 / e
+    assert r["chi2"] == round(exp, 6)
