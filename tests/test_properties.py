@@ -431,3 +431,69 @@ def test_snapshot_diff_self_is_empty_and_detects_any_edit(sess, base):
     assert len(d) == 1
     assert d[0]["k"] == k0 and d[0]["change"] == "U"
     assert d[0]["changed_cols"] == ["s"]
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(st.text("abc", min_size=1, max_size=6), min_size=1,
+                   max_size=12),
+    merges=st.lists(
+        st.tuples(st.text("abc", min_size=1, max_size=2),
+                  st.text("abc", min_size=1, max_size=2)),
+        max_size=3,
+    ),
+)
+def test_bpe_apply_merge_equals_python_encoder(sess, words, merges):
+    """Property: the distributed fold merge equals the sequential
+    Python encoder for ANY word set and ANY merge sequence
+    (ext/vocab.py:apply_merge vs encode_word)."""
+    from python_mozetl_spark.ext.vocab import (
+        apply_merge,
+        encode_word,
+        initial_symbols,
+    )
+
+    ms = [(a, b, 0) for a, b in merges]
+    df = sess.createDataFrame([(w,) for w in set(words)], "word string")
+    enc = df.select("word", initial_symbols("word").alias("s"))
+    for a, b, _ in ms:
+        enc = enc.select("word", apply_merge(F.col("s"), a, b).alias("s"))
+    for r in enc.collect():
+        assert r["s"] == encode_word(r["word"], ms), (r["word"], ms)
+
+
+@settings(**SETTINGS)
+@given(
+    dim=st.lists(st.integers(0, 500), min_size=1, max_size=40, unique=True),
+    extra=st.lists(st.integers(501, 900), max_size=20, unique=True),
+)
+def test_bloom_semi_join_equals_plain_semi_join(sess, dim, extra):
+    """Property: bloom-pruned + exact-verified semi join is row-equal
+    to the plain semi join for ANY key sets (no false negatives by
+    construction; false positives removed by the verify)."""
+    from python_mozetl_spark.operators.bloom import bloom_semi_join
+
+    dim_df = sess.createDataFrame([(k,) for k in dim], "k bigint")
+    fact = sess.createDataFrame([(k,) for k in dim + extra], "k bigint")
+    got = sorted(r["k"] for r in
+                 bloom_semi_join(fact, "k", dim_df, "k",
+                                 num_bits=1 << 10, num_hashes=3).collect())
+    assert got == sorted(dim)
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+    width=st.integers(2, 8),
+    depth=st.integers(1, 3),
+)
+def test_cm_estimate_upper_bounds_exact(sess, keys, width, depth):
+    """Property: Count-Min never underestimates, for ANY key stream
+    and ANY (width, depth)."""
+    from python_mozetl_spark.ext.sketches import cm_estimate, cm_sketch
+
+    df = sess.createDataFrame([(str(k),) for k in keys], "k string")
+    sk = cm_sketch(df, "k", width=width, depth=depth)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    for r in cm_estimate(sk, exact, "k", width=width, depth=depth).collect():
+        assert r["cm_est"] >= r["exact"]
