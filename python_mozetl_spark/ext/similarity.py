@@ -632,7 +632,7 @@ def kcenter_coreset(
     e = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    )
+    ).localCheckpoint()  # k scans re-read the prepared frame, not the source
 
     def scored_frame(cents: list[tuple[int, int, list[float]]]) -> DataFrame:
         cdf = spark.createDataFrame(
@@ -650,20 +650,33 @@ def kcenter_coreset(
         )
         return e.crossJoin(F.broadcast(cdf)).withColumn("__d2", d2)
 
+    def d2_to(center: list[float]):
+        cv = F.lit(center).cast("array<double>")
+        return F.round(
+            F.aggregate(
+                F.zip_with("__v", cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_dp,
+        )
+
     first = e.orderBy(id_col).limit(1).collect()[0]
     cents = [(1, first[id_col], [float(x) for x in first["__v"]])]
-    for _ in range(1, k):
-        far = (
-            scored_frame(cents)
-            .groupBy(id_col)
-            .agg(F.min("__d2").alias("__dmin"), F.first("__v").alias("__v"))
-            .orderBy(F.desc("__dmin"), id_col)
-            .limit(1)
-            .collect()[0]
-        )
+    # incremental least(prev, new) — the oracle's own formulation; each
+    # iteration is a narrow projection + a TakeOrdered top-1 (no
+    # crossJoin/groupBy shuffle per step)
+    cur = e.withColumn("__dmin", d2_to(cents[0][2]))
+    for i in range(1, k):
+        far = cur.orderBy(F.desc("__dmin"), id_col).limit(1).collect()[0]
         cents.append(
             (len(cents) + 1, far[id_col], [float(x) for x in far["__v"]])
         )
+        cur = cur.withColumn(
+            "__dmin", F.least("__dmin", d2_to(cents[-1][2]))
+        )
+        if i % 3 == 0:
+            cur = cur.localCheckpoint()  # bound the fold-over-fold lineage
     w = Window.partitionBy(id_col).orderBy("__d2", "__ord")
     return (
         scored_frame(cents)
