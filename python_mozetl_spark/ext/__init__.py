@@ -50,6 +50,7 @@ from python_mozetl_spark.ext.similarity import (  # noqa: F401
     quantized_topk,
 )
 from python_mozetl_spark.ext.vocab import (  # noqa: F401
+    bpe_encode,
     bpe_learn,
     pair_counts,
     word_freqs,

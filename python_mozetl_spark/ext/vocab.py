@@ -177,3 +177,57 @@ def encode_word(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge sequence to a corpus — the train→apply
+    half of BPE tokenization: adds ``out_col`` with each document's
+    token sequence.
+
+    Zero shuffles: tokenize and every merge are within-row expression
+    folds, so encoding rides the scan — the embarrassingly-parallel
+    shape corpus tokenization must have at 100 TB.  The merge table is
+    a plan literal (driver-sized, the artifact :func:`bpe_learn`
+    ships).
+
+    The document is folded as ONE flat symbol sequence (chars with a
+    ``</w>`` after each word) rather than a nested per-word fold —
+    Spark cannot bind a lambda HOF inside another lambda, and the flat
+    form is EQUIVALENT for any :func:`bpe_learn` output: a learned
+    merge's left element can never contain ``</w>`` (pairs are counted
+    within words, where ``</w>`` is always final), so no fold ever
+    merges across a word boundary.  pytest pins equality with the
+    sequential :func:`encode_word` per word.
+    """
+    doc_syms = F.flatten(
+        F.transform(
+            tokens(text_col),
+            lambda w: F.concat(_char_syms(w), F.array(F.lit(EOW))),
+        )
+    )
+    staged = df.withColumn(out_col, doc_syms)
+    for a, b, _ in merges:
+        if EOW in a:
+            raise ValueError(
+                f"merge left element {a!r} contains the end-of-word marker "
+                "— not a bpe_learn output; the flat fold would be unsound"
+            )
+        staged = staged.withColumn(out_col, apply_merge(F.col(out_col), a, b))
+    return staged
+
+
+def _char_syms(w: Column) -> Column:
+    """Character array of a string column via a zero-width split —
+    usable inside higher-order lambdas where the ``F.expr`` dynamic
+    ``substring``-over-``sequence`` form cannot reference the lambda
+    variable."""
+    # Java regex: split between every pair of chars.  Spark's split
+    # uses limit=-1 and KEEPS the trailing empty element the zero-width
+    # match at end-of-string produces — remove it (real chars are
+    # never empty).
+    return F.array_remove(F.split(w, "(?!^)"), "")

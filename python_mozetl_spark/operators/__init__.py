@@ -11,6 +11,12 @@ from python_mozetl_spark.operators.merge import (  # noqa: F401
     merge_upsert,
     scd2_history,
     snapshot_diff,
+    state_durations,
+)
+from python_mozetl_spark.operators.metrics import (  # noqa: F401
+    chi_squared,
+    proportion_ci,
+    psi_drift,
 )
 from python_mozetl_spark.operators.expectations import (  # noqa: F401
     AcceptedValues,

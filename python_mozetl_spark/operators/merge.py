@@ -184,3 +184,34 @@ def snapshot_diff(
             changed.alias("changed_cols"),
         )
     )
+
+
+def state_durations(
+    history: DataFrame,
+    key_cols: list[str],
+    state_cols: list[str],
+    horizon,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Time-in-state analytics over SCD2 validity intervals: per
+    (key, state) the total closed duration, interval count, and
+    whether the state currently holds (open interval).
+
+    The :func:`scd2_history` companion — "how long has each customer
+    spent in each status" is the question SCD2 exists to answer.  Open
+    intervals (``valid_to`` NULL) are capped at ``horizon`` (a literal
+    in the same units as the interval bounds: the as-of point of the
+    analysis).  One hash agg over the history frame — which is already
+    change-row-sized, not fact-sized.
+
+    Durations are ``valid_to - valid_from`` in the bound columns'
+    native units (numeric versions, epoch seconds, days — caller's
+    choice at history-build time).
+    """
+    dur = F.coalesce(F.col(valid_to), F.lit(horizon)) - F.col(valid_from)
+    return history.groupBy(*key_cols, *state_cols).agg(
+        F.sum(dur).cast("bigint").alias("total_duration"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.max(F.col(valid_to).isNull()).alias("is_current"),
+    )

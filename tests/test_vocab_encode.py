@@ -455,3 +455,49 @@ def test_chi_squared_reconstructs_zero_cells(spark):
         e = ra * rb / 20
         exp += (o - e) ** 2 / e
     assert r["chi2"] == round(exp, 6)
+
+
+# ------------------------------------------------------ State durations
+
+
+def test_state_durations_caps_open_intervals(spark):
+    from python_mozetl_spark.operators.merge import scd2_history, state_durations
+
+    rows = [
+        # key 1: A on [0,10), B on [10,25), A again on [25, open)
+        (1, 0, "A"), (1, 10, "B"), (1, 25, "A"),
+        # key 2: constant C from 5 (collapse_repeats folds the repeat)
+        (2, 5, "C"), (2, 15, "C"),
+    ]
+    df = spark.createDataFrame(rows, "k int, v int, s string")
+    hist = scd2_history(df, ["k"], "v", ["s"])
+    out = {(r["k"], r["s"]): r for r in
+           state_durations(hist, ["k"], ["s"], horizon=40).collect()}
+    a = out[(1, "A")]
+    assert a["total_duration"] == 10 + (40 - 25)
+    assert a["n_intervals"] == 2 and a["is_current"]
+    b = out[(1, "B")]
+    assert b["total_duration"] == 15 and not b["is_current"]
+    c = out[(2, "C")]
+    assert c["total_duration"] == 35 and c["n_intervals"] == 1
+
+
+def test_bpe_encode_matches_per_word_encoder(spark):
+    from python_mozetl_spark.ext.vocab import bpe_encode, bpe_learn, encode_word
+
+    corpus = [("the then there that aaa aaaa",), ("ab abab b the",)]
+    df = spark.createDataFrame(corpus, "text string")
+    m = bpe_learn(df, n_merges=5)
+    for r in bpe_encode(df, "text", m).collect():
+        exp = [t for w in r["text"].split() for t in encode_word(w, m)]
+        assert r["bpe_tokens"] == exp
+
+
+def test_bpe_encode_rejects_unsound_merge(spark):
+    import pytest
+
+    from python_mozetl_spark.ext.vocab import bpe_encode
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        bpe_encode(df, "text", [("e</w>", "t", 1)])
