@@ -65,6 +65,8 @@ def bloom_build(
     """
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
     pos = df.select(
         F.explode(
             F.array(*_bit_positions(F.col(key_col), num_bits, num_hashes, salt))

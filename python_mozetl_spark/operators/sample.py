@@ -154,7 +154,10 @@ def neyman_stratified_sample(
 
     A constant-valued stratum (sigma=0) gets weight 0 — allocate
     nothing, as Neyman prescribes.  Callers needing a floor can union
-    a minimum take per stratum.
+    a minimum take per stratum.  If a stratum's quota exceeds its row
+    count the take is everything it has (the realized sample can then
+    be smaller than ``total_n`` — Neyman allocation is unaware of
+    stratum sizes by design; pick ``total_n`` ≪ N).
     """
     from pyspark.sql.functions import broadcast
 
