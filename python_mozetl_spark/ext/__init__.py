@@ -1,4 +1,5 @@
 from python_mozetl_spark.ext.dedup import (  # noqa: F401
+    incremental_lsh_pairs,
     bounded_bucket_pairs,
     duplicated_span_coverage,
     cross_corpus_lsh_filter,

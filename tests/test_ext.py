@@ -1138,3 +1138,46 @@ def test_audio_features_permissive_nulls(spark):
     out = {r["media_id"]: r for r in audio_features(df).collect()}
     assert out[1]["sum_abs"] == 10 and out[1]["sample_rate"] == 8000
     assert out[2]["sum_abs"] is None and out[3]["peak"] is None
+
+
+def test_incremental_lsh_equals_full_run(spark):
+    """Incremental near-dup maintenance: (base-run pairs) + (increment
+    pairs touching a new doc) == full-corpus pairs, with the old x old
+    re-pairing provably absent from the increment."""
+    from python_mozetl_spark.ext.dedup import (
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+        minhash_signature_table,
+    )
+
+    base_txt = "the quick brown fox jumps over the lazy dog again and again"
+    rows_old = [
+        (1, base_txt),
+        (2, base_txt + " tail"),                # near-dup of 1 (old x old)
+        (3, "completely different words here about spark plans"),
+    ]
+    rows_new = [
+        (4, base_txt),                          # near-dup of 1 and 2 (new x old)
+        (5, "completely different words here about spark plans ok"),  # ~3
+        (6, base_txt),                          # dup of 1/2/4 (new x new with 4)
+    ]
+    old = spark.createDataFrame(rows_old, "doc_id bigint, text string")
+    new = spark.createDataFrame(rows_new, "doc_id bigint, text string")
+    full = spark.createDataFrame(rows_old + rows_new, "doc_id bigint, text string")
+
+    kw = dict(threshold=0.5, num_hashes=16, bands=8)
+    base_pairs = {(r["id_a"], r["id_b"])
+                  for r in minhash_lsh_pairs(old, "doc_id", "text", **kw).collect()}
+    sigs = minhash_signature_table(old, "doc_id", "text", num_hashes=16)
+    inc_pairs_df, combined = incremental_lsh_pairs(
+        sigs, new, "doc_id", "text", **kw
+    )
+    inc_pairs = {(r["id_a"], r["id_b"]) for r in inc_pairs_df.collect()}
+    full_pairs = {(r["id_a"], r["id_b"])
+                  for r in minhash_lsh_pairs(full, "doc_id", "text", **kw).collect()}
+
+    assert base_pairs | inc_pairs == full_pairs
+    assert all(a >= 4 or b >= 4 for a, b in inc_pairs)  # no old x old
+    assert base_pairs & inc_pairs == set()
+    # the returned signature table serves the NEXT increment
+    assert combined.count() == 6 and "mh_0" in combined.columns
