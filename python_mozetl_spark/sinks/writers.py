@@ -214,3 +214,85 @@ def write_zorder_parquet(
         "__z"
     )
     keyed.drop("__z").write.mode(mode).parquet(path)
+
+
+def plan_compaction(
+    files: list[tuple[str, int]], target_bytes: int
+) -> list[list[str]]:
+    """First-fit-decreasing bin packing of data files into rewrite
+    groups of ~``target_bytes`` — the planning half of small-file
+    compaction.  Driver-side on the FILE LIST (metadata-sized: one
+    entry per file, never data-sized); files already >= target stay
+    alone and need no rewrite.
+    """
+    bins: list[tuple[int, list[str]]] = []
+    for path, size in sorted(files, key=lambda f: (-f[1], f[0])):
+        for i, (used, members) in enumerate(bins):
+            if used + size <= target_bytes:
+                bins[i] = (used + size, members + [path])
+                break
+        else:
+            bins.append((size, [path]))
+    return [members for _, members in bins]
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> list[int]:
+    """Rewrite a directory of small parquet files into ~target-sized
+    files — the table-maintenance pass every long-lived 100 TB table
+    needs (streaming sinks and fine-grained partitioning both
+    accumulate kilobyte files whose per-file open/footer cost
+    eventually dominates scans).
+
+    Each planned group is read as its own file-list scan and written
+    as ONE file (``coalesce(1)`` — correct here BY CONSTRUCTION
+    because a group is at most ``target_bytes``, the executor-sized
+    unit; never use coalesce(1) on unbounded data).  Groups rewrite
+    independently — on a cluster, in parallel via the scheduler; the
+    driver loop only issues the jobs.  Returns per-group file counts.
+    """
+    import glob as _glob
+    import os as _os
+
+    files = [
+        (p, _os.path.getsize(p))
+        for p in sorted(_glob.glob(_os.path.join(src_dir, "*.parquet")))
+    ]
+    if not files:
+        raise ValueError(f"no parquet files under {src_dir}")
+    groups = plan_compaction(files, target_bytes)
+    for i, group in enumerate(groups):
+        (
+            spark.read.parquet(*group)
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(dst_dir)
+        )
+    return [len(g) for g in groups]
+
+
+def write_parquet_with_stats(
+    df: DataFrame,
+    path: str,
+    stat_exprs: dict[str, "Column"],
+    mode: str = "overwrite",
+) -> dict:
+    """Partitioned write + dataset statistics in ONE job via the
+    ``Observation`` API: the stats accumulate on the exact rows the
+    write consumed (no second scan, no write/stat race on a changing
+    source) — the one-pass audit trail a 100 TB pipeline wants after
+    every materialization.
+
+    ``stat_exprs`` maps stat name -> aggregate Column (count/sum/min/
+    max/null-counts...).  Returns the observed dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in stat_exprs.items()])
+    observed.write.mode(mode).parquet(path)
+    return obs.get

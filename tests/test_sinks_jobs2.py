@@ -353,3 +353,58 @@ def test_zorder_write_bounds_every_dimension(spark, tmp_path):
         spark.read.parquet(zdir).orderBy("x", "y").collect()
         == df.orderBy("x", "y").collect()
     )
+
+
+def test_plan_compaction_first_fit_decreasing():
+    from python_mozetl_spark.sinks.writers import plan_compaction
+
+    files = [("a", 60), ("b", 50), ("c", 40), ("d", 30), ("e", 10)]
+    groups = plan_compaction(files, target_bytes=100)
+    sizes = dict(files)
+    for g in groups:
+        assert sum(sizes[p] for p in g) <= 100
+    assert sorted(p for g in groups for p in g) == ["a", "b", "c", "d", "e"]
+    assert len(groups) == 2  # FFD packs 60+40, 50+30+10
+    # an oversized file stays alone
+    assert plan_compaction([("big", 500)], 100) == [["big"]]
+
+
+def test_compact_parquet_roundtrip(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.sinks.writers import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(2000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(src)  # 16 small files
+    n_in = len(glob.glob(src + "/*.parquet"))
+    assert n_in >= 8
+    counts = compact_parquet(spark, src, dst, target_bytes=1 << 20)
+    n_out = len(glob.glob(dst + "/*.parquet"))
+    assert n_out < n_in and n_out == len(counts)
+    back = spark.read.parquet(dst)
+    assert back.count() == 2000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_write_parquet_with_stats_single_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.sinks.writers import write_parquet_with_stats
+
+    df = spark.range(100).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+    )
+    stats = write_parquet_with_stats(
+        df,
+        str(tmp_path / "out"),
+        {
+            "rows": F.count(F.lit(1)),
+            "v_nulls": F.count(F.lit(1)) - F.count("v"),
+            "v_max": F.max("v"),
+        },
+    )
+    assert stats == {"rows": 100, "v_nulls": 10, "v_max": 99}
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 100
