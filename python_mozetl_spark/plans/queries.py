@@ -5920,6 +5920,14 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customers_without_orders, capped_events_per_user.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
+#
+# R06 ROTATION BACKLOG (consolidated) — queries displaced from this
+# round's window (all hold committed driver rows AND are full-check
+# green on the final r5 tree; front them before the r03 list above):
+# asof_click_before_purchase, doc_weighted_sample, orders_upsert_merge,
+# doc_dup_components, doc_exact_dedup, doc_simhash, doc_simhash_pairs,
+# doc_pretrain_corpus, doc_clean_corpus, doc_cross_decontaminate,
+# doc_minhash_estimates, doc_winnow_copy_pairs, embedding_clusters.
 _DRIVER_WINDOW = [
     # (a) added in round 5 (never driver-graded => MUST hold a slot,
     # pinned by tests/test_entry.py).  To make room, six queries WITH
