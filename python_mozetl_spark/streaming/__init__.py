@@ -24,3 +24,6 @@ from python_mozetl_spark.streaming.sketch import (  # noqa: F401
     cm_sketch_stream,
     histogram_quantiles_stream,
 )
+from python_mozetl_spark.streaming.anomaly import (  # noqa: F401
+    zscore_anomalies_stream,
+)
