@@ -60,6 +60,7 @@ from python_mozetl_spark.operators.bloom import (  # noqa: F401
 )
 from python_mozetl_spark.operators.encode import (  # noqa: F401
     frequency_encode,
+    hash_features,
     loo_target_encode,
 )
 from python_mozetl_spark.operators.timeseries import (  # noqa: F401

@@ -501,3 +501,44 @@ def test_bpe_encode_rejects_unsound_merge(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError):
         bpe_encode(df, "text", [("e</w>", "t", 1)])
+
+
+# ------------------------------------------------------ Feature hashing
+
+
+def test_hash_features_deterministic_sparse(spark):
+    import hashlib
+
+    from python_mozetl_spark.operators.encode import hash_features
+
+    df = spark.createDataFrame([("u1", "click"), ("u2", "view")],
+                               "user string, action string")
+    out = {tuple(): None}
+    rows = hash_features(df, ["user", "action"], dim=1000).collect()
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for r in rows:
+        f = r["features"]
+        assert len(f["indices"]) == len(f["values"]) <= 2
+        assert f["indices"] == sorted(f["indices"])
+        for c, v in (("user", r["user"]), ("action", r["action"])):
+            idx = h(f"fh|{c}|{v}") % 1000
+            sign = 1.0 if h(f"fhs|{c}|{v}") % 2 == 0 else -1.0
+            assert idx in f["indices"]
+            if len(f["indices"]) == 2:  # no collision: signs visible
+                assert f["values"][f["indices"].index(idx)] == sign
+    # determinism across invocations
+    again = hash_features(df, ["user", "action"], dim=1000).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_hash_features_sums_collisions(spark):
+    from python_mozetl_spark.operators.encode import hash_features
+
+    # dim=1 forces every feature into index 0: values sum (±1 each)
+    df = spark.createDataFrame([("a", "b", "c")], "x string, y string, z string")
+    f = hash_features(df, ["x", "y", "z"], dim=1).collect()[0]["features"]
+    assert f["indices"] == [0]
+    assert f["values"][0] in (-3.0, -1.0, 1.0, 3.0)
