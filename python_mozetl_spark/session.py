@@ -20,6 +20,13 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # Local-mode driver heap: Spark's 1g default is sized for a driver
+    # that only coordinates, but local[N] puts every executor thread in
+    # the driver JVM — 32 task threads against 1g OOM-killed the sf0.1
+    # full sweep (doc_winnow_copy_pairs; fine at 8g).  Applied only at
+    # JVM launch (a no-op on an existing session) and irrelevant on a
+    # real cluster where executors carry their own memory.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Adaptive execution: coalesce post-shuffle partitions, split skewed
     # ones, convert to broadcast joins at runtime.  This is the main
     # lever that makes one set of configs work from sf0.001 to 100 TB.
