@@ -340,3 +340,20 @@ def pretrain_pipeline(input_path, output_path, date, master, benchmark_path,
 
 if __name__ == "__main__":
     entry_point()
+
+
+@entry_point.command("compact")
+@click.option("--src", "src_dir", required=True)
+@click.option("--dst", "dst_dir", required=True)
+@click.option("--target-bytes", default=128 * 1024 * 1024, type=int,
+              help="rewrite-group size target (default 128 MiB)")
+@click.option("--master", default="local[*]")
+def compact(src_dir, dst_dir, target_bytes, master):
+    """Small-file compaction: rewrite a parquet directory into
+    ~target-sized files (table maintenance for streaming sinks and
+    fine-grained partitions)."""
+    from python_mozetl_spark.sinks.writers import compact_parquet
+
+    spark = get_session(app_name="compact", master=master)
+    counts = compact_parquet(spark, src_dir, dst_dir, target_bytes)
+    click.echo(f"compacted {sum(counts)} files into {len(counts)} groups")
