@@ -542,3 +542,77 @@ def test_hash_features_sums_collisions(spark):
     f = hash_features(df, ["x", "y", "z"], dim=1).collect()[0]["features"]
     assert f["indices"] == [0]
     assert f["values"][0] in (-3.0, -1.0, 1.0, 3.0)
+
+
+# ------------------------------------------------- Edge-case hardening
+
+
+def test_ring_negatives_sparse_ring_wrap_chain(spark):
+    """3 docs across 64 mostly-empty buckets: targets landing in empty
+    buckets must chain to the next non-empty bucket's first node, and
+    targets past the last node must wrap to the global first."""
+    import bisect
+    import hashlib
+
+    from python_mozetl_spark.ext.mixing import ring_negative_samples
+
+    ids = [7, 101, 9001]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {(r["doc_id"], r["j"]): r["neg_id"]
+           for r in ring_negative_samples(df, "doc_id", k=4, buckets=64).collect()}
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ring = sorted((h(f"ring|{i}"), i) for i in ids)
+    exp = {}
+    for i in ids:
+        for j in range(1, 5):
+            t = h(f"neg{j}|{i}")
+            k = bisect.bisect_left(ring, (t,))
+            nid = ring[k][1] if k < len(ring) else ring[0][1]
+            if nid != i:
+                exp[(i, j)] = nid
+    assert got == exp
+
+
+def test_cm_sketch_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.ext.sketches import cm_estimate, cm_sketch
+
+    rows = [("a", 5), ("a", 3), ("b", 10)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    sk = cm_sketch(df, "k", width=256, depth=4, weight_col="w")
+    items = df.groupBy("k").agg(F.sum("w").cast("bigint").alias("exact"))
+    for r in cm_estimate(sk, items, "k", width=256, depth=4).collect():
+        assert r["cm_est"] == r["exact"]  # no collisions at width 256
+
+
+def test_loo_decimal_target_exact(spark):
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.operators.encode import loo_target_encode
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.25), (2, "a", 20.75), (3, "a", 30.00)],
+        "id int, cat string, y double",
+    ).withColumn("yd", F.col("y").cast("decimal(18,2)"))
+    out = {r["id"]: r["loo_enc"]
+           for r in loo_target_encode(df, "cat", "yd", round_to=4).collect()}
+    assert out[1] == round((20.75 + 30.00) / 2, 4)
+    assert out[2] == round((10.25 + 30.00) / 2, 4)
+    assert out[3] == round((10.25 + 20.75) / 2, 4)
+
+
+def test_kcenter_k_exceeds_corpus(spark):
+    """k larger than the point count: selection stops covering every
+    point exactly (each point its own center), distances all zero."""
+    from python_mozetl_spark.ext.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 0.0]), (3, [0.0, 5.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = kcenter_coreset(df, k=6).collect()
+    assert len(out) == 3 and all(r["d2"] == 0.0 for r in out)
