@@ -339,6 +339,10 @@ def decode_audio(content: bytes) -> dict:
     audio_fmt, channels, sample_rate, _, _, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported wav: fmt={audio_fmt} bits={bits}")
+    if channels < 1:
+        # malformed fmt chunk: channels=0 would ZeroDivisionError below,
+        # escaping the PERMISSIVE except-tuple in audio_features
+        raise ValueError(f"invalid wav: channels={channels}")
     n = len(data) // 2
     vals = struct.unpack(f"<{n}h", data[: 2 * n])
     return {

@@ -461,9 +461,13 @@ def cm_estimate(
     adds ``cm_est`` = min over the ``depth`` rows of the addressed
     counter (≥ true count always; equality whp for heavy keys).
 
-    The items side fans out ×depth, joins the width×depth sketch
+    The items side fans out ×depth, LEFT-joins the width×depth sketch
     (broadcast — it is constant-sized), and min-reduces back: the
-    sketch never re-touches the raw corpus.
+    sketch never re-touches the raw corpus.  A sparse sketch stores
+    only touched counters; an absent (d, bucket) row is an implicit 0,
+    so missing counters coalesce to 0 before the min — an unseen key
+    correctly estimates 0 instead of vanishing from the output (or a
+    partial miss inflating the min over only the present counters).
     """
     from pyspark.sql.functions import broadcast
 
@@ -474,7 +478,10 @@ def cm_estimate(
     joined = fanned.join(
         broadcast(sketch),
         (F.col("__d") == F.col("d")) & (F.col("__b") == F.col("bucket")),
+        "left",
     )
     return joined.groupBy(*items.columns).agg(
-        F.min("cnt").cast("bigint").alias("cm_est")
+        F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+        .cast("bigint")
+        .alias("cm_est")
     )

@@ -43,12 +43,18 @@ def loo_target_encode(
     ``cat_col`` (smoothed toward the global mean when
     ``smoothing`` > 0).  Singleton categories yield NULL unsmoothed
     (no other rows to average) and the prior mean when smoothed.
+
+    Row-count preserving: a NULL category is its own group (groupBy
+    keeps NULL keys; the join-back is null-safe), so encoding never
+    drops rows.
     """
     stats = df.groupBy(cat_col).agg(
         F.sum(target_col).alias("__sum"),
         F.count(F.lit(1)).cast("bigint").alias("__n"),
-    )
-    enc = df.join(broadcast(stats), cat_col)
+    ).withColumnRenamed(cat_col, "__cat")
+    enc = df.join(
+        broadcast(stats), F.col(cat_col).eqNullSafe(F.col("__cat"))
+    ).drop("__cat")
     num = F.col("__sum") - F.col(target_col)
     den = (F.col("__n") - 1).cast("double")
     if smoothing > 0.0:
@@ -76,13 +82,16 @@ def frequency_encode(
     round_to: int = 6,
 ) -> DataFrame:
     """Add the category's occurrence count and corpus share — the
-    cheap ordinal-free encoding for high-cardinality categoricals."""
+    cheap ordinal-free encoding for high-cardinality categoricals.
+    Row-count preserving: NULL categories count as their own group
+    (null-safe join-back)."""
     stats = df.groupBy(cat_col).agg(
         F.count(F.lit(1)).cast("bigint").alias(count_col)
-    )
+    ).withColumnRenamed(cat_col, "__cat")
     total = df.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
     return (
-        df.join(broadcast(stats), cat_col)
+        df.join(broadcast(stats), F.col(cat_col).eqNullSafe(F.col("__cat")))
+        .drop("__cat")
         .crossJoin(broadcast(total))
         .withColumn(
             share_col,

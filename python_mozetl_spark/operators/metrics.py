@@ -76,8 +76,13 @@ def psi_drift(
 
     One (split, bin) hash agg over the raw stream; everything after is
     |bins|-row frames with unpartitioned windows.
+
+    NULL ``value_col`` rows are excluded before binning — Spark's
+    ``greatest(0, floor(NULL))`` would otherwise silently route them
+    into bin 0 and distort both sides' shares.
     """
     split = split_col if not isinstance(split_col, str) else F.col(split_col)
+    df = df.where(F.col(value_col).isNotNull())
     width = (hi - lo) / n_bins
     bin_idx = F.least(
         F.lit(n_bins - 1),

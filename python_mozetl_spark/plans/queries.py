@@ -4795,7 +4795,9 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(apply a feed vs recover one; the pair round-trips, pytest). "
     "Changes synthesized deterministically (%193 deleted, %97 price "
     "bumped, %89 restatused, %997 inserted) so the oracle mirrors "
-    "them exactly; changed column names in declared order.",
+    "them exactly; changed column names in declared order, serialized "
+    "to a comma-joined string (the driver's canonicalizer sorts raw "
+    "pandas cells, so graded outputs must be scalar-typed).",
     ("J3", "merge", "cdc"),
     oracle="""
 WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
@@ -4818,12 +4820,12 @@ j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
     CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
               AND (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
                    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice)
-      THEN list_filter([
+      THEN array_to_string(list_filter([
         CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
              THEN 'o_orderstatus' END,
         CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
-             THEN 'o_totalprice' END], x -> x IS NOT NULL)
-      ELSE [] END AS changed_cols
+             THEN 'o_totalprice' END], x -> x IS NOT NULL), ',')
+      ELSE '' END AS changed_cols
   FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
 SELECT o_orderkey, change, changed_cols FROM j WHERE change IS NOT NULL
 """,
@@ -4850,11 +4852,15 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("O").alias("o_orderstatus"),
         F.lit(100.0).alias("o_totalprice"),
     )
-    return snapshot_diff(
+    diff = snapshot_diff(
         o,
         new.unionByName(inserts),
         ["o_orderkey"],
         ["o_orderstatus", "o_totalprice"],
+    )
+    # graded outputs must be scalar-typed: serialize the array column
+    return diff.withColumn(
+        "changed_cols", F.array_join("changed_cols", ",")
     )
 
 
@@ -5100,7 +5106,11 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prototypes, IVF coarse quantizers (ext/similarity.py:ivf_assign "
     "builds exactly this), and mean-pooled document embeddings.  "
     "Corpus crosses one (label, dim) agg exchange; the reassembly "
-    "windowless collect_list runs on the |labels|x|dims| frame.",
+    "windowless collect_list runs on the |labels|x|dims| frame.  The "
+    "centroid is serialized dim-ordered as comma-joined micro-units "
+    "(round(m*1e6) as int) — graded outputs must be scalar-typed for "
+    "the driver's canonicalizer, and integer micro-units sidestep "
+    "engine float-formatting divergence.",
     ("F5", "A1", "ext-sim"),
     oracle="""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5108,7 +5118,8 @@ d AS (SELECT label, i, round(avg(v[i]), 6) AS m, COUNT(*) AS n
       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s
       GROUP BY label, i)
 SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-  list(m ORDER BY i) AS centroid
+  array_to_string(list(CAST(round(m * 1000000) AS BIGINT) ORDER BY i), ',')
+    AS centroid
 FROM d GROUP BY label
 """,
 )
@@ -5125,8 +5136,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_dim.groupBy("label").agg(
         F.max("n").cast("long").alias("n_vecs"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("i", "m"))), lambda s: s.m
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "m"))),
+                lambda s: F.round(s.m * 1_000_000).cast("long").cast("string"),
+            ),
         ).alias("centroid"),
     )
 

@@ -258,6 +258,13 @@ def compact_parquet(
     import glob as _glob
     import os as _os
 
+    if _os.path.realpath(dst_dir) == _os.path.realpath(src_dir):
+        # the first group writes mode("overwrite"): compacting in place
+        # would delete source files before later groups are read
+        raise ValueError(
+            "compact_parquet: dst_dir must be a fresh directory, not "
+            f"src_dir itself ({src_dir!r})"
+        )
     files = [
         (p, _os.path.getsize(p))
         for p in sorted(_glob.glob(_os.path.join(src_dir, "*.parquet")))

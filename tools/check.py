@@ -56,8 +56,36 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def nonscalar_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/array/dict cells.  The DRIVER's canonicalizer
+    sorts RAW pandas cells (``sort_values`` over object columns) and dies
+    with ``TypeError: unhashable type`` on any such cell — round 5 shipped
+    two queries that passed here but err'd in the driver because this
+    mirror stringified before sorting.  Mirror the driver: any complex-
+    typed output column is a FAIL."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            for v in col.head(100):
+                if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+                    bad.append(c)
+                    break
+    return bad
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
+    bad = nonscalar_cols(spark_df) + [
+        c for c in nonscalar_cols(duck_df) if c not in nonscalar_cols(spark_df)
+    ]
+    if bad:
+        problems.append(
+            f"non-scalar output columns {sorted(set(bad))}: the driver's "
+            "canonicalizer cannot sort list/array cells — serialize them "
+            "(array_join / fixed-precision ints) in the graded query"
+        )
+        return problems
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         problems.append(
             f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
