@@ -4,13 +4,21 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed four times: a warm-up (JIT/codegen/page-cache)
-and THREE timed runs, reporting the per-query MEDIAN — single runs at
-sf0.1 carry 30%+ scheduler jitter (doc_minhash_pairs drifted 2.07→2.77 s
-between identical runs in round 1), so medians are what make
-round-over-round comparison signal.  The timed action is a full
-materialization (``df.write.format("noop")``) so the measured cost is
-the whole plan, not a partial collect.
+Variance engineering (rounds 1-5 showed the per-invocation total
+drifting 9.4-15.9 s on an identical tree, with the drift landing on
+whichever query ran first or inherited a GC debt):
+
+- GLOBAL warm pass first: every headline query runs once before ANY
+  timing, so JVM/JIT/codegen ramp and page-cache fill are paid outside
+  the timed window instead of by the first query's runs.
+- Forced full GC before each query's timed runs: heap debt accrued by
+  query N was previously being attributed to query N+1 (a stop-the-
+  world collection landing mid-run inflated that query 2x).
+- MEDIAN OF 5 timed runs per query (was 3): at sf0.1 a single run
+  carries 30%+ scheduler jitter; the wider sample tightens the median.
+
+The timed action is a full materialization (``df.write.format("noop")``)
+so the measured cost is the whole plan, not a partial collect.
 """
 
 from __future__ import annotations
@@ -32,17 +40,23 @@ def run() -> None:
     spark = get_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def materialize(name: str) -> None:
+        REGISTRY[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     names = [name for name, q in REGISTRY.items() if q.bench]
+    for name in names:  # global warm pass — see module docstring
+        materialize(name)
     timings: dict[str, float] = {}
     for name in names:
-        q = REGISTRY[name]
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        spark._jvm.System.gc()  # don't bill query N for query N-1's heap debt
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
-            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            materialize(name)
             runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[1], 3)  # median of 3
+        timings[name] = round(sorted(runs)[2], 3)  # median of 5
 
     total = round(sum(timings.values()), 3)
     print(

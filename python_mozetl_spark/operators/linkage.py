@@ -50,13 +50,34 @@ def blocked_link_pairs(
         block.alias("__block"),
         F.struct(F.col(id_col), F.col(compare_col)).alias("__p"),
     )
-    pairs = bounded_bucket_pairs(
-        banded, "__block", "__p", key_field=id_col, max_bucket=max_block
+    shuffle_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    dist = F.levenshtein(F.col(f"a.{compare_col}"), F.col(f"b.{compare_col}"))
+    pairs = bounded_bucket_pairs(
+        banded,
+        "__block",
+        "__p",
+        key_field=id_col,
+        max_bucket=max_block,
+        # linkage blocks are FEW and LARGE (the opposite of LSH
+        # buckets): spread the bucket arrays round-robin so the pair
+        # enumeration parallelizes instead of AQE-coalescing to 1 task
+        spread_pairs=shuffle_parts,
+    )
+    ca, cb = F.col(f"a.{compare_col}"), F.col(f"b.{compare_col}")
+    # standard Fellegi-Sunter pre-verify prunes, cheapest first:
+    # (1) |len(a)-len(b)| > d implies dist > d — a row-local integer
+    #     compare that kills most candidates before any matrix work;
+    # (2) banded levenshtein (threshold arg): O(d*n) cells instead of
+    #     O(n^2), returning -1 past the threshold — same value as the
+    #     unbanded form whenever dist <= d, so oracle-exactness holds.
+    pruned = pairs.where(
+        F.abs(F.length(ca) - F.length(cb)) <= max_dist
+    )
+    dist = F.levenshtein(ca, cb, max_dist)
     return (
-        pairs.withColumn("dist", dist)
-        .where(F.col("dist") <= max_dist)
+        pruned.withColumn("dist", dist)
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
