@@ -6096,6 +6096,180 @@ def orders_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SINK_AGG_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared small rollup the K4/K5 sink round-trips export and
+    re-read: per-priority order counts + exact integer cents."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "csv_export_roundtrip",
+    "K4 graded by read-back: the row-guarded driver CSV export "
+    "(reference: mozetl/utils.py:46-66 collects and warns; here the "
+    "guard is enforced) writes the per-priority rollup to scratch, a "
+    "schema-ful CSV scan reads it back, and the result can only "
+    "hash-match the oracle on the ORIGINAL table if the export was "
+    "lossless — closing the last pytest-only batch sink that can be "
+    "oracle-graded.  Integer cents, so the text round-trip is exact.",
+    ("K4", "S4"),
+    oracle=_SINK_AGG_ORACLE,
+)
+def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from python_mozetl_spark.sinks import write_csv_export
+
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"python_mozetl_spark_csv_export_{_os.getpid()}_"
+        f"{_os.path.basename(sf_dir.rstrip('/'))}.csv",
+    )
+    write_csv_export(_sink_agg(spark, sf_dir), path, max_rows=10_000)
+    return read_table(
+        spark,
+        path,
+        format="csv",
+        schema="o_orderpriority string, n_orders bigint, sum_cents bigint",
+        options={"header": "true"},
+    )
+
+
+@query(
+    "json_artifact_roundtrip",
+    "K5 + S7 graded together: the per-priority rollup collects to a "
+    "driver artifact, write_json_artifact persists it current + "
+    "datestamped (reference: taar/taar_utils.py:61-87), and "
+    "side_input_from_json (the S7 adapter: driver-side fetch of a "
+    "small JSON document — here the DATESTAMPED copy, proving both "
+    "files landed) loads it back as a DataFrame.  Hash-matches the "
+    "oracle only if artifact write, datestamp copy, and side-input "
+    "load are all lossless.",
+    ("K5", "S7", "S8"),
+    oracle=_SINK_AGG_ORACLE,
+)
+def json_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from python_mozetl_spark.sinks import write_json_artifact
+    from python_mozetl_spark.sources import side_input_from_json
+
+    rows = sorted(
+        _sink_agg(spark, sf_dir).collect(),
+        key=lambda r: r["o_orderpriority"],
+    )
+    artifact = [
+        {
+            "o_orderpriority": r["o_orderpriority"],
+            "n_orders": r["n_orders"],
+            "sum_cents": r["sum_cents"],
+        }
+        for r in rows
+    ]
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"python_mozetl_spark_artifact_{_os.getpid()}_"
+        f"{_os.path.basename(sf_dir.rstrip('/'))}.json",
+    )
+    write_json_artifact(artifact, path, datestamp="19980801")
+    root, ext = _os.path.splitext(path)
+    return side_input_from_json(
+        f"{root}.19980801{ext}",
+        spark,
+        schema="o_orderpriority string, n_orders bigint, sum_cents bigint",
+    )
+
+
+@query(
+    "foreach_sink_roundtrip",
+    "K6 graded by read-back: events flow through the foreachPartition "
+    "external-store sink (reference: taar_dynamo.py:178-296 batch "
+    "upserts; here the executor-side writer lands idempotent "
+    "NDJSON batch files keyed by content hash — the keyed-upsert "
+    "stand-in), a schema-ful JSON scan reads the store back, and the "
+    "rollup hash-matches the oracle only if every batch from every "
+    "partition arrived exactly once.",
+    ("K6", "S5"),
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM events GROUP BY event_type
+""",
+)
+def foreach_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from python_mozetl_spark.sinks import foreach_partition_sink
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"python_mozetl_spark_foreach_sink_{_os.getpid()}_"
+        f"{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    _os.makedirs(path, exist_ok=True)
+
+    def writer_factory():
+        import hashlib
+        import json as _json
+
+        def write(batch):
+            recs = sorted(
+                (
+                    {
+                        "event_id": r["event_id"],
+                        "event_type": r["event_type"],
+                        "cents": r["cents"],
+                    }
+                    for r in batch
+                ),
+                key=lambda d: d["event_id"],
+            )
+            body = "\n".join(_json.dumps(d, sort_keys=True) for d in recs)
+            # content-addressed batch file: task retries overwrite the
+            # same bytes — the idempotency the sink contract requires
+            name = hashlib.md5(body.encode()).hexdigest()
+            with open(f"{path}/{name}.json", "w", encoding="utf-8") as fh:
+                fh.write(body)
+
+        return write
+
+    foreach_partition_sink(e, writer_factory, batch_size=500)
+    back = read_table(
+        spark,
+        path,
+        format="json",
+        schema="event_id bigint, event_type string, cents bigint",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -6120,7 +6294,8 @@ def orders_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event_type_pivot, doc_token_stats, dp_lang_source_counts,
 # doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup,
 # customers_without_orders, capped_events_per_user, priority_join_agg
-# (benched every round, r01 row).
+# (benched every round, r01 row), running_revenue,
+# region_nation_rollup, props_json_stats.
 # Also R07: re-grades displaced this round with r05 rows —
 # bpe_merge_candidates, bm25_search_docs, doc_negative_samples,
 # priority_conversion_ci, embedding_kcenter_coreset,
@@ -6149,6 +6324,9 @@ _DRIVER_WINDOW = [
     "schema_drift_rollup",
     "priority_week_over_week",
     "orders_bernoulli_sample",
+    "csv_export_roundtrip",
+    "json_artifact_roundtrip",
+    "foreach_sink_roundtrip",
     # (b) output schema changed round 6 (r05 err rows: array columns
     # serialized to scalars for the driver canonicalizer) — MUST
     # re-grade to land their first green driver row
@@ -6202,10 +6380,7 @@ _DRIVER_WINDOW = [
     "sliding_event_rollup",
     "sessionized_events",
     "segment_active_customers",
-    "running_revenue",
     "regional_revenue",
-    "region_nation_rollup",
-    "props_json_stats",
 ]
 
 

@@ -1,5 +1,10 @@
 from python_mozetl_spark.sinks.writers import (  # noqa: F401
+    compact_parquet,
+    foreach_partition_sink,
+    write_bucketed_table,
+    write_csv_export,
     write_json_artifact,
+    write_parquet_with_stats,
     write_partitioned_json,
     write_partitioned_parquet,
     write_zorder_parquet,

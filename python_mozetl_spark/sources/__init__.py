@@ -4,3 +4,6 @@ from python_mozetl_spark.sources.parquet import (  # noqa: F401
     read_partitioned,
     read_table,
 )
+from python_mozetl_spark.sources.side_input import (  # noqa: F401
+    side_input_from_json,
+)

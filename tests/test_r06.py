@@ -57,6 +57,21 @@ def test_snapshot_change_flags_absent_dimension_alerts(spark):
     assert out["c"]["n_prev"] == 0 and out["c"]["n_cur"] == 5
 
 
+def test_side_input_from_json_path_and_frame(spark, tmp_path):
+    """S7 adapter: driver-side JSON side input as object or DataFrame."""
+    import json
+
+    from python_mozetl_spark.sources import side_input_from_json
+
+    p = tmp_path / "whitelist.json"
+    p.write_text(json.dumps([{"addon_id": "a", "rank": 1},
+                             {"addon_id": "b", "rank": 2}]))
+    obj = side_input_from_json(str(p))
+    assert [d["addon_id"] for d in obj] == ["a", "b"]
+    df = side_input_from_json(str(p), spark, schema="addon_id string, rank bigint")
+    assert df.count() == 2 and df.columns == ["addon_id", "rank"]
+
+
 def test_snapshot_change_flags_vanished_dimension_alerts(spark):
     from python_mozetl_spark.operators.metrics import snapshot_change_flags
 
