@@ -54,6 +54,9 @@ def hash_bernoulli_sample(
     collapses to a row-local filter: no shuffle, no state, pushes past
     column pruning.  Complementary fractions nest: the 1% sample is a
     subset of the 10% sample — the property A/B holdouts need.
+
+    Rows with a NULL key are excluded (NULL has no stable identity to
+    sample on); coalesce to a sentinel first if they must participate.
     """
     k = F.col(key) if isinstance(key, str) else key
     bucket = F.conv(

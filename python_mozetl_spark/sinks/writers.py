@@ -258,12 +258,15 @@ def compact_parquet(
     import glob as _glob
     import os as _os
 
-    if _os.path.realpath(dst_dir) == _os.path.realpath(src_dir):
-        # the first group writes mode("overwrite"): compacting in place
-        # would delete source files before later groups are read
+    src_real = _os.path.realpath(src_dir)
+    dst_real = _os.path.realpath(dst_dir)
+    # the first group writes mode("overwrite"): compacting in place (or
+    # into an ancestor, whose overwrite deletes src) would destroy
+    # source files before later groups are read
+    if src_real == dst_real or src_real.startswith(dst_real + _os.sep):
         raise ValueError(
-            "compact_parquet: dst_dir must be a fresh directory, not "
-            f"src_dir itself ({src_dir!r})"
+            "compact_parquet: dst_dir must be a fresh directory outside "
+            f"src_dir's lineage (src={src_dir!r}, dst={dst_dir!r})"
         )
     files = [
         (p, _os.path.getsize(p))
