@@ -136,9 +136,12 @@ def snapshot_change_flags(
     Both snapshots are counted in ONE conditional aggregation over the
     combined frame (no snapshot self-join, one hash-agg exchange);
     ``pct_change`` is NULL and ``alert`` true for dimensions absent
-    from the previous snapshot.  Only the alert DELIVERY (SES email,
-    K7) stays out-of-engine.
+    from the previous snapshot.  Rows matching NEITHER predicate are
+    excluded up front, so a dimension present only in other periods
+    cannot surface as a spurious (0, 0, alert) row.  Only the alert
+    DELIVERY (SES email, K7) stays out-of-engine.
     """
+    df = df.where(prev_pred | cur_pred)
     agg = df.groupBy(*key_cols).agg(
         F.count(F.when(prev_pred, 1)).cast("bigint").alias("n_prev"),
         F.count(F.when(cur_pred, 1)).cast("bigint").alias("n_cur"),

@@ -64,7 +64,9 @@ def hash_bernoulli_sample(
         16,
         10,
     ).cast("bigint") % 1_000_000
-    return df.where(bucket < int(fraction * 1_000_000))
+    # round, not int(): float error makes e.g. 0.3*1e6 = 299999.99...,
+    # and truncation would break the documented exact-threshold contract
+    return df.where(bucket < round(fraction * 1_000_000))
 
 
 def capped_random_per_key(

@@ -6288,8 +6288,8 @@ def foreach_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round — their old rows no longer describe current code, including
 # the two r05 err rows being re-graded after the array-serialization
 # fix — then (c) the consolidated backlog (r05 displacements, then the
-# stalest r03-graded set).  27 of the 39 r03-graded queries fit this
-# window; the remaining 12 roll to R07:
+# stalest r03-graded set).  23 of the 39 r03-graded queries fit this
+# window; the remaining 16 roll to R07:
 # multimodal_features, latest_event_per_user, filtered_scan,
 # event_type_pivot, doc_token_stats, dp_lang_source_counts,
 # doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup,
@@ -6357,7 +6357,7 @@ _DRIVER_WINDOW = [
     "doc_cross_decontaminate",
     "doc_minhash_estimates",
     "doc_winnow_copy_pairs",
-    # (c) the stalest grades: the r03-graded set, first 26 of 39
+    # (c) the stalest grades: the r03-graded set, first 23 of 39
     "brand_collapse",
     "segment_share",
     "union_high_value",

@@ -261,12 +261,17 @@ def compact_parquet(
     src_real = _os.path.realpath(src_dir)
     dst_real = _os.path.realpath(dst_dir)
     # the first group writes mode("overwrite"): compacting in place (or
-    # into an ancestor, whose overwrite deletes src) would destroy
-    # source files before later groups are read
-    if src_real == dst_real or src_real.startswith(dst_real + _os.sep):
+    # into an ancestor, whose overwrite deletes src) destroys source
+    # files before later groups are read; dst NESTED INSIDE src is also
+    # wrong — a later recursive read of src would see every row twice
+    if (
+        src_real == dst_real
+        or src_real.startswith(dst_real + _os.sep)
+        or dst_real.startswith(src_real + _os.sep)
+    ):
         raise ValueError(
-            "compact_parquet: dst_dir must be a fresh directory outside "
-            f"src_dir's lineage (src={src_dir!r}, dst={dst_dir!r})"
+            "compact_parquet: dst_dir must be a fresh directory disjoint "
+            f"from src_dir (src={src_dir!r}, dst={dst_dir!r})"
         )
     files = [
         (p, _os.path.getsize(p))

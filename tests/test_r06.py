@@ -3,6 +3,8 @@ the snapshot change detector, and the new graded round-trips."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -83,3 +85,46 @@ def test_snapshot_change_flags_vanished_dimension_alerts(spark):
     ).collect()[0]
     assert row["n_cur"] == 0 and row["pct_change"] == -1.0
     assert row["alert"] is True
+
+
+def test_snapshot_change_flags_ignores_other_periods(spark):
+    """A dimension present only OUTSIDE both snapshots must not emit a
+    spurious (0, 0, alert) row — the operator filters internally."""
+    from python_mozetl_spark.operators.metrics import snapshot_change_flags
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("elsewhere", 7)], "dim string, week int"
+    )
+    rows = snapshot_change_flags(
+        df, ["dim"], F.col("week") == 1, F.col("week") == 2
+    ).collect()
+    assert {r["dim"] for r in rows} == {"a"}
+
+
+def test_hash_bernoulli_threshold_not_truncated(spark):
+    """round(), not int(): 0.3*1e6 is 299999.99... in floats, and
+    truncation would exclude bucket 299999 in violation of the
+    documented exact predicate."""
+    from python_mozetl_spark.operators.sample import hash_bernoulli_sample
+
+    base = spark.range(0, 20000).withColumnRenamed("id", "k")
+    ours = {r["k"] for r in hash_bernoulli_sample(base, "k", 0.3, salt="t").collect()}
+    import hashlib
+
+    exact = {
+        k for k in range(20000)
+        if int(hashlib.md5(f"t|{k}".encode()).hexdigest()[:15], 16) % 1_000_000
+        < 300_000
+    }
+    assert ours == exact
+
+
+def test_compact_parquet_refuses_nested_paths(spark, tmp_path):
+    from python_mozetl_spark.sinks.writers import compact_parquet
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="disjoint"):
+        compact_parquet(spark, src, src + "/compacted")  # dst inside src
+    with pytest.raises(ValueError, match="disjoint"):
+        compact_parquet(spark, src, str(tmp_path))  # dst is src's parent

@@ -67,7 +67,9 @@ def nonscalar_cols(df: pd.DataFrame) -> list[str]:
     for c in df.columns:
         col = df[c]
         if col.dtype == object:
-            for v in col.head(100):
+            # scan EVERY cell: a column NULL for its first rows but
+            # list-typed further down would still crash the driver
+            for v in col:
                 if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
                     bad.append(c)
                     break
@@ -76,12 +78,10 @@ def nonscalar_cols(df: pd.DataFrame) -> list[str]:
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
-    bad = nonscalar_cols(spark_df) + [
-        c for c in nonscalar_cols(duck_df) if c not in nonscalar_cols(spark_df)
-    ]
+    bad = sorted(set(nonscalar_cols(spark_df)) | set(nonscalar_cols(duck_df)))
     if bad:
         problems.append(
-            f"non-scalar output columns {sorted(set(bad))}: the driver's "
+            f"non-scalar output columns {bad}: the driver's "
             "canonicalizer cannot sort list/array cells — serialize them "
             "(array_join / fixed-precision ints) in the graded query"
         )
