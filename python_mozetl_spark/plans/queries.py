@@ -2053,11 +2053,20 @@ def doc_winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+    # fingerprint buckets are EXTREMELY skewed (boilerplate 8-grams
+    # shared by thousands of docs -> ~95M pair enumerations at sf0.1
+    # from 554k fp rows): chunk the giants at 500 members and spread
+    # both bucket arrays and grid cells wide — the enumeration is
+    # compute-bound, so schedulable ≤max_bucket² units beat
+    # AQE's byte-based coalescing (40 s -> 11 s measured)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     shared = bounded_bucket_pairs(
         fps.select(F.col("fp").alias("bucket"), F.struct("doc_id").alias("__p")),
         "bucket",
         "__p",
         "doc_id",
+        max_bucket=500,
+        spread_pairs=shuffle_parts * 8,
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     return (
         shared.groupBy("id_a", "id_b")
