@@ -688,3 +688,92 @@ def kcenter_coreset(
             F.col("__d2").alias("d2"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.4,
+    round_dp: int = 4,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedded corpus — cluster the embeddings, form
+    candidate pairs ONLY within a cluster, and drop every vector that
+    has an epsilon-similar (rounded cosine >= ``threshold``) LOWER-ID
+    neighbor in its cluster, keeping one representative per duplicate
+    neighborhood.  The modern training-data curation step between
+    lexical dedup (MinHash) and quality filtering: it removes
+    paraphrase- and template-level redundancy no n-gram method sees.
+
+    Deterministic end-to-end, so the full per-vector decision is
+    oracle-checkable: clustering is :func:`lloyd_clusters` (fixed
+    init, rounded distances — assignments hash-match an unrolled-SQL
+    mirror), the pair stage is cluster-bucketed through
+    ``bounded_bucket_pairs`` (clusters are FEW and LARGE — the
+    record-linkage regime — so bucket arrays and chunk-grid cells are
+    spread round-robin; degenerate clusters chunk at ``max_cluster``),
+    and cosine is an exact-double JVM fold rounded to ``round_dp``
+    before the threshold compare (same discipline as
+    ``embedding_near_dup_pairs``).
+
+    At 100 TB scale ``k`` grows with the corpus (SemDeDup uses ~100k
+    clusters for web-scale data) so |cluster| — and with it the
+    within-cluster pair fanout — stays bounded; the clustering cost
+    itself is one mean-agg exchange per iteration.
+
+    Returns (id, cluster, kept): every input vector exactly once.
+    """
+    from python_mozetl_spark.ext.dedup import bounded_bucket_pairs
+
+    assign = lloyd_clusters(df, id_col, vec_col, k=k, iters=iters)
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    banded = assign.join(vecs, id_col).select(
+        F.col("cluster").alias("__bucket"),
+        F.struct(F.col(id_col), F.col("__v")).alias("__p"),
+    )
+    shuffle_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pairs = bounded_bucket_pairs(
+        banded,
+        "__bucket",
+        "__p",
+        key_field=id_col,
+        max_bucket=max_cluster,
+        spread_pairs=shuffle_parts,
+    )
+    va, vb = F.col("a.__v"), F.col("b.__v")
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = F.round(
+        _dot(va, vb) / F.sqrt(_dot(va, va) * _dot(vb, vb)), round_dp
+    )
+    dup_ids = (
+        pairs.withColumn("__cos", cos)
+        .where(F.col("__cos") >= threshold)
+        # a.id < b.id by construction: b is the duplicate, a survives
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assign.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )

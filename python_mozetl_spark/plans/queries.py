@@ -4540,11 +4540,16 @@ def part_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_oracle(k: int = 4, iters: int = 2) -> str:
+def _lloyd_oracle(k: int = 4, iters: int = 2, tail: str | None = None) -> str:
     """SQL that unrolls the deterministic Lloyd's spec (same init, same
     6dp-rounded distances and centroids, same tie-break) — proving the
     clustering itself, not just summary counts, is reproducible
-    cross-engine.  Mirrors ext/similarity.py:lloyd_clusters."""
+    cross-engine.  Mirrors ext/similarity.py:lloyd_clusters.
+
+    ``tail`` replaces the default final SELECT — callers composing on
+    top of the assignments (semantic dedup) append their own CTEs that
+    read ``fin`` (vec_id, cid, d2, rn; rn = 1 is the assignment) and
+    ``e`` (vec_id, v DOUBLE[])."""
     d2 = (
         "round(list_sum(list_transform(list_zip(e.v, c.v), "
         "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
@@ -4572,8 +4577,13 @@ c{it} AS (SELECT p.cid, coalesce(m{it}.v, p.v) AS v
     parts.append(f"""fin AS (SELECT vec_id, cid, d2,
     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
   FROM (SELECT e.vec_id, c.cid, {d2} AS d2
-        FROM e CROSS JOIN {prev} c) q)
-SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 FROM fin WHERE rn = 1""")
+        FROM e CROSS JOIN {prev} c) q)""")
+    parts.append(
+        tail
+        if tail is not None
+        else "SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 "
+        "FROM fin WHERE rn = 1"
+    )
     return "\n".join(parts)
 
 
@@ -4593,6 +4603,44 @@ def embedding_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     return lloyd_clusters(e, "vec_id", "embedding", k=4, iters=2)
+
+
+_SEMDEDUP_TAIL = """,
+asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM fin WHERE rn = 1),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4),
+d AS (SELECT DISTINCT id_b AS vec_id FROM p)
+SELECT asg.vec_id, asg.cluster, (d.vec_id IS NULL) AS kept
+FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
+"""
+
+
+@query(
+    "embedding_semantic_dedup",
+    "SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic "
+    "deduplication of the embedded corpus (ext/similarity.py:"
+    "semantic_dedup): deterministic Lloyd clustering, candidate pairs "
+    "ONLY within a cluster (cluster-bucketed through the shared "
+    "bounded_bucket_pairs guard rail, spread for the few-large-"
+    "clusters regime), rounded-cosine >= 0.4 epsilon-neighbor test, "
+    "drop every vector with a lower-id neighbor.  The paraphrase/"
+    "template redundancy remover no n-gram dedup sees; the FULL "
+    "per-vector keep/drop decision is oracle-graded, composed on the "
+    "unrolled Lloyd SQL.  At scale k grows with the corpus (SemDeDup "
+    "uses ~100k clusters web-scale) so the pair fanout stays bounded.",
+    ("ext-dedup", "ext-sim", "F7"),
+    oracle=_lloyd_oracle(k=4, iters=2, tail=_SEMDEDUP_TAIL),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", k=4, iters=2, threshold=0.4
+    )
 
 
 @query(
@@ -6297,8 +6345,9 @@ def foreach_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round — their old rows no longer describe current code, including
 # the two r05 err rows being re-graded after the array-serialization
 # fix — then (c) the consolidated backlog (r05 displacements, then the
-# stalest r03-graded set).  23 of the 39 r03-graded queries fit this
-# window; the remaining 16 roll to R07:
+# stalest r03-graded set).  22 of the 39 r03-graded queries fit this
+# window; the remaining 17 roll to R07 (incl. segment_active_customers,
+# displaced by the late embedding_semantic_dedup addition):
 # multimodal_features, latest_event_per_user, filtered_scan,
 # event_type_pivot, doc_token_stats, dp_lang_source_counts,
 # doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup,
@@ -6336,6 +6385,7 @@ _DRIVER_WINDOW = [
     "csv_export_roundtrip",
     "json_artifact_roundtrip",
     "foreach_sink_roundtrip",
+    "embedding_semantic_dedup",
     # (b) output schema changed round 6 (r05 err rows: array columns
     # serialized to scalars for the driver canonicalizer) — MUST
     # re-grade to land their first green driver row
@@ -6388,7 +6438,6 @@ _DRIVER_WINDOW = [
     "sql_surface_lateral",
     "sliding_event_rollup",
     "sessionized_events",
-    "segment_active_customers",
     "regional_revenue",
 ]
 

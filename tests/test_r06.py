@@ -119,6 +119,30 @@ def test_hash_bernoulli_threshold_not_truncated(spark):
     assert ours == exact
 
 
+def test_semantic_dedup_keeps_one_representative(spark):
+    """SemDeDup semantics: a planted duplicate neighborhood keeps its
+    lowest-id member; dissimilar vectors all survive; every input row
+    comes back exactly once."""
+    from python_mozetl_spark.ext.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~dup of 1
+        (3, [0.998, -0.01, 0.0]),  # ~dup of 1
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+        (6, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", k=2, iters=2, threshold=0.95
+    ).collect()
+    assert len(out) == 6  # row-preserving
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert {4, 5, 6} <= kept
+
+
 def test_compact_parquet_refuses_nested_paths(spark, tmp_path):
     from python_mozetl_spark.sinks.writers import compact_parquet
 
