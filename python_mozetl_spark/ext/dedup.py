@@ -127,6 +127,28 @@ def _jaccard(a: Column, b: Column) -> Column:
     return inter.cast("double") / union
 
 
+def _verify_jaccard_pairs(
+    cand: DataFrame, grams: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared exact-verify tail of every candidate-pair scheme (LSH,
+    prefix-filter, incremental): join the gram arrays back onto the
+    id-only candidate pairs — the arrays never ride the candidate
+    shuffle — then keep pairs with exact Jaccard ≥ ``threshold``,
+    rounded to 6dp for the cross-engine output contract."""
+    pairs = cand.join(
+        grams.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        grams.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
+        "id_b",
+    )
+    return (
+        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -398,18 +420,7 @@ def _prefix_filter_verify_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = cand.join(
-        grams.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
-        "id_a",
-    ).join(
-        grams.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
-        "id_b",
-    )
-    return (
-        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verify_jaccard_pairs(cand, grams, id_col, threshold)
 
 
 def bounded_bucket_pairs(
@@ -574,18 +585,7 @@ def _lsh_verify_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = cand.join(
-        shingles.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
-        "id_a",
-    ).join(
-        shingles.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
-        "id_b",
-    )
-    return (
-        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verify_jaccard_pairs(cand, shingles, id_col, threshold)
 
 
 def cross_corpus_lsh_filter(
@@ -966,16 +966,5 @@ def incremental_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = cand.join(
-        shingles.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
-        "id_a",
-    ).join(
-        shingles.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
-        "id_b",
-    )
-    verified = (
-        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    verified = _verify_jaccard_pairs(cand, shingles, id_col, threshold)
     return verified, combined.drop("__new")

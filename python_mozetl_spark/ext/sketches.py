@@ -347,9 +347,11 @@ def kmv_overlap(
     two sketches, keep the k smallest of the distinct union — a valid
     KMV sketch of the union — then
     ``jaccard ≈ |pooled ∩ both sketches| / |pooled|`` and
-    ``union ≈ (k−1)·2^60 / h_k`` (exact counts when the pooled union
-    is below k, i.e. both groups were exact).  Because the hash family
-    is md5, every estimate is deterministic and oracle-checkable.
+    ``union ≈ (k−1)·2^60 / h_k`` (exact counts when BOTH groups'
+    sketches hold their whole sets — tracked via a per-group distinct
+    count, because a pooled union of exactly k hashes is ambiguous on
+    size alone).  Because the hash family is md5, every estimate is
+    deterministic and oracle-checkable.
 
     Scale shape: one raw-stream exchange (the per-group top-k window);
     the pair join runs on |groups| k-length arrays.
@@ -357,12 +359,21 @@ def kmv_overlap(
     hashed = df.select(
         F.col(group_col), H.md5_int64(F.col(key_col)).alias("__h")
     ).dropDuplicates([group_col, "__h"])
+    # distinct-count tag rides the SAME group exchange as the top-k
+    # window: it discriminates "sketch holds the whole set" (exact)
+    # from "sketch truncated at k" — a pooled union of exactly k
+    # hashes is ambiguous on size alone
     w = Window.partitionBy(group_col).orderBy("__h")
+    wcnt = Window.partitionBy(group_col)
     sk = (
         hashed.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__nd", F.count(F.lit(1)).over(wcnt))
         .where(F.col("__rn") <= k)
         .groupBy(group_col)
-        .agg(F.sort_array(F.collect_list("__h")).alias("__hs"))
+        .agg(
+            F.sort_array(F.collect_list("__h")).alias("__hs"),
+            F.max("__nd").alias("__nd"),
+        )
     )
     pairs = sk.alias("a").join(
         sk.alias("b"), F.col(f"a.{group_col}") < F.col(f"b.{group_col}")
@@ -376,14 +387,20 @@ def kmv_overlap(
         F.col("b.__hs").alias("__hb"),
         pooled.alias("__ku"),
         F.size(un).alias("__nu"),
+        ((F.col("a.__nd") <= k) & (F.col("b.__nd") <= k)).alias("__exact"),
     )
     both = F.filter(
         F.col("__ku"),
         lambda x: F.array_contains("__ha", x) & F.array_contains("__hb", x),
     )
     jac = F.size(both) / F.size("__ku").cast("double")
+    # exact only when BOTH sides' sketches hold their whole sets (then
+    # the pooled distinct union is the true union count); a truncated
+    # side whose pooled union lands at exactly k must fall through to
+    # the estimator (nu < k implies both exact, so __ku has k elements
+    # whenever the estimator branch runs)
     union_est = F.when(
-        F.col("__nu") <= k, F.col("__nu").cast("double")
+        F.col("__exact"), F.col("__nu").cast("double")
     ).otherwise(
         F.lit(float(k - 1) * float(1 << 60))
         / F.element_at("__ku", k).cast("double")

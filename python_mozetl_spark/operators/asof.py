@@ -53,12 +53,14 @@ def asof_join(
     r2 = r2.withColumns({c: F.lit(None).cast(left.schema[c].dataType) for c in lonly})
     unioned = l.unionByName(r2.select(*l.columns))
 
-    # Order right rows before left rows at identical (order, tiebreak)
-    # so a right row at exactly the left's timestamp is NOT matched
-    # (strict precedence).
+    # Order LEFT rows before right rows at identical (order, tiebreak):
+    # the frame ends 1 PRECEDING, so a right row tied with the left row
+    # then falls AFTER it and is NOT matched — strict precedence.
+    # (Ascending __is_left had it backwards: the tied right row sorted
+    # first, landed inside the preceding frame, and was matched.)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(order), F.col(tiebreak), F.col("__is_left"))
+        .orderBy(F.col(order), F.col(tiebreak), F.col("__is_left").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     filled = unioned.withColumns(

@@ -36,10 +36,11 @@ def blocked_link_pairs(
 ) -> DataFrame:
     """Within-block candidate pairs verified by edit distance.
 
-    Returns (block, id_a, id_b, <compare>_a, <compare>_b, dist) with
-    ``id_a < id_b`` and ``dist <= max_dist``.  The block column is the
-    unit-separator join of ``block_cols`` (deterministic, null-safe via
-    coalesce to empty).
+    Returns (id_a, id_b, <compare>_a, <compare>_b, dist) with
+    ``id_a < id_b`` and ``dist <= max_dist``.  Blocking is internal:
+    the block key is the unit-separator join of ``block_cols``
+    (deterministic, null-safe via coalesce to empty) and is not
+    emitted — re-derive it from the block columns if output needs it.
     """
     from python_mozetl_spark.ext.dedup import bounded_bucket_pairs
 

@@ -174,21 +174,28 @@ def funnel_counts(
     depths = per_user.select(
         F.aggregate("__seq", init, step_fn, lambda acc: acc["depth"]).alias("depth")
     )
-    # one row per step with cumulative user counts: depth >= k
+    # one row per step with cumulative user counts: depth >= k.
+    # The per-depth counts are right-joined onto a literal steps frame
+    # so a step NO user reached — or a funnel with no qualifying users
+    # at all — still emits its (step_idx, step, 0) row: the documented
+    # "one row per step" contract, and what the min-timestamp-join
+    # oracle produces (count over an empty chain is 0, not absent).
     ladder = F.array(*[F.lit(i + 1) for i in range(len(steps))])
-    counts = depths.select(
-        F.explode(ladder).alias("step_idx"), "depth"
-    ).where(F.col("depth") >= F.col("step_idx"))
-    step_names = F.create_map(
-        *[x for i, s in enumerate(steps) for x in (F.lit(i + 1), F.lit(s))]
+    counts = (
+        depths.select(F.explode(ladder).alias("step_idx"), "depth")
+        .where(F.col("depth") >= F.col("step_idx"))
+        .groupBy("step_idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    base = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
     )
     return (
-        counts.groupBy("step_idx")
-        .agg(F.count("*").cast("bigint").alias("n_users"))
+        base.join(counts, "step_idx", "left")
         .select(
             F.col("step_idx").cast("int").alias("step_idx"),
-            step_names[F.col("step_idx")].alias("step"),
-            "n_users",
+            "step",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_users"),
         )
     )
 

@@ -4743,21 +4743,23 @@ WITH h AS (SELECT DISTINCT event_type,
     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
   FROM events),
 r AS (SELECT event_type, hh,
-        row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn FROM h),
-sk AS (SELECT event_type, list(hh ORDER BY hh) AS hs
+        row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS nd FROM h),
+sk AS (SELECT event_type, list(hh ORDER BY hh) AS hs, max(nd) AS nd
        FROM r WHERE rn <= 64 GROUP BY event_type),
 p AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
         a.hs AS ha, b.hs AS hb,
+        (a.nd <= 64 AND b.nd <= 64) AS exact,
         list_sort(list_distinct(list_concat(a.hs, b.hs))) AS un
       FROM sk a JOIN sk b ON a.event_type < b.event_type),
-s AS (SELECT group_a, group_b, ha, hb, len(un) AS nu,
+s AS (SELECT group_a, group_b, ha, hb, exact, len(un) AS nu,
         CASE WHEN len(un) > 64 THEN un[1:64] ELSE un END AS ku
       FROM p),
 e AS (SELECT group_a, group_b, nu, ku,
         CAST(len(list_filter(ku, x -> list_contains(ha, x)
                                   AND list_contains(hb, x))) AS DOUBLE)
           / len(ku) AS jac,
-        CASE WHEN nu <= 64 THEN CAST(nu AS DOUBLE)
+        CASE WHEN exact THEN CAST(nu AS DOUBLE)
              ELSE 72634054790231359488.0 / ku[64] END AS uni
       FROM s)
 SELECT group_a, group_b,

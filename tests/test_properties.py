@@ -271,11 +271,8 @@ def test_funnel_fold_matches_reference_walk(sess, events):
             if s == depth + 1 and (at is None or ts > at):
                 depth, at = depth + 1, ts
         depths.append(depth)
-    expect = {
-        k: sum(1 for d in depths if d >= k)
-        for k in (1, 2, 3)
-        if sum(1 for d in depths if d >= k) > 0
-    }
+    # one row per step ALWAYS — unreached steps report 0, not absence
+    expect = {k: sum(1 for d in depths if d >= k) for k in (1, 2, 3)}
     assert got == expect
 
 
