@@ -94,23 +94,14 @@ def quality_metrics_from_tokens(
 
 
 def quality_metrics(text: Column | str) -> dict[str, Column]:
-    """Deterministic document-quality signals (rounded by caller)."""
+    """Deterministic document-quality signals (rounded by caller).
+
+    Convenience form of :func:`quality_metrics_from_tokens` — note the
+    inline ``tokens()`` is re-evaluated per metric by Spark's lambda
+    handling, so hot paths should stage the token array through a
+    projection and call the ``_from_tokens`` form directly."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
-    n_tok = F.size(toks)
-    n_chars = F.length(c)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-    mean_tok_len = F.aggregate(
-        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
-    ) / F.greatest(n_tok, F.lit(1)).cast("double")
-    return {
-        "n_chars": n_chars.cast("bigint"),
-        "n_tokens": n_tok.cast("bigint"),
-        "n_unique_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
-        "stopword_ratio": n_stop.cast("double") / F.greatest(n_tok, F.lit(1)),
-        "mean_token_len": mean_tok_len,
-    }
+    return quality_metrics_from_tokens(tokens(c), c)
 
 
 def fingerprint_md5(text: Column | str) -> Column:

@@ -9,15 +9,15 @@ Two deliberate departures (SURVEY §7.3):
   inside executors via env vars (:156-231); here recommender scores
   are *columns* supplied by a pluggable mapping, so training is
   testable with no external service;
-- the RDD union of per-fold lists (:478-481) is
-  ``functools.reduce(DataFrame.unionByName, ...)`` (U2) and the split
-  is seeded, so the whole job is reproducible.
+- the RDD union of per-fold lists (:478-481) becomes a fold tag + an
+  arrangement explode (one scan, one seeded rand() per row) instead of
+  unioning k-1 fold DataFrames per arrangement — the union form would
+  re-evaluate the nondeterministic rand() subtree once per branch.
 """
 
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -56,15 +56,32 @@ def fit_ensemble_weights(
 ) -> dict[str, float]:
     """k-fold restack + LR fit → {feature: ensemble weight}.
 
-    The stacked union replays every fold (each row appears once per
-    fold arrangement, mirroring the reference's stacked datasets) and
-    one LogisticRegression fit produces the blended weights.
+    The stack mirrors the reference's per-fold training sets
+    (taar_ensemble.py:478-481): arrangement *i* trains on every fold
+    EXCEPT fold *i*, and the k arrangements union together — so each
+    row appears exactly ``k_folds - 1`` times.  (A union of the folds
+    themselves would be an identity transform: the original frame
+    back, with ``k_folds`` silently inert.)  Implemented as ONE seeded
+    fold tag + an arrangement explode — a single scan and one rand()
+    evaluation per row, where re-unioning fold DataFrames would
+    re-evaluate the nondeterministic rand() subtree per branch.
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    folds = k_fold_split(training, k_folds, seed)
-    stacked = reduce(DataFrame.unionByName, folds)
+    if k_folds < 2:
+        stacked = training
+    else:
+        fold = F.least(
+            F.floor(F.rand(seed) * k_folds), F.lit(k_folds - 1)
+        ).cast("int")
+        arrangements = F.sequence(F.lit(0), F.lit(k_folds - 1))
+        stacked = (
+            training.withColumn("__fold", fold)
+            .select("*", F.explode(arrangements).alias("__arr"))
+            .where(F.col("__fold") != F.col("__arr"))
+            .drop("__fold", "__arr")
+        )
     assembled = VectorAssembler(
         inputCols=list(feature_cols), outputCol="features"
     ).transform(stacked)

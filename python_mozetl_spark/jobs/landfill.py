@@ -33,13 +33,38 @@ def _part(i: int) -> Column:
     return F.get(F.split(F.col("uri"), "/"), i)
 
 
+def _telemetry_version(content: Column) -> Column:
+    """Document version from the telemetry payload itself, mirroring
+    sampler.py:58-81 _detect_telemetry_version: unparseable → "0",
+    then ver / version / deviceinfo→"3" / v, else "1".  JVM-side:
+    ``get_json_object(content, '$')`` probes parseability (NULL on
+    invalid JSON), the field probes read the same keys the reference
+    checks.  (Key-present-but-null counts as absent here — the one
+    deliberate simplification of the `in content` checks.)"""
+    ver = F.get_json_object(content, "$.ver")
+    version = F.get_json_object(content, "$.version")
+    deviceinfo = F.get_json_object(content, "$.deviceinfo")
+    v = F.get_json_object(content, "$.v")
+    return (
+        F.when(content.isNull() | F.get_json_object(content, "$").isNull(), "0")
+        .when(ver.isNotNull(), ver)
+        .when(version.isNotNull(), version)
+        .when(deviceinfo.isNotNull(), F.lit("3"))
+        .when(v.isNotNull(), v)
+        .otherwise("1")
+    )
+
+
 def parse_uri(df: DataFrame) -> DataFrame:
     """Split the submit URI into typed columns; malformed URIs (too few
     segments) are dropped, mirroring the reference's log-and-skip
     (sampler.py:84-111).
 
     Telemetry form is recognized by a UUID in position 3 (doc_id before
-    doc_type); the generic form carries an explicit version.
+    doc_type) and derives ``doc_version`` from the PAYLOAD (the
+    reference's _detect_telemetry_version — e.g. "4" for main pings),
+    so per-version sampling quotas and output partitions match the
+    mirror; the generic form carries an explicit version in the URI.
     """
     is_telemetry = _part(3).rlike(f"^{_UUID}$")
     parsed = df.withColumns(
@@ -47,7 +72,9 @@ def parse_uri(df: DataFrame) -> DataFrame:
             "namespace": _part(2),
             "doc_id": F.when(is_telemetry, _part(3)).otherwise(_part(5)),
             "doc_type": F.when(is_telemetry, _part(4)).otherwise(_part(3)),
-            "doc_version": F.when(is_telemetry, F.lit("1")).otherwise(_part(4)),
+            "doc_version": F.when(
+                is_telemetry, _telemetry_version(F.col("content"))
+            ).otherwise(_part(4)),
         }
     )
     return parsed.where(

@@ -254,12 +254,16 @@ def lr_curves(
     den = kde_density(
         scored.where(F.col("label") == "inter"), grid, kernel_bandwidth
     ).withColumnRenamed("density", "den_density")
+    # FULL outer on the grid point: when exactly one label class has
+    # zero pairs (e.g. every cluster sampled one donor -> inter pairs
+    # but no intra), its KDE is 0 rows and an inner join would return
+    # an EMPTY curve instead of the other side's densities with 0s
     return (
         num.withColumnRenamed("density", "num_density")
-        .join(den, "x")
+        .join(den, "x", "full_outer")
         .select(
             F.round("x", 6).alias("x"),
-            F.round("num_density", 4).alias("num_density"),
-            F.round("den_density", 4).alias("den_density"),
+            F.round(F.coalesce("num_density", F.lit(0.0)), 4).alias("num_density"),
+            F.round(F.coalesce("den_density", F.lit(0.0)), 4).alias("den_density"),
         )
     )

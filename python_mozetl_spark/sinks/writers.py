@@ -169,9 +169,9 @@ def zorder_key(cols: list[str], bits: int = 16):
 
     Inputs must already be non-negative ints below ``2**bits`` —
     Z-order is a LAYOUT key, so callers bucket/scale real values first
-    (e.g. epoch-day, id % 2^k, price decile).  ``bits`` defaults to 16
-    which keeps the interleaved key for up to 4 columns inside a
-    signed 64-bit long.
+    (e.g. epoch-day, id % 2^k, price decile).  ``bits`` defaults to 16,
+    which fits up to 3 columns in a signed 64-bit long (3×16 = 48 ≤ 63);
+    for 4 columns pass ``bits=15`` (4×15 = 60).  Overflow raises.
     """
     from pyspark.sql import functions as F
 

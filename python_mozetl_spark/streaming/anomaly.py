@@ -101,10 +101,11 @@ def zscore_anomalies_stream(
             }
         )
 
+    key_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, day date, day_value double, zscore double"
+            f"{key_col} {key_type}, day date, day_value double, zscore double"
         ),
         stateStructType="days array<long>, totals array<double>",
         outputMode="update",

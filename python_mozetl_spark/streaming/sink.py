@@ -24,6 +24,8 @@ work O(batch + touched partitions), not O(table).
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,26 +84,50 @@ def merge_stream_to_parquet(
     test trigger).  Returns the started ``StreamingQuery``.
     """
     out_cols = [c for c in changes.columns if c != delete_col]
+    swap = table_path + ".swap"
+    marker = os.path.join(swap, "_COMMITTED")
+
+    # Publish protocol (local/posix FS — an object store needs a real
+    # commit service or a table format): the merged result is FULLY
+    # written to the swap dir, a _COMMITTED marker seals it, and only
+    # then does the table dir get replaced by an atomic rename.  Every
+    # crash window is recoverable: before the marker, the old table is
+    # intact (incomplete swap is discarded); after it, the sealed swap
+    # IS the table and read_base re-points it.  The previous scheme —
+    # a second non-atomic Spark overwrite of table_path, plus a
+    # blanket except->empty-base in read_base — could silently
+    # TRUNCATE the table to one micro-batch after a mid-overwrite
+    # crash or any transient read failure.
+
+    def _recover() -> None:
+        if os.path.exists(marker):
+            if os.path.exists(table_path):
+                shutil.rmtree(table_path)
+            os.rename(swap, table_path)
+            os.remove(os.path.join(table_path, "_COMMITTED"))
 
     def read_base(spark: SparkSession) -> DataFrame:
-        try:
-            return spark.read.parquet(table_path)
-        except Exception:
+        _recover()
+        if not os.path.exists(table_path):
+            # genuinely new table — NOT a failed read (those raise)
             schema = base_schema or ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 for f in changes.schema.fields
                 if f.name != delete_col
             )
             return spark.createDataFrame([], schema)
+        return spark.read.parquet(table_path)
 
     def write_base(df: DataFrame) -> None:
-        # self-overwrite guard: the merged frame reads from table_path,
-        # so materialize to a swap directory first, then re-point
-        df.select(*out_cols).write.mode("overwrite").parquet(table_path + ".swap")
-        spark = df.sparkSession
-        spark.read.parquet(table_path + ".swap").write.mode("overwrite").parquet(
-            table_path
-        )
+        if os.path.exists(swap):
+            shutil.rmtree(swap)  # leftover UNsealed swap: discard
+        df.select(*out_cols).write.mode("overwrite").parquet(swap)
+        with open(marker, "w", encoding="utf-8"):
+            pass  # seal: from here the swap is the table of record
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.rename(swap, table_path)
+        os.remove(os.path.join(table_path, "_COMMITTED"))
 
     writer = changes.writeStream.foreachBatch(
         idempotent_merge_batch(

@@ -94,9 +94,10 @@ def histogram_quantiles_stream(
         yield _quantile_row(key_col, key[0], hist, qs)
 
     qcols = ", ".join(f"p{int(round(q * 100))} long" for q in qs)
+    key_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, n long, {qcols}",
+        outputStructType=f"{key_col} {key_type}, n long, {qcols}",
         stateStructType="buckets array<long>, counts array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -47,9 +47,12 @@ def running_totals_stream(
             {key_col: [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
         )
 
+    # derive the key's output type from the INPUT schema (a hardcoded
+    # `long` broke every non-long key at Arrow conversion)
+    key_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} long, n_events long, sum_value double",
+        outputStructType=f"{key_col} {key_type}, n_events long, sum_value double",
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
