@@ -494,3 +494,71 @@ def test_cm_estimate_upper_bounds_exact(sess, keys, width, depth):
     exact = df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
     for r in cm_estimate(sk, exact, "k", width=width, depth=depth).collect():
         assert r["cm_est"] >= r["exact"]
+
+
+@settings(**SETTINGS)
+@given(
+    a_keys=st.sets(st.integers(0, 300), min_size=1, max_size=120),
+    b_keys=st.sets(st.integers(0, 300), min_size=1, max_size=120),
+    k=st.integers(4, 32),
+)
+def test_kmv_overlap_matches_python_mirror(sess, a_keys, b_keys, k):
+    """Round-6 fix invariant, as a deterministic mirror of the md5
+    algebra: est_union is the TRUE union exactly when BOTH groups have
+    <= k distinct keys (a truncated side landing the pooled union at
+    exactly k must use the estimator — the old `pooled <= k` test let
+    it claim exactness); otherwise it equals (k-1)*2^60/h_k over the
+    pooled sketch.  est_jaccard always equals the pooled-k-min form."""
+    import hashlib
+
+    from python_mozetl_spark.ext.sketches import kmv_overlap
+
+    def h(key):
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    rows = [("A", f"x{v}") for v in a_keys] + [("B", f"x{v}") for v in b_keys]
+    df = sess.createDataFrame(rows, "g string, key string")
+    out = kmv_overlap(df, "key", "g", k=k).collect()[0]
+    ha = sorted(h(f"x{v}") for v in a_keys)[:k]
+    hb = sorted(h(f"x{v}") for v in b_keys)[:k]
+    un = sorted(set(ha) | set(hb))
+    pooled = un[:k]
+    jac = sum(1 for x in pooled if x in set(ha) and x in set(hb)) / len(pooled)
+    if len(a_keys) <= k and len(b_keys) <= k:
+        uni = float(len(a_keys | b_keys))
+    else:
+        uni = (k - 1) * float(1 << 60) / pooled[k - 1]
+    assert out["est_jaccard"] == round(jac, 6)
+    assert out["est_union"] == round(uni, 2)
+    assert out["est_inter"] == round(jac * uni, 2)
+
+
+@settings(**SETTINGS)
+@given(
+    rights=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    l_ts=st.integers(0, 20),
+    l_tb=st.integers(0, 5),
+)
+def test_asof_join_matches_strict_reference(sess, rights, l_ts, l_tb):
+    """asof_join == the brute-force 'latest right row strictly before
+    (order, tiebreak)' on ANY input, including exact ties."""
+    from python_mozetl_spark.operators.asof import asof_join
+
+    left = sess.createDataFrame([("u", l_ts, l_tb)], "k string, ts long, tb long")
+    right = sess.createDataFrame(
+        [("u", ts, tb, float(ts * 100 + tb)) for ts, tb in rights],
+        "k string, ts long, tb long, value double",
+    )
+    got = asof_join(
+        left, right, on=["k"], order="ts", tiebreak="tb", payload=["value"]
+    ).collect()[0]["prev_value"]
+    preceding = [(ts, tb) for ts, tb in rights if (ts, tb) < (l_ts, l_tb)]
+    want = (
+        float(max(preceding)[0] * 100 + max(preceding)[1]) if preceding else None
+    )
+    assert got == want
