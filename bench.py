@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -36,7 +37,11 @@ from python_mozetl_spark.session import get_session  # noqa: E402
 
 def run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # parse the scale factor from a trailing sf<number> path segment
+    # ONLY — substring matching broke on any path merely containing
+    # "sf" (e.g. .../transfer/data)
+    m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
     spark = get_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 

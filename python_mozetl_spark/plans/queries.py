@@ -1006,7 +1006,7 @@ FROM tk
 """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(t(spark, sf_dir, "documents"))
+    d = t(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text", T.tokens("text").alias("__toks"))
     toks = F.col("__toks")
     n_tok = F.size(toks)
@@ -1048,7 +1048,7 @@ FROM m
 """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(t(spark, sf_dir, "documents"))
+    d = t(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text", T.tokens("text").alias("__toks"))
     m = T.quality_metrics_from_tokens(F.col("__toks"), "text")
     swr = m["stopword_ratio"]
@@ -1090,7 +1090,7 @@ FROM s
 """,
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(t(spark, sf_dir, "documents"))
+    d = t(spark, sf_dir, "documents")
     staged = d.select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("__toks")
     )
@@ -6418,7 +6418,7 @@ _DRIVER_WINDOW = [
     "doc_cross_decontaminate",
     "doc_minhash_estimates",
     "doc_winnow_copy_pairs",
-    # (c) the stalest grades: the r03-graded set, first 23 of 39
+    # (c) the stalest grades: the r03-graded set, first 22 of 39
     "brand_collapse",
     "segment_share",
     "union_high_value",

@@ -74,9 +74,11 @@ def get_session(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
-    ``shuffle_partitions`` defaults to 2×cores locally; on a real
-    cluster leave it unset and let AQE coalesce from a high initial
-    value (``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+    ``shuffle_partitions`` defaults to ``max(32, cores)`` locally
+    (measured: 2×cores costs ~30% on the sf0.1 bench — scheduling
+    overhead beats granularity at this scale); on a real cluster set
+    it ≈ 2-3× total cores, or leave AQE to coalesce from a high
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
@@ -88,7 +90,16 @@ def get_session(
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     else:
-        conf.setdefault("spark.sql.shuffle.partitions", "32")
+        # scale with the master instead of a hardcoded 32 (which halved
+        # post-shuffle parallelism on >32-core masters); floor at 32 so
+        # small local sessions keep AQE coalescing headroom.  NOT
+        # 2x cores: measured 12.7 s vs 9.8 s on the sf0.1 bench — at
+        # local scale the extra task scheduling outweighs the finer
+        # granularity, and AQE only partially coalesces it back.
+        conf.setdefault(
+            "spark.sql.shuffle.partitions",
+            str(max(32, _core_count(master))),
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -42,9 +42,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "␀"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return f"{v:.6f}"
-            return f"{v:.6f}"
+            # ±inf formats fine via f-string; the old int(v) equality
+            # probe raised OverflowError on it and aborted the sweep
+            return f"{v:.6f}" if math.isfinite(v) else str(v)
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -115,6 +115,12 @@ def main() -> int:
     con = duck_con(sf_dir)
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd filter must not report "0 fail" success for a run
+        # that verified nothing
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     n_pass = n_fail = n_weak = 0
     for name, fn in queries.items():
         if only and name not in only:
