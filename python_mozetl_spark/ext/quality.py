@@ -389,3 +389,71 @@ def unigram_logprob(
             ).alias("logprob"),
         )
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.5,
+    precision: int = 4,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """CCNet-style LM-perplexity scoring (Wenzek et al., LREC 2020:
+    perplexity under a language model is THE web-corpus quality filter
+    between dedup and task filtering) — with the external KenLM
+    replaced by a corpus-derived add-k-smoothed bigram LM, so the
+    model is deterministic and checkable against the corpus itself:
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1·) + k·V)
+
+    with ``c(w1·)`` the context count (sum of bigrams starting w1) and
+    ``V`` the continuation vocabulary.  Per document: ``ppl =
+    exp(-mean ln P)`` over its bigram OCCURRENCES, rounded to
+    ``precision`` — low ppl = fluent/common phrasing, high ppl =
+    rare/garbled text.  Documents with fewer than one bigram are
+    dropped (no occurrences to score — the min-length gate runs
+    earlier in the pipeline).
+
+    Scale shape: one staged tokenize feeds the occurrence explode; the
+    bigram/context tables are vocabulary-sized aggregates broadcast
+    back (pass ``broadcast_model=False`` on a billion-gram web corpus
+    to shuffle-join on the gram instead); the doc stream then crosses
+    exactly its own per-id agg exchange.  V comes from a 1-row
+    aggregate cross-joined in — never a driver collect.
+    """
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    occ = staged.where(F.size("__t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> struct(__t[i-1] AS w1, __t[i] AS w2))"
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    bi = occ.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("__c12"))
+    ctx = bi.groupBy("w1").agg(F.sum("__c12").cast("bigint").alias("__c1"))
+    vocab = occ.agg(F.countDistinct("w2").cast("bigint").alias("__V"))
+    model = (
+        bi.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("__c12") + F.lit(add_k))
+                / (F.col("__c1") + F.lit(add_k) * F.col("__V"))
+            ).alias("__lp"),
+        )
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    return (
+        occ.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.exp(-F.avg("__lp")), precision).alias("ppl"),
+        )
+    )

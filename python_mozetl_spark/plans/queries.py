@@ -4644,6 +4644,40 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bigram_perplexity",
+    "CCNet-style LM-perplexity scoring (Wenzek et al. LREC'20 — THE "
+    "web-corpus quality filter between dedup and task filtering), "
+    "with the external KenLM replaced by a corpus-derived add-k-"
+    "smoothed bigram LM so the model is deterministic and checkable "
+    "against the corpus itself (ext/quality.py:bigram_perplexity).  "
+    "P(w2|w1) = (c12+k)/(c1+kV); per doc ppl = exp(-mean ln P) over "
+    "its bigram occurrences.  One staged tokenize; vocab-sized model "
+    "tables broadcast back; V from a 1-row aggregate, no collects.",
+    ("ext-quality", "F6", "lm"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+occ AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  WHERE len(t) >= 2),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS nv FROM occ),
+lp AS (SELECT occ.doc_id,
+    ln((c12 + 0.5) / (c1 + 0.5 * nv)) AS l
+  FROM occ JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(exp(-avg(l)), 4) AS ppl
+FROM lp GROUP BY doc_id
+""",
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import bigram_perplexity
+
+    d = t(spark, sf_dir, "documents")
+    return bigram_perplexity(d, "doc_id", "text")
+
+
+@query(
     "event_type_daily_trend",
     "Per-group trend fitting: OLS of daily event volume against the "
     "epoch-day index, per event type — regr_slope/intercept/r2 as "
@@ -6347,9 +6381,10 @@ def foreach_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round — their old rows no longer describe current code, including
 # the two r05 err rows being re-graded after the array-serialization
 # fix — then (c) the consolidated backlog (r05 displacements, then the
-# stalest r03-graded set).  22 of the 39 r03-graded queries fit this
-# window; the remaining 17 roll to R07 (incl. segment_active_customers,
-# displaced by the late embedding_semantic_dedup addition):
+# stalest r03-graded set).  21 of the 39 r03-graded queries fit this
+# window; the remaining 18 roll to R07 (incl. segment_active_customers
+# and regional_revenue — benched every round — displaced by the late
+# embedding_semantic_dedup / doc_bigram_perplexity additions):
 # multimodal_features, latest_event_per_user, filtered_scan,
 # event_type_pivot, doc_token_stats, dp_lang_source_counts,
 # doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup,
@@ -6388,6 +6423,7 @@ _DRIVER_WINDOW = [
     "json_artifact_roundtrip",
     "foreach_sink_roundtrip",
     "embedding_semantic_dedup",
+    "doc_bigram_perplexity",
     # (b) output schema changed round 6 (r05 err rows: array columns
     # serialized to scalars for the driver canonicalizer) — MUST
     # re-grade to land their first green driver row
@@ -6418,7 +6454,7 @@ _DRIVER_WINDOW = [
     "doc_cross_decontaminate",
     "doc_minhash_estimates",
     "doc_winnow_copy_pairs",
-    # (c) the stalest grades: the r03-graded set, first 22 of 39
+    # (c) the stalest grades: the r03-graded set, first 21 of 39
     "brand_collapse",
     "segment_share",
     "union_high_value",
@@ -6440,7 +6476,9 @@ _DRIVER_WINDOW = [
     "sql_surface_lateral",
     "sliding_event_rollup",
     "sessionized_events",
-    "regional_revenue",
+    # (regional_revenue displaced by the late doc_bigram_perplexity
+    # addition: like priority_join_agg it is BENCHED every round and
+    # holds an r01 row — roll to R07 with the rest)
 ]
 
 

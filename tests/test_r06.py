@@ -143,6 +143,40 @@ def test_semantic_dedup_keeps_one_representative(spark):
     assert {4, 5, 6} <= kept
 
 
+def test_bigram_perplexity_matches_python_mirror(spark):
+    """Add-k bigram LM ppl equals a literal python computation on a
+    tiny corpus (fluent repeated phrasing scores lower than a doc of
+    rare transitions)."""
+    import math
+    from collections import Counter
+
+    from python_mozetl_spark.ext.quality import bigram_perplexity
+
+    texts = {1: "a b a b a b", 2: "a b a b c d", 3: "x"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bigram_perplexity(df, "doc_id", "text").collect()}
+
+    occ = []
+    for t in texts.values():
+        w = t.split()
+        occ += list(zip(w, w[1:]))
+    c12, c1 = Counter(occ), Counter(w1 for w1, _ in occ)
+    V = len({w2 for _, w2 in occ})
+    for did, t in texts.items():
+        w = t.split()
+        bgs = list(zip(w, w[1:]))
+        if not bgs:
+            assert did not in got  # <2 tokens: no score row
+            continue
+        mean = sum(
+            math.log((c12[b] + 0.5) / (c1[b[0]] + 0.5 * V)) for b in bgs
+        ) / len(bgs)
+        assert got[did]["n_bigrams"] == len(bgs)
+        assert got[did]["ppl"] == round(math.exp(-mean), 4)
+    assert got[1]["ppl"] < got[2]["ppl"]  # repetition = fluent = low ppl
+
+
 def test_compact_parquet_refuses_nested_paths(spark, tmp_path):
     from python_mozetl_spark.sinks.writers import compact_parquet
 
