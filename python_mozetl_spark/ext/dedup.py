@@ -33,14 +33,24 @@ def exact_duplicates(
     df: DataFrame, id_col: str, text_col: str, fp_col: str = "fingerprint"
 ) -> DataFrame:
     """Exact dedup: canonical-md5 fingerprint + per-fingerprint count
-    and keeper (min id).  ``n_dups > 1`` rows are removable copies."""
+    and keeper (min id).  ``n_dups > 1`` rows are removable copies.
+
+    Row-count preserving: NULL text fingerprints to NULL, and the
+    join-back is null-safe, so NULL-text rows group together (all
+    "identical empty content") instead of silently vanishing from the
+    output — a caller filtering ``id == keeper_id`` would otherwise
+    lose every NULL-text document.
+    """
     fp = df.select(
         F.col(id_col), T.fingerprint_md5(text_col).alias(fp_col)
     )
     grp = fp.groupBy(fp_col).agg(
         F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id")
+    ).withColumnRenamed(fp_col, "__fp")
+    return (
+        fp.join(grp, F.col(fp_col).eqNullSafe(F.col("__fp")))
+        .drop("__fp")
     )
-    return fp.join(grp, fp_col)
 
 
 def _staged_signatures_from_expr(
@@ -124,7 +134,23 @@ def minhash_signature_table(
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    return inter.cast("double") / union
+    # two empty sets: 0/0 would abort the job under Spark 4's default
+    # ANSI mode; define it as 0.0 (the banding stage also filters
+    # empty-shingle docs, so this is defense in depth)
+    return F.when(union > 0, inter.cast("double") / union).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _validate_banding(num_hashes: int, bands: int) -> None:
+    """bands must tile the signature exactly: bands > num_hashes gives
+    0-width band keys (the WHOLE corpus collides into one bucket per
+    band — silent O(n²)), and a non-divisor silently ignores the tail
+    hash columns, changing the documented miss-probability math."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} exactly"
+        )
 
 
 def _verify_jaccard_pairs(
@@ -289,7 +315,11 @@ def ngram_jaccard_pairs(
         ):
             gram_sets = [
                 {t[i : i + n] for i in range(len(t) - n + 1)}
-                if len(t) >= n
+                # NULL text arrives as None: empty gram set, matching
+                # char_ngrams' JVM behavior (the prefix path) instead
+                # of a TypeError that made the strategy gate decide
+                # between crash and success
+                if t is not None and len(t) >= n
                 else set()
                 for t in pdf[text_col]
             ]
@@ -353,7 +383,9 @@ def _ngram_matmul_pairs(
         for b in batches:
             bids = b[id_col].to_numpy()
             bsets = [
-                {t[i : i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set()
+                {t[i : i + n] for i in range(len(t) - n + 1)}
+                if t is not None and len(t) >= n
+                else set()
                 for t in b[text_col]
             ]
             bm = indicator(bsets, g2i)
@@ -568,7 +600,15 @@ def _lsh_verify_pairs(
     permutations) would run TWICE.  This shape computes signatures
     once, shuffles only (id, band) rows, and bounds degenerate-bucket
     fanout at ``max_bucket`` members per task array.
+
+    Empty-shingle docs (< shingle_k tokens) are excluded up front:
+    their minhashes are all NULL, so concat_ws collapses every such
+    doc onto the same 16 band keys — m short docs would generate
+    ~16·m²/2 degenerate candidate pairs of pure wasted work (and 0/0
+    Jaccards).  They can never reach a positive threshold anyway.
     """
+    _validate_banding(num_hashes, bands)
+    sig = sig.where(F.size("__sh") > 0)
     rows_per_band = num_hashes // bands
     shingles = sig.select(id_col, "__sh")
     mh_cols = [f"mh_{j}" for j in range(num_hashes)]
@@ -627,6 +667,7 @@ def cross_corpus_lsh_filter(
     cross scan in practice (the oracle relies on this, as with
     :func:`minhash_lsh_pairs`).
     """
+    _validate_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     mh_cols = [f"mh_{j}" for j in range(num_hashes)]
 
@@ -635,6 +676,11 @@ def cross_corpus_lsh_filter(
             sig = sig.join(df.select(id_col), id_col, "left_semi")
         else:
             sig = _staged_signatures(df, id_col, text_col, num_hashes, shingle_k)
+        # each side's sig feeds band explode + verify join-back behind
+        # different exchanges: materialize once (SCALE.md §6b) so the
+        # docstring's "both sides run the pipeline once" actually holds;
+        # empty-shingle docs are excluded (degenerate-bucket guard)
+        sig = sig.where(F.size("__sh") > 0).localCheckpoint(eager=False)
         bands_df = sig.select(
             F.col(id_col).alias(f"id_{side}"),
             F.explode(
@@ -943,15 +989,27 @@ def incremental_lsh_pairs(
     be emitted.  pytest pins: base-run pairs + incremental pairs ==
     full-corpus pairs.
     """
-    new_sigs = _staged_signatures(new_docs, id_col, text_col, num_hashes, shingle_k)
+    _validate_banding(num_hashes, bands)
+    # materialize the new batch's signatures once: combined feeds the
+    # band explode AND two verify join-backs behind three different
+    # exchanges, so without this the O(|new|) signature pass runs ~3x
+    # (the multi-consumer staging discipline of minhash_lsh_pairs /
+    # SCALE.md §6b; base_signatures is the caller's persisted table)
+    new_sigs = _staged_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False)
     combined = base_signatures.withColumn(
         "__new", F.lit(False)
     ).unionByName(new_sigs.withColumn("__new", F.lit(True)))
+    # empty-shingle docs are excluded from PAIRING (degenerate-bucket
+    # guard, see _lsh_verify_pairs) but kept in the returned signature
+    # table — its contract is one row per corpus doc
+    active = combined.where(F.size("__sh") > 0)
 
     rows_per_band = num_hashes // bands
-    shingles = combined.select(id_col, "__sh")
+    shingles = active.select(id_col, "__sh")
     mh_cols = [f"mh_{j}" for j in range(num_hashes)]
-    banded = combined.select(
+    banded = active.select(
         F.struct(F.col(id_col), F.col("__new")).alias("__p"),
         F.explode(
             F.array(*[H.band_key(mh_cols, b, rows_per_band) for b in range(bands)])

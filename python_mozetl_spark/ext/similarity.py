@@ -90,6 +90,7 @@ def quantized_topk(
     vec_col: str = "embedding",
     k: int = 5,
     precision: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Cosine top-k over int8-quantized vectors (symmetric max-abs
     scalar quantization, :func:`~python_mozetl_spark.functions.vectors.
@@ -110,6 +111,7 @@ def quantized_topk(
         vec_col=vec_col,
         k=k,
         precision=precision,
+        exclude_self=exclude_self,
     )
 
 
@@ -253,6 +255,7 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 2,
     precision: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN with multi-probe: corpus vectors live in their single
     nearest cell; each query probes its ``nprobe`` nearest cells and
@@ -278,9 +281,11 @@ def ivf_topk(
     # pair arises from at most one cell-join row — a dropDuplicates
     # here was a provable no-op costing a full extra shuffle of the
     # scored-pair frame (the operator's largest intermediate)
+    scored = q_cells.join(c_cells, "cell")
+    if exclude_self:  # valid for self-search only — see brute_force_topk
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        q_cells.join(c_cells, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        scored
         .select(
             "query_id",
             "neighbor_id",
@@ -355,6 +360,12 @@ def embedding_near_dup_pairs(
             len(pdf) and len(pdf) * len(pdf[vec_col].iloc[0]) * 8 > matmul_max_bytes
         ):
             strategy = "join"  # hard post-collect check beat the estimate
+    if strategy == "matmul" and len(pdf) == 0:
+        # np.vstack([]) raises; an empty corpus has no pairs — return
+        # the empty frame the join/bitmap paths produce for it
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     if strategy == "matmul":
         ids = pdf[id_col].to_numpy()
         mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -502,6 +513,7 @@ def cosine_topk_pandas(
     vec_col: str = "embedding",
     k: int = 5,
     precision: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Arrow-batched NumPy path: ``queries_pdf`` is a small pandas frame
     (id, vector) shipped in the closure; each Arrow batch of the corpus
@@ -532,9 +544,12 @@ def cosine_topk_pandas(
         score_batches, "query_id long, neighbor_id long, score double"
     )
     # HALF_UP like every other path (np.round is half-even)
-    return out.select(
+    out = out.select(
         "query_id", "neighbor_id", F.round("score", precision).alias("score")
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    if exclude_self:  # valid for self-search only — see brute_force_topk
+        out = out.where(F.col("query_id") != F.col("neighbor_id"))
+    return out
 
 
 def lloyd_clusters(
@@ -775,17 +790,12 @@ def semantic_dedup(
         spread_pairs=shuffle_parts,
     )
     va, vb = F.col("a.__v"), F.col("b.__v")
+    # the guarded helper: 0.0 on a zero-norm side instead of an ANSI
+    # DIVIDE_BY_ZERO abort (an all-zero embedding is a routine encoder/
+    # truncation artifact, and it cannot be an epsilon-duplicate)
+    from python_mozetl_spark.functions.vectors import cosine_similarity
 
-    def _dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
-    cos = F.round(
-        _dot(va, vb) / F.sqrt(_dot(va, va) * _dot(vb, vb)), round_dp
-    )
+    cos = F.round(cosine_similarity(va, vb), round_dp)
     dup_ids = (
         pairs.withColumn("__cos", cos)
         .where(F.col("__cos") >= threshold)
