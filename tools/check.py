@@ -5,6 +5,17 @@ oracle_sql() twin in DuckDB over the same parquet, and compares
 row-count, column names, and order-insensitive values.
 
 Usage: python tools/check.py [sf_dir] [query ...]
+
+Certification contract (round 7, after the r6 evidence gap): an
+UNFILTERED run is the only output admissible as a full-registry
+certification.  It enumerates the whole registry, emits EXACTLY ONE
+result line per registered query (a crash mid-query becomes that
+query's FAIL row, not a silent truncation), and its footer states
+``N of M registry queries`` with M = len(REGISTRY) — the footer
+hard-fails (nonzero exit + a FAIL line naming every absent query) if
+any registered query produced no row.  A filtered run prints a
+``PARTIAL`` banner and footer so it can never be mistaken for (or
+concatenated into) a certification.
 """
 
 from __future__ import annotations
@@ -121,10 +132,18 @@ def main() -> int:
         # that verified nothing
         print(f"FAIL unknown query name(s): {sorted(unknown)}")
         return 1
+    registry_total = len(queries)
+    if only:
+        print(
+            f"PARTIAL sweep: {len(only)} of {registry_total} registry "
+            "queries (filtered run — NOT a certification)"
+        )
     n_pass = n_fail = n_weak = 0
+    graded: set[str] = set()
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        graded.add(name)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -151,7 +170,26 @@ def main() -> int:
         else:
             print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    # completeness assertion — the r6 certification lesson: a sweep
+    # that silently covers less than the registry must not be able to
+    # print a success footer.  Every registered query (or, filtered,
+    # every requested one) must have produced exactly one row above.
+    expected = only if only else set(queries)
+    absent = sorted(expected - graded)
+    for name in absent:
+        print(f"FAIL {name}: no result row emitted (incomplete sweep)")
+        n_fail += 1
+    kind = "PARTIAL (filtered — not a certification)" if only else "FULL registry"
+    print(
+        f"\n{kind}: {n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail "
+        f"— {len(graded)} of {registry_total} registry queries graded"
+    )
+    if not only and len(graded) != registry_total:
+        print(
+            f"FAIL certification incomplete: {registry_total - len(graded)} "
+            "registry queries have no result row"
+        )
+        return 1
     return 1 if n_fail else 0
 
 
