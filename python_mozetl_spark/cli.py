@@ -155,7 +155,8 @@ def taar_lite_guidranking(input_path, output_path, date, master):
               help="one row PER CLIENT enters the histogram")
 @click.option("--order-col", default=None,
               help="timestamp column picking each client's LATEST row; "
-                   "unset = arbitrary-but-deterministic row per client")
+                   "unset = content-determined row per client (min md5 "
+                   "of the full row, stable across runs/partitionings)")
 def hardware_report(input_path, output_path, date, master, dimensions,
                     threshold, client_col, order_col):
     from python_mozetl_spark.jobs.hardware_report import dimension_report
@@ -170,7 +171,12 @@ def hardware_report(input_path, output_path, date, master, dimensions,
         if order_col:
             df = latest_per_key(df, [client_col], [F.col(order_col)])
         else:
-            df = df.dropDuplicates([client_col])
+            # dropDuplicates keeps whichever row a task encounters
+            # first — arbitrary AND run-dependent.  A content hash of
+            # the whole row gives a total order per client, so the
+            # kept row is stable across runs, partitionings, retries.
+            fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+            df = latest_per_key(df, [client_col], [fp], descending=False)
     for dim in dimensions:
         out = dimension_report(df, dim, threshold=threshold)
         write_partitioned_parquet(out, f"{output_path}/{dim}")

@@ -4605,13 +4605,21 @@ def embedding_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_clusters(e, "vec_id", "embedding", k=4, iters=2)
 
 
-_SEMDEDUP_TAIL = """,
+def _semdedup_tail(threshold: float) -> str:
+    # guarded cosine, mirroring functions/vectors.cosine_similarity:
+    # a zero-norm side yields 0.0 (never a duplicate), where DuckDB's
+    # bare list_cosine_similarity yields NaN — which DuckDB orders
+    # GREATER than any number, silently flipping the >= test to TRUE
+    return f""",
 asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM fin WHERE rn = 1),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
-  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4),
+  WHERE round(CASE WHEN list_dot_product(ea.v, ea.v) = 0
+                     OR list_dot_product(eb.v, eb.v) = 0 THEN 0.0
+              ELSE list_cosine_similarity(ea.v, eb.v) END, 4)
+          >= {threshold}),
 d AS (SELECT DISTINCT id_b AS vec_id FROM p)
 SELECT asg.vec_id, asg.cluster, (d.vec_id IS NULL) AS kept
 FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
@@ -4632,7 +4640,7 @@ FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
     "unrolled Lloyd SQL.  At scale k grows with the corpus (SemDeDup "
     "uses ~100k clusters web-scale) so the pair fanout stays bounded.",
     ("ext-dedup", "ext-sim", "F7"),
-    oracle=_lloyd_oracle(k=4, iters=2, tail=_SEMDEDUP_TAIL),
+    oracle=_lloyd_oracle(k=4, iters=2, tail=_semdedup_tail(0.4)),
 )
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.similarity import semantic_dedup

@@ -28,6 +28,7 @@ def side_input_from_json(
     spark: SparkSession | None = None,
     schema: str | None = None,
     timeout: float = 30.0,
+    max_bytes: int = 64 * 1024 * 1024,
 ) -> Any | DataFrame:
     """Load a small JSON document from a local path or an HTTP(S) URL
     on the DRIVER.
@@ -37,12 +38,31 @@ def side_input_from_json(
     (the S8 pattern).  With ``spark`` and ``schema`` (DDL string), the
     document (a list of records, or one record) becomes a DataFrame —
     the broadcast-dim-join pattern (J4).
+
+    Only ``http``/``https`` URLs are fetched (a bare ``://`` test
+    would hand ``file:``/``ftp:``/``data:`` URLs to urllib's handler
+    zoo), and the response body is capped at ``max_bytes`` — a side
+    input is by definition something the driver can hold; anything
+    bigger belongs in a real table.
     """
-    if "://" in url_or_path:
+    from urllib.parse import urlparse
+
+    scheme = urlparse(url_or_path).scheme
+    if scheme in ("http", "https"):
         import urllib.request
 
         with urllib.request.urlopen(url_or_path, timeout=timeout) as resp:
-            obj = json.load(resp)
+            body = resp.read(max_bytes + 1)
+            if len(body) > max_bytes:
+                raise ValueError(
+                    f"side input exceeds max_bytes={max_bytes}: {url_or_path}"
+                )
+            obj = json.loads(body)
+    elif "://" in url_or_path:
+        raise ValueError(
+            f"unsupported side-input scheme {scheme!r} (http/https or a "
+            f"local path): {url_or_path}"
+        )
     else:
         with open(url_or_path, encoding="utf-8") as fh:
             obj = json.load(fh)
