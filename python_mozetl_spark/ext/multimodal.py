@@ -18,6 +18,7 @@ prune BEFORE decode.
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 from typing import Iterator
 
 import pandas as pd
@@ -142,6 +143,189 @@ def decode_image(content: bytes) -> dict:
             "n_pixels": width * height,
         }
     raise ValueError("unknown image container (BMP/P6 supported)")
+
+
+def encode_png_header(width: int, height: int, color_type: int) -> bytes:
+    """Dependency-free PNG signature + IHDR chunk (CRC-correct).
+    Header-only: no IDAT/IEND — :func:`decode_image_header` needs only
+    the IHDR bytes, exactly what a crawl pipeline's metadata pass
+    reads before deciding whether to pay for a full decode."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def encode_jpeg_header(width: int, height: int, n_components: int) -> bytes:
+    """Dependency-free JPEG SOI + APP0(JFIF) + SOF0 prefix — the
+    marker stream :func:`decode_image_header` walks.  Header-only (no
+    scan data), same rationale as :func:`encode_png_header`."""
+    import struct
+
+    app0_body = b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 72, 72, 0, 0)
+    comps = b"".join(
+        struct.pack("3B", i + 1, 0x11, 0) for i in range(n_components)
+    )
+    sof_body = struct.pack(">BHHB", 8, height, width, n_components) + comps
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0_body) + 2) + app0_body
+        + b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
+    )
+
+
+# JPEG SOF markers carrying frame dimensions: C0-CF minus DHT (C4),
+# JPG-extension (C8) and DAC (CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def decode_image_header(content: bytes) -> dict:
+    """Header-only metadata decode — dimensions and channel count
+    without touching pixel data — for the four containers a
+    dependency-free pipeline can parse: PNG (IHDR chunk), JPEG
+    (SOF0/1/2/... frame header via a marker-segment walk), plus BMP
+    and binary PPM for parity with :func:`decode_image`.
+
+    Returns ``{"codec", "width", "height", "channels"}``.  This is the
+    real-corpus entry point (a crawl corpus is JPEG/PNG, not BMP): the
+    metadata pass runs over every blob, and downstream filters
+    (min-resolution, aspect-ratio, channel checks) prune BEFORE any
+    full decode is paid for.  Unknown containers raise ``ValueError``
+    (PERMISSIVE null handling lives in :func:`header_features`).
+    """
+    import struct
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        if content[12:16] != b"IHDR":
+            raise ValueError("png: first chunk is not IHDR")
+        width, height = struct.unpack_from(">II", content, 16)
+        color_type = content[25]
+        if color_type not in _PNG_CHANNELS:
+            raise ValueError(f"png: unknown color type {color_type}")
+        return {
+            "codec": "png",
+            "width": width,
+            "height": height,
+            "channels": _PNG_CHANNELS[color_type],
+        }
+    if content[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                raise ValueError("jpeg: marker desync")
+            marker = content[pos + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                pos += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack_from(">H", content, pos + 2)[0]
+            if marker in _JPEG_SOF:
+                height, width = struct.unpack_from(">HH", content, pos + 5)
+                return {
+                    "codec": "jpeg",
+                    "width": width,
+                    "height": height,
+                    "channels": content[pos + 9],
+                }
+            pos += 2 + seg_len
+        raise ValueError("jpeg: no SOF frame header found")
+    if content[:2] == b"BM":
+        hdr_size = struct.unpack_from("<I", content, 14)[0]
+        if hdr_size < 40:
+            raise ValueError("BITMAPCOREHEADER bmp not supported")
+        width, height_raw = struct.unpack_from("<ii", content, 18)
+        return {
+            "codec": "bmp",
+            "width": width,
+            "height": abs(height_raw),
+            "channels": 3,
+        }
+    if content[:2] == b"P6":
+        d = decode_image(content)
+        return {
+            "codec": "ppm",
+            "width": d["width"],
+            "height": d["height"],
+            "channels": 3,
+        }
+    raise ValueError("unknown image container (PNG/JPEG/BMP/P6 supported)")
+
+
+HEADER_SCHEMA = "media_id long, codec string, width long, height long, channels long"
+
+
+def header_features(media: DataFrame, id_col: str = "media_id",
+                    content_col: str = "content") -> DataFrame:
+    """Arrow-batched :func:`decode_image_header` over a binary column
+    — the metadata-extraction pass of an image-corpus pipeline.  Same
+    ``mapInPandas`` shape as :func:`decode_features`; undecodable
+    payloads surface as null rows (PERMISSIVE, the S5 stance)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "codec": [], "width": [], "height": [],
+                   "channels": []}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    d = decode_image_header(bytes(blob))
+                except (ValueError, IndexError, TypeError, struct_error):
+                    d = {"codec": None, "width": None, "height": None,
+                         "channels": None}
+                out["media_id"].append(mid)
+                out["codec"].append(d["codec"])
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["channels"].append(d["channels"])
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, content_col).mapInPandas(dec, HEADER_SCHEMA)
+
+
+def synth_doc_image_headers(documents: DataFrame) -> DataFrame:
+    """Deterministic JPEG/PNG header payload per document — the
+    grading corpus for :func:`decode_image_header`, with every image
+    parameter a pure function of (doc_id, n_chars) so an oracle can
+    recompute the decoded metadata analytically:
+
+    - even doc_id → PNG, color type cycling [gray, rgb, rgba] by
+      ``doc_id % 3`` (channels 1/3/4);
+    - odd doc_id → JPEG, components 3 iff ``doc_id % 4 == 1`` else 1;
+    - width = ``n_chars % 640 + 1``, height = ``doc_id % 480 + 1``.
+    """
+    params = documents.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_png"),
+        (F.col("n_chars") % 640 + 1).cast("int").alias("w"),
+        (F.col("doc_id") % 480 + 1).cast("int").alias("h"),
+        (F.col("doc_id") % 3).cast("int").alias("ct_idx"),
+        (F.col("doc_id") % 4).cast("int").alias("jmod"),
+    )
+    ct_cycle = [0, 2, 6]  # gray, truecolor, truecolor+alpha
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_png_header(int(w), int(h), ct_cycle[int(ci)])
+                if is_png
+                else encode_jpeg_header(int(w), int(h), 3 if int(jm) == 1 else 1)
+                for is_png, w, h, ci, jm in zip(
+                    pdf["is_png"], pdf["w"], pdf["h"], pdf["ct_idx"], pdf["jmod"]
+                )
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": content})
+
+    return params.mapInPandas(enc, "media_id long, content binary")
 
 
 def extract_features(media: DataFrame, id_col: str = "media_id",

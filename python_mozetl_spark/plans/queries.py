@@ -1151,6 +1151,50 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8)
 
 
+@query(
+    "doc_incremental_lsh",
+    "Incremental LSH ingestion dedup (ext/dedup.py:incremental_lsh_pairs) "
+    "— the daily-batch shape a growing 100 TB corpus hits: documents "
+    "with doc_id % 5 == 0 arrive as the NEW batch, the rest are the "
+    "existing corpus whose signature table was persisted by an earlier "
+    "run; only the new batch pays the tokenize/md5/permutation pass, "
+    "and old x old pairs are dropped inside the bucket stage.  Oracle "
+    "is the brute-force Jaccard >= 0.8 pair scan restricted to pairs "
+    "touching the increment (same miss-probability argument as "
+    "doc_minhash_pairs: (1-t^2)^16 ~ 7e-8 at t=0.8).",
+    ("ext-dedup", "E5", "J2"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tk),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh)) AS inter,
+        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+FROM p WHERE CAST(inter AS DOUBLE) / un >= 0.8
+""",
+)
+def doc_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import (
+        incremental_lsh_pairs,
+        minhash_signature_table,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 5 != 0)
+    inc = d.where(F.col("doc_id") % 5 == 0)
+    # the "persisted from an earlier run" signature table — staged
+    # once, reused by the band explode and both verify join-backs
+    base_sigs = minhash_signature_table(base, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    pairs, _sigs = incremental_lsh_pairs(
+        base_sigs, inc, "doc_id", "text", threshold=0.8
+    )
+    return pairs
+
+
 def _simhash_oracle(bits: int = 60) -> str:
     h = _DUCK_H60.format(expr="t")
     votes = ",\n  ".join(
@@ -1318,6 +1362,43 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_doc_bmps(d))
 
 
+@query(
+    "multimodal_image_headers",
+    "Header-only JPEG/PNG metadata decode graded end-to-end (ext/"
+    "multimodal.py:decode_image_header): per-document payloads — even "
+    "doc_id a PNG IHDR (color type cycling gray/rgb/rgba), odd doc_id "
+    "a JPEG SOI+APP0+SOF0 marker stream — are synthesized in one "
+    "Arrow mapInPandas pass and header-parsed in a second; no shuffle "
+    "between them, the blob never leaves its partition.  This is the "
+    "real-corpus metadata pass (a crawl corpus is JPEG/PNG, not BMP): "
+    "dimensions/channels come off IHDR / SOF0 without touching pixel "
+    "data, so resolution/channel filters prune before any full decode. "
+    "The oracle recomputes codec/width/height/channels analytically "
+    "from the synthesis formula, so any signature, chunk-offset, "
+    "endianness, or marker-walk bug hash-mismatches.",
+    ("ext-mm", "pandas-udf"),
+    oracle="""
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+  CAST(n_chars % 640 + 1 AS BIGINT) AS width,
+  CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0
+            THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+            ELSE CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END
+       END AS BIGINT) AS channels
+FROM documents
+""",
+)
+def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.multimodal import (
+        header_features,
+        synth_doc_image_headers,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return header_features(synth_doc_image_headers(d))
+
+
 # --------------------------------------------------------------------------
 # I. SQL surface, sampling caps, fanout graph (S3, W4, U5, E5)
 # --------------------------------------------------------------------------
@@ -1466,22 +1547,13 @@ def dp_lang_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_clusters",
-    "F7 ML pipeline (taar_similarity's estimator family): seeded KMeans "
-    "over the embedding column via array_to_vector, cluster histogram. "
-    "No SQL oracle (iterative algorithm) - driver records rows-only.",
-    ("F7", "ML"),
-    oracle=None,
-)
-def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_mozetl_spark.jobs.similarity_model import fit_clusters
-
-    e = t(spark, sf_dir, "embeddings")
-    assigned = fit_clusters(e, k=8, seed=42)
-    return assigned.groupBy("prediction").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
+# embedding_clusters (seeded pyspark.ml KMeans histogram) was RETIRED
+# in round 7 after three rounds as the registry's lone rows-only row:
+# k-means|| init is iterative and not SQL-expressible, so it could
+# never be oracle-graded.  The F7 estimator family stays covered by
+# jobs/similarity_model.py:fit_clusters (pytest: tests/test_privacy_ml.py)
+# and by the ORACLE-GRADED deterministic twins embedding_lloyd_clusters
+# and embedding_semantic_dedup.
 
 
 @query(
@@ -6384,109 +6456,83 @@ def foreach_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the current window is STALE-FROM-A-PRIOR-COMMIT evidence, not a
 # current-code grade (see COVERAGE.md "Driver grading window").
 #
-# Rotation policy (round 6): front (a) queries ADDED this round,
-# (b) queries whose IMPLEMENTATION (or output schema) changed this
-# round — their old rows no longer describe current code, including
-# the two r05 err rows being re-graded after the array-serialization
-# fix — then (c) the consolidated backlog (r05 displacements, then the
-# stalest r03-graded set).  21 of the 39 r03-graded queries fit this
-# window; the remaining 18 roll to R07 (incl. segment_active_customers
-# and regional_revenue — benched every round — displaced by the late
-# embedding_semantic_dedup / doc_bigram_perplexity additions):
-# multimodal_features, latest_event_per_user, filtered_scan,
-# event_type_pivot, doc_token_stats, dp_lang_source_counts,
-# doc_token_explode, doc_lang_id, doc_quality, daily_event_rollup,
-# customers_without_orders, capped_events_per_user, priority_join_agg
-# (benched every round, r01 row), running_revenue,
-# region_nation_rollup, props_json_stats.
-# Also R07: re-grades displaced this round with r05 rows —
-# bpe_merge_candidates, bm25_search_docs, doc_negative_samples,
-# priority_conversion_ci, embedding_kcenter_coreset,
-# orders_neyman_sample, priority_status_chi2, bloom_pruned_revenue,
-# session_attribution_rollup, orders_incremental_state,
-# price_quantile_sketch, doc_dup_span_coverage,
-# embedding_lloyd_clusters, event_type_daily_trend, part_zorder_keys,
-# event_type_user_overlap, orders_quality_report,
-# user_trailing_7d_value, token_triangles, token_pmi_pairs,
-# event_transition_probs, price_winsorized_revenue,
-# event_gap_quantiles, doc_length_auc, clients_daily_rollup,
-# experiments_daily_rollup, search_engine_rollup,
-# addon_aggregates_rollup, addon_coinstall_graph, weekly_trend_merge,
-# hardware_dimension_report, profile_export_json, taar_locale_topn,
-# graphics_device_shares, missing_symbols_report,
-# csv_dim_weighted_orders, parquet_sink_roundtrip,
-# multimodal_decode_stats, embedding_bucket_topk,
-# doc_ngram_jaccard_pairs, embedding_near_dup, embedding_topk,
-# embedding_clusters (rows-only by design).
+# Rotation policy (round 7): front (a) queries ADDED this round
+# (never driver-graded), (b) queries whose IMPLEMENTATION or ORACLE
+# changed this round — their old rows no longer describe current code
+# (embedding_semantic_dedup: zero-norm-guarded oracle cosine;
+# json_artifact_roundtrip: side_input scheme/size guard;
+# multimodal_decode_stats: ext/multimodal.py gained the header-decode
+# family alongside decode_image) — then (c) the consolidated backlog:
+# ALL remaining r03-graded queries (VERDICT r06 task 2: after this
+# window no registry query's newest driver row is older than round 5),
+# then the stalest r05-graded displacements.
+# Remaining r05-graded (roll to R08, all hold green r05 rows + r07
+# full-check): search_engine_rollup, addon_aggregates_rollup,
+# addon_coinstall_graph, weekly_trend_merge, hardware_dimension_report,
+# profile_export_json, taar_locale_topn, graphics_device_shares,
+# missing_symbols_report, csv_dim_weighted_orders,
+# parquet_sink_roundtrip, taar_donor_scores, taar_lr_curves,
+# json_ping_rollup, doc_decontaminate, doc_cross_decontaminate.
+# Remaining r06-graded (current evidence, roll forward):
+# everything graded in CORRECTNESS_r06.json not re-touched this round.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
-    # (a) added in round 6 (never driver-graded => MUST hold a slot,
+    # (a) added in round 7 (never driver-graded => MUST hold a slot,
     # pinned by tests/test_entry.py)
-    "json_sink_roundtrip",
-    "schema_drift_rollup",
-    "priority_week_over_week",
-    "orders_bernoulli_sample",
-    "csv_export_roundtrip",
-    "json_artifact_roundtrip",
-    "foreach_sink_roundtrip",
+    "doc_incremental_lsh",
+    "multimodal_image_headers",
+    # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
-    "doc_bigram_perplexity",
-    # (b) output schema changed round 6 (r05 err rows: array columns
-    # serialized to scalars for the driver canonicalizer) — MUST
-    # re-grade to land their first green driver row
-    "orders_snapshot_diff",
-    "label_centroids",
-    # (b) implementation changed round 6 (advisor fixes: null-safe
-    # encode join-back, cm_estimate left join + implicit zeros,
-    # psi_drift NULL exclusion, decode_audio channels guard,
-    # part_name_links pre-verify prune, minhash bench work) — their
-    # r05 green rows describe the old code
-    "priority_loo_encoding",
-    "cm_user_counts",
-    "price_psi_drift",
-    "multimodal_audio_stats",
-    "part_name_links",
-    "doc_minhash_pairs",
-    # (c) consolidated backlog: r05 displacements first (committed
-    # driver rows, full-check green on the r5 tree)
-    "asof_click_before_purchase",
-    "doc_weighted_sample",
-    "orders_upsert_merge",
-    "doc_dup_components",
-    "doc_exact_dedup",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "doc_pretrain_corpus",
-    "doc_clean_corpus",
-    "doc_cross_decontaminate",
-    "doc_minhash_estimates",
-    "doc_winnow_copy_pairs",
-    # (c) the stalest grades: the r03-graded set, first 21 of 39
-    "brand_collapse",
-    "segment_share",
-    "union_high_value",
-    "top_part_types",
-    "summary_stats",
-    "distinct_user_event_types",
-    "customer_year_sets",
-    "token_positions",
-    "nation_suppliers",
-    "mod_sampled_agg",
-    "customer_order_counts",
-    "multi_distinct",
-    "status_conditional_agg",
-    "token_cooccurrence",
-    "stratified_mod_sample",
-    "user_event_enrich",
-    "user_first_last",
-    "top_orders_per_customer",
-    "sql_surface_lateral",
-    "sliding_event_rollup",
-    "sessionized_events",
-    # (regional_revenue displaced by the late doc_bigram_perplexity
-    # addition: like priority_join_agg it is BENCHED every round and
-    # holds an r01 row — roll to R07 with the rest)
+    "json_artifact_roundtrip",
+    "multimodal_decode_stats",
+    # (c) backlog: every remaining r03-graded query (the stalest rows)
+    "multimodal_features",
+    "latest_event_per_user",
+    "filtered_scan",
+    "event_type_pivot",
+    "doc_token_stats",
+    "dp_lang_source_counts",
+    "doc_token_explode",
+    "doc_lang_id",
+    "doc_quality",
+    "daily_event_rollup",
+    "customers_without_orders",
+    "capped_events_per_user",
+    "priority_join_agg",
+    "running_revenue",
+    "region_nation_rollup",
+    "props_json_stats",
+    "regional_revenue",
+    # (c) the stalest r05-graded displacements
+    "bpe_merge_candidates",
+    "bm25_search_docs",
+    "doc_negative_samples",
+    "priority_conversion_ci",
+    "embedding_kcenter_coreset",
+    "orders_neyman_sample",
+    "priority_status_chi2",
+    "bloom_pruned_revenue",
+    "session_attribution_rollup",
+    "orders_incremental_state",
+    "price_quantile_sketch",
+    "doc_dup_span_coverage",
+    "embedding_lloyd_clusters",
+    "event_type_daily_trend",
+    "part_zorder_keys",
+    "event_type_user_overlap",
+    "orders_quality_report",
+    "user_trailing_7d_value",
+    "token_triangles",
+    "token_pmi_pairs",
+    "event_transition_probs",
+    "price_winsorized_revenue",
+    "event_gap_quantiles",
+    "doc_length_auc",
+    "clients_daily_rollup",
+    "experiments_daily_rollup",
+    "search_engine_rollup",
+    "addon_aggregates_rollup",
 ]
 
 

@@ -66,3 +66,72 @@ def test_semdedup_oracle_zero_vector_parity(spark, tmp_path):
     assert got == want
     assert got[3] and got[5]  # zero vectors survive on BOTH engines
     assert not got[2]
+
+
+# ------------------------------------------------------------------
+# JPEG/PNG header-only decode (round-7 task 5)
+# ------------------------------------------------------------------
+
+def test_decode_image_header_png_color_types():
+    from python_mozetl_spark.ext.multimodal import (
+        decode_image_header,
+        encode_png_header,
+    )
+
+    for ct, ch in [(0, 1), (2, 3), (3, 1), (4, 2), (6, 4)]:
+        d = decode_image_header(encode_png_header(123, 45, ct))
+        assert d == {"codec": "png", "width": 123, "height": 45, "channels": ch}
+
+
+def test_decode_image_header_jpeg_marker_walk():
+    import struct
+
+    from python_mozetl_spark.ext.multimodal import (
+        decode_image_header,
+        encode_jpeg_header,
+    )
+
+    blob = encode_jpeg_header(640, 480, 3)
+    assert decode_image_header(blob) == {
+        "codec": "jpeg", "width": 640, "height": 480, "channels": 3,
+    }
+    # extra segments BEFORE the SOF must be skipped by length, and a
+    # progressive SOF2 must be recognized too
+    com_body = b"a comment"
+    com = b"\xff\xfe" + struct.pack(">H", len(com_body) + 2) + com_body
+    base = encode_jpeg_header(9, 7, 1)
+    sof0 = base[base.index(b"\xff\xc0"):]
+    progressive = base[:2] + com + b"\xff" + b"\xff\xc2" + sof0[2:]
+    d = decode_image_header(progressive)
+    assert (d["width"], d["height"], d["channels"]) == (9, 7, 1)
+
+
+def test_decode_image_header_bmp_ppm_and_unknown():
+    import pytest as _pytest
+
+    from python_mozetl_spark.ext.multimodal import (
+        decode_image_header,
+        encode_bmp,
+    )
+
+    d = decode_image_header(encode_bmp(5, 3, lambda x, y: 0))
+    assert d == {"codec": "bmp", "width": 5, "height": 3, "channels": 3}
+    d = decode_image_header(b"P6\n2 2\n255\n" + b"\x00" * 12)
+    assert d == {"codec": "ppm", "width": 2, "height": 2, "channels": 3}
+    with _pytest.raises(ValueError):
+        decode_image_header(b"GIF89a......")
+    with _pytest.raises(ValueError):
+        decode_image_header(b"\xff\xd8\xff\xd9")  # jpeg with no SOF
+
+
+def test_header_features_permissive_nulls(spark):
+    from python_mozetl_spark.ext.multimodal import (
+        encode_png_header,
+        header_features,
+    )
+
+    rows = [(1, bytearray(encode_png_header(8, 4, 2))), (2, bytearray(b"junk"))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r.asDict() for r in header_features(media).collect()}
+    assert got[1]["codec"] == "png" and got[1]["width"] == 8
+    assert got[2]["codec"] is None and got[2]["width"] is None
