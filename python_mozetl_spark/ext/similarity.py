@@ -734,11 +734,12 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 4,
+    k: int | None = 4,
     iters: int = 2,
     threshold: float = 0.4,
     round_dp: int = 4,
     max_cluster: int = 10_000,
+    target_cluster_size: int = 1_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedded corpus — cluster the embeddings, form
@@ -763,12 +764,25 @@ def semantic_dedup(
     At 100 TB scale ``k`` grows with the corpus (SemDeDup uses ~100k
     clusters for web-scale data) so |cluster| — and with it the
     within-cluster pair fanout — stays bounded; the clustering cost
-    itself is one mean-agg exchange per iteration.
+    itself is one mean-agg exchange per iteration.  That scaling is
+    ENFORCED, not just documented: ``k=None`` sizes the clustering as
+    ``k = ceil(n / target_cluster_size)`` from a one-row count, so a
+    growing corpus gets proportionally more clusters and the expected
+    per-cluster pair fanout stays ~``target_cluster_size²/2`` per
+    cluster regardless of corpus size (pinned by
+    tests/test_r07.py::test_semantic_dedup_auto_k_bounds_fanout).
 
     Returns (id, cluster, kept): every input vector exactly once.
     """
+    import math
+
     from python_mozetl_spark.ext.dedup import bounded_bucket_pairs
 
+    if k is None:
+        # one bounded 1-row aggregate — the same class of driver
+        # action as the Lloyd centroid collects
+        n = df.count()
+        k = max(1, math.ceil(n / target_cluster_size))
     assign = lloyd_clusters(df, id_col, vec_col, k=k, iters=iters)
     vecs = df.select(
         F.col(id_col),

@@ -4724,6 +4724,28 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_semantic_dedup_hi",
+    "SemDeDup at the PAPER's operating point: epsilon-neighbor "
+    "threshold 0.95 (Abbas et al. run 0.9+; the 0.4 row above stress-"
+    "tests the pair plumbing with a dense duplicate graph, this row "
+    "grades the near-exact-duplicate regime production runs use) and "
+    "a finer clustering (k=8).  Same deterministic Lloyd + cluster-"
+    "bucketed pair stage + zero-norm-guarded rounded cosine; full "
+    "per-vector keep/drop decision hash-exact vs the unrolled-SQL "
+    "oracle.",
+    ("ext-dedup", "ext-sim", "F7"),
+    oracle=_lloyd_oracle(k=8, iters=2, tail=_semdedup_tail(0.95)),
+)
+def embedding_semantic_dedup_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", k=8, iters=2, threshold=0.95
+    )
+
+
+@query(
     "doc_bigram_perplexity",
     "CCNet-style LM-perplexity scoring (Wenzek et al. LREC'20 — THE "
     "web-corpus quality filter between dedup and task filtering), "
@@ -6482,6 +6504,7 @@ _DRIVER_WINDOW = [
     # pinned by tests/test_entry.py)
     "doc_incremental_lsh",
     "multimodal_image_headers",
+    "embedding_semantic_dedup_hi",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -6532,7 +6555,6 @@ _DRIVER_WINDOW = [
     "clients_daily_rollup",
     "experiments_daily_rollup",
     "search_engine_rollup",
-    "addon_aggregates_rollup",
 ]
 
 

@@ -135,3 +135,54 @@ def test_header_features_permissive_nulls(spark):
     got = {r["media_id"]: r.asDict() for r in header_features(media).collect()}
     assert got[1]["codec"] == "png" and got[1]["width"] == 8
     assert got[2]["codec"] is None and got[2]["width"] is None
+
+
+# ------------------------------------------------------------------
+# SemDeDup scale policy: auto-k sizing keeps pair fanout bounded
+# ------------------------------------------------------------------
+
+def test_semantic_dedup_auto_k_bounds_fanout(spark):
+    """k=None → k = ceil(n / target_cluster_size): growing the corpus
+    grows the number of clusters, so the expected cluster size — and
+    with it the within-cluster pair fanout — stays ~target, instead of
+    pair work growing quadratically with the corpus."""
+    import math
+
+    from python_mozetl_spark.ext.similarity import lloyd_clusters, semantic_dedup
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 97).cast("double"),
+                (F.col("id") % 89).cast("double"),
+            ).alias("embedding"),
+        )
+
+    target = 50
+    for n in (200, 800):
+        df = corpus(n)
+        out = semantic_dedup(
+            df, "vec_id", "embedding", k=None, iters=1,
+            threshold=0.99, target_cluster_size=target,
+        )
+        rows = out.collect()
+        assert len(rows) == n  # every vector decided exactly once
+        k_expected = math.ceil(n / target)
+        clusters = {r["cluster"] for r in rows}
+        assert clusters <= set(range(k_expected))
+        # the enforced bound: cluster count scales with n, so the mean
+        # cluster size (pair-fanout driver) stays ~target
+        assert len(clusters) == k_expected
+
+
+def test_semantic_dedup_explicit_k_unchanged(spark):
+    from python_mozetl_spark.ext.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, "vec_id", "embedding", k=3, iters=1, threshold=0.999)
+    assert out.count() == 30
+    assert {r["cluster"] for r in out.collect()} <= {0, 1, 2}
