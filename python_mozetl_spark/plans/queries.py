@@ -6465,6 +6465,97 @@ def foreach_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_merge_sink_roundtrip",
+    "The exactly-once streaming table sink graded by read-back "
+    "(streaming/sink.py:merge_stream_to_parquet — foreachBatch + "
+    "idempotent keyed MERGE + sealed-swap atomic publish): a "
+    "deterministic CDC feed derived from orders (updates for "
+    "o_orderkey % 4 == 0 at version 1, tombstone deletes for "
+    "o_orderkey % 10 == 7 at version 2) streams into a version-0 base "
+    "table over SEVERAL micro-batches (maxFilesPerTrigger=1), then "
+    "the WHOLE feed is REPLAYED under a fresh checkpoint — at-least-"
+    "once delivery made exactly-once by merge idempotency.  The final "
+    "table hash-matches the oracle only if every update landed, every "
+    "tombstone stayed dead through the replay, and no batch was "
+    "double-applied.",
+    ("K6", "§2.12", "streaming"),
+    oracle="""
+WITH o AS (SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey,
+  CAST(CASE WHEN o_orderkey % 4 = 0 THEN cents + 100 ELSE cents END
+       AS BIGINT) AS price_cents,
+  CAST(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS version
+FROM o WHERE o_orderkey % 10 <> 7
+""",
+)
+def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from python_mozetl_spark.streaming import merge_stream_to_parquet
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    root = _os.path.join(
+        tempfile.gettempdir(),
+        f"python_mozetl_spark_stream_merge_{_os.getpid()}_"
+        f"{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table, src = f"{root}/table", f"{root}/src"
+    # version-0 base table
+    o.withColumn("version", F.lit(0).cast("int")).write.parquet(table)
+    # the CDC feed: updates and tombstones are key-disjoint (one even,
+    # one odd), so the oracle needs no version arbitration beyond the
+    # merge's own last-wins contract
+    updates = o.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        (F.col("price_cents") + 100).alias("price_cents"),
+        F.lit(1).cast("int").alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("price_cents"),
+        F.lit(2).cast("int").alias("version"),
+        F.lit(True).alias("deleted"),
+    )
+    # several source files => several micro-batches under
+    # maxFilesPerTrigger=1 (the multi-batch replay is the point)
+    updates.unionByName(deletes).repartition(4).write.parquet(src)
+
+    schema = "o_orderkey bigint, price_cents bigint, version int, deleted boolean"
+
+    def run(ckpt: str) -> None:
+        q = merge_stream_to_parquet(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            table,
+            ["o_orderkey"],
+            "version",
+            delete_col="deleted",
+            checkpoint=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run(f"{root}/ckpt1")
+    # full replay: a fresh checkpoint re-delivers EVERY micro-batch —
+    # the at-least-once worst case the idempotent merge must absorb
+    run(f"{root}/ckpt2")
+    return spark.read.parquet(table).select(
+        "o_orderkey", "price_cents", F.col("version").cast("bigint").alias("version")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -6505,6 +6596,7 @@ _DRIVER_WINDOW = [
     "doc_incremental_lsh",
     "multimodal_image_headers",
     "embedding_semantic_dedup_hi",
+    "stream_merge_sink_roundtrip",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -6554,7 +6646,6 @@ _DRIVER_WINDOW = [
     "doc_length_auc",
     "clients_daily_rollup",
     "experiments_daily_rollup",
-    "search_engine_rollup",
 ]
 
 
