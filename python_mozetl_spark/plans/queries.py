@@ -2119,6 +2119,7 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
 SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
 FROM p GROUP BY id_a, id_b HAVING count(*) >= 50
 """,
+    bench=True,  # round 7: the heaviest ext query joins the headline set
 )
 def doc_winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.dedup import bounded_bucket_pairs, winnow_fingerprints
