@@ -2126,6 +2126,18 @@ def doc_winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+    # pre-verify prune (the part_name_links lesson applied here): the
+    # output demands n_shared >= 50 DISTINCT shared fingerprints, so a
+    # doc with fewer than 50 fingerprints total can appear in NO
+    # qualifying pair — drop its rows before the quadratic bucket
+    # enumeration (824 of 5000 docs at sf0.1).  One cheap window pass
+    # over the ~554k fp rows buys a square-law cut in enumerated pairs.
+    w_doc = Window.partitionBy("doc_id")
+    fps = (
+        fps.withColumn("__m", F.count(F.lit(1)).over(w_doc))
+        .where(F.col("__m") >= 50)
+        .drop("__m")
+    )
     # fingerprint buckets are EXTREMELY skewed (boilerplate 8-grams
     # shared by thousands of docs -> ~95M pair enumerations at sf0.1
     # from 554k fp rows): chunk the giants at 500 members and spread
