@@ -296,6 +296,73 @@ def decontaminate(
     return hits.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shared"))
 
 
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    round_dp: int = 6,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """GPT-3-style n-gram contamination REPORT (Brown et al. 2020,
+    appendix C used word-13-grams): for EVERY training document, the
+    total distinct word n-gram count, how many of those n-grams occur
+    anywhere in the benchmark corpus, and the dirty fraction — the
+    measurement step that decides between dropping a document
+    (:func:`decontaminate`) and span-surgery on it.
+
+    Returns ``(id_col, n_grams, n_dirty, dirty_frac)`` with every
+    training document exactly once: documents shorter than ``n``
+    tokens report ``(0, 0, 0.0)`` rather than vanishing.
+
+    Scale shape mirrors :func:`decontaminate`: benchmark grams
+    distinct-ed and broadcast (eval sets are small by construction;
+    ``broadcast_benchmark=False`` falls back to a gram-keyed shuffle
+    for corpus-sized "benchmarks"), the 100 TB training side streams
+    through one explode + one left broadcast join + one id-keyed agg,
+    and the zero-gram join-back rides the same id key.
+    """
+    bgrams = (
+        benchmark.select(tokens(text_col).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("gram"))
+        .distinct()
+        .withColumn("__dirty", F.lit(1))
+    )
+    tgrams = train.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col,
+        F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("gram"),
+    )
+    bside = F.broadcast(bgrams) if broadcast_benchmark else bgrams
+    per_doc = (
+        tgrams.join(bside, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__dirty"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dirty"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_dirty", F.lit(0)).cast("bigint").alias("n_dirty"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_dirty", F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                round_dp,
+            ).alias("dirty_frac"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -188,3 +188,51 @@ def bm25_topk(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str,
+    k: int = 60,
+    topk: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of
+    several retrieval rankings — the standard hybrid-search combiner
+    (BM25 lexical + embedding-cosine semantic being the modern RAG
+    pairing): ``rrf(d) = Σ_lists 1 / (k + rank_list(d))`` over the
+    lists that retrieved ``d``; documents in several lists rise, rank
+    positions (not incomparable raw scores) carry the signal.
+
+    Each input frame must hold ``(id_col, rank)`` with rank 1-based.
+    Returns ``(id_col, rrf_score, n_lists)`` ordered by
+    (score DESC, id) — with ``topk``, limited to the fusion top-k.
+
+    Scale shape: inputs are top-N lists (bounded by their own
+    retrieval k, NOT corpus-sized), so the union + one id-keyed agg is
+    trivially cheap; the expensive work stays inside the upstream
+    retrievers, which keep their own scale contracts.  Deterministic
+    and oracle-checkable: the per-list contribution is an exact double
+    from integer rank, summed per id and rounded once.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    tagged = [
+        r.select(F.col(id_col), F.col("rank").cast("bigint").alias("rank"))
+        for r in rankings
+    ]
+    unioned = tagged[0]
+    for r in tagged[1:]:
+        unioned = unioned.unionByName(r)
+    out = (
+        unioned.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))),
+                round_dp,
+            ).alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), id_col)
+    )
+    return out.limit(topk) if topk else out

@@ -4793,6 +4793,99 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_ccnet_buckets",
+    "CCNet's final curation step (Wenzek et al. LREC'20 §4.3): bucket "
+    "each language's documents into head/middle/tail perplexity "
+    "TERTILES — head (lowest ppl) trains as-is, middle gets sampled, "
+    "tail is dropped or mined.  Composes the graded bigram-LM "
+    "perplexity with one ntile window per language partition "
+    "(deterministic: ordered by rounded ppl then doc_id).  Scale: the "
+    "window partitions by lang, so no global sort — each language "
+    "ranks independently.",
+    ("ext-quality", "lm", "+W"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+occ AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  WHERE len(t) >= 2),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS nv FROM occ),
+lp AS (SELECT occ.doc_id,
+    ln((c12 + 0.5) / (c1 + 0.5 * nv)) AS l
+  FROM occ JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+ppl AS (SELECT doc_id, round(exp(-avg(l)), 4) AS ppl FROM lp GROUP BY doc_id),
+b AS (SELECT p.doc_id, d.lang, p.ppl,
+    ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS tert
+  FROM ppl p JOIN documents d USING (doc_id))
+SELECT doc_id, lang, ppl,
+  CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b
+""",
+)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import bigram_perplexity
+
+    d = t(spark, sf_dir, "documents")
+    ppl = bigram_perplexity(d, "doc_id", "text").select("doc_id", "ppl")
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    return (
+        ppl.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("__tert", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "ppl",
+            F.when(F.col("__tert") == 1, "head")
+            .when(F.col("__tert") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+@query(
+    "doc_contamination_report",
+    "GPT-3-style n-gram contamination REPORT (Brown et al. 2020 app. C "
+    "— word-n-gram overlap vs the benchmark corpus; n=3 here so the "
+    "synthetic corpus yields a non-degenerate overlap distribution, "
+    "n=13 in production): for EVERY training doc (doc_id % 97 != 0; "
+    "the held-out docs are the benchmark), total distinct n-grams, "
+    "how many occur in the benchmark set, and the dirty fraction — "
+    "the measurement step between decontamination filtering and span "
+    "surgery.  Benchmark grams broadcast; train side is one explode + "
+    "left broadcast join + id agg; sub-n-token docs report (0,0,0.0) "
+    "instead of vanishing (ext/quality.py:contamination_report).",
+    ("ext-quality", "ext-dedup", "S8"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+g AS (SELECT doc_id, {_DUCK_SHINGLES} AS gs FROM tk),
+bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0),
+ov AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dirty
+  FROM tr LEFT JOIN bench ON tr.gram = bench.gram GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(ov.n_grams, 0) AS n_grams,
+  coalesce(ov.n_dirty, 0) AS n_dirty,
+  round(CASE WHEN coalesce(ov.n_grams, 0) > 0
+        THEN coalesce(ov.n_dirty, 0) / CAST(ov.n_grams AS DOUBLE)
+        ELSE 0.0 END, 6) AS dirty_frac
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN ov USING (doc_id)
+""",
+)
+def doc_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import contamination_report
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_report(train, bench, "doc_id", "text", n=3)
+
+
+@query(
     "event_type_daily_trend",
     "Per-group trend fitting: OLS of daily event volume against the "
     "epoch-day index, per event type — regr_slope/intercept/r2 as "
@@ -5629,6 +5722,88 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         d, "doc_id", "text", ["table", "hash", "data", "query"], k=20
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    "Hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+    "SIGIR'09; the standard RAG lexical+semantic combiner): the BM25 "
+    "top-20 for {table, hash, data, query} fuses with the cosine "
+    "top-20 against doc 0's embedding via rrf(d) = sum 1/(60+rank), "
+    "fusion top-10 returned (ext/search.py:rrf_fuse).  Ranks — not "
+    "incomparable raw scores — carry the signal; docs surfacing in "
+    "both lists rise.  Scale: both retrievers keep their own bounded "
+    "contracts (filtered postings / broadcast query vector); the "
+    "fusion unions two 20-row lists, cost-free.  Deterministic rank "
+    "assignment (rounded score DESC, id) on both engines.",
+    ("search", "ext-sim", "J4"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+       FROM dl),
+post AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM post
+       WHERE term IN ('table', 'hash', 'data', 'query') GROUP BY 1, 2),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS dfq FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id,
+    round(sum(
+      ln(1 + (st.n - dfc.dfq + 0.5) / (dfc.dfq + 0.5)) * tf.tf * 2.2
+      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                        / (CAST(st.sumdl AS DOUBLE) / st.n)))
+    ), 6) AS score
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20),
+lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+sem0 AS (SELECT e.vec_id AS doc_id,
+    round(CASE WHEN list_dot_product(e.v, e.v) = 0
+                 OR list_dot_product(qv.v, qv.v) = 0 THEN 0.0
+          ELSE list_cosine_similarity(e.v, qv.v) END, 6) AS score
+  FROM e CROSS JOIN qv),
+sem AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM (SELECT * FROM sem0 ORDER BY score DESC, doc_id LIMIT 20) q),
+u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+f AS (SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+        CAST(count(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1)
+SELECT doc_id, rrf_score, n_lists
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.search import bm25_topk, rrf_fuse
+
+    d = t(spark, sf_dir, "documents")
+    lex = bm25_topk(
+        d, "doc_id", "text", ["table", "hash", "data", "query"], k=20
+    )
+    # rank assignment over a 20-row list: the single-partition window
+    # is bounded by the retrieval k, not the corpus
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    lex = lex.select("doc_id", F.row_number().over(w).alias("rank"))
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    qv = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("__v").alias("__q"))
+    )
+    sem = (
+        e.crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("__v"), F.col("__q")), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.row_number().over(w).alias("rank"))
+    )
+    return rrf_fuse([lex, sem], "doc_id", k=60, topk=10)
 
 
 @query(
@@ -6610,6 +6785,9 @@ _DRIVER_WINDOW = [
     "multimodal_image_headers",
     "embedding_semantic_dedup_hi",
     "stream_merge_sink_roundtrip",
+    "doc_ccnet_buckets",
+    "doc_contamination_report",
+    "hybrid_search_rrf",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -6656,9 +6834,6 @@ _DRIVER_WINDOW = [
     "event_transition_probs",
     "price_winsorized_revenue",
     "event_gap_quantiles",
-    "doc_length_auc",
-    "clients_daily_rollup",
-    "experiments_daily_rollup",
 ]
 
 

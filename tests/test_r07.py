@@ -186,3 +186,40 @@ def test_semantic_dedup_explicit_k_unchanged(spark):
     out = semantic_dedup(df, "vec_id", "embedding", k=3, iters=1, threshold=0.999)
     assert out.count() == 30
     assert {r["cluster"] for r in out.collect()} <= {0, 1, 2}
+
+
+# ------------------------------------------------------------------
+# RRF fusion + contamination report (round-7 coverage widening)
+# ------------------------------------------------------------------
+
+def test_rrf_fuse_ranks_and_membership(spark):
+    from python_mozetl_spark.ext.search import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem], "doc_id", k=60).collect()}
+    assert out[3]["n_lists"] == 2 and out[1]["n_lists"] == 1
+    # doc 3 (rank 3 + rank 1) beats doc 1 (rank 1 alone)
+    assert out[3]["rrf_score"] > out[1]["rrf_score"]
+    assert abs(out[3]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-6
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
+
+
+def test_contamination_report_zero_gram_docs_survive(spark):
+    from python_mozetl_spark.ext.quality import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x"), (3, None), (4, "p q r")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "b c d e")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           contamination_report(train, bench, "doc_id", "text", n=3).collect()}
+    assert set(got) == {1, 2, 3, 4}          # nobody vanishes
+    assert got[1]["n_grams"] == 2 and got[1]["n_dirty"] == 1  # 'b c d' dirty
+    assert got[1]["dirty_frac"] == 0.5
+    assert got[2]["n_grams"] == 0 and got[2]["dirty_frac"] == 0.0
+    assert got[3]["n_grams"] == 0
+    assert got[4]["n_dirty"] == 0
