@@ -270,3 +270,108 @@ def ring_negative_samples(
         )
     )
     return out.where(F.col("neg_id") != F.col(id_col))
+
+
+def dsir_select(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 256,
+    k: int = 50,
+    add_k: float = 0.5,
+    seed: int = 42,
+    round_dp: int = 4,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): pick the ``k`` raw-pool documents that most resemble
+    a target domain, by importance weight under two bag-of-hashed-
+    bigram models.
+
+    Per pool document d with hashed-bigram occurrence counts c_b:
+    ``logw(d) = Σ_b c_b · (ln p_b − ln q_b)`` where p is the add-k-
+    smoothed bucket distribution of the TARGET corpus and q that of
+    the POOL; selection is Gumbel top-k (logits ``logw``, one Gumbel
+    draw per doc from the repo's md5-keyed uniform), which samples
+    without replacement proportionally to exp(logw) — but, being
+    md5-keyed, is deterministic and oracle-checkable like every other
+    sampler here.
+
+    Returns the selected ``(id_col, logw, score, rank)`` rows (score =
+    rounded logw + Gumbel; rank 1..k by (score DESC, id)).
+
+    Scale shape: both models are m-row grids built from one bucket agg
+    each and broadcast; the 100 TB pool streams through one bigram
+    explode + broadcast join + id-keyed sum (ONE exchange), and top-k
+    is TakeOrdered, never a global sort.  Hash-bucketing (not a vocab
+    join) keeps the feature space fixed-size regardless of corpus
+    vocabulary — the paper's own trick, and the reason the model
+    broadcast is O(m) not O(vocab).
+    """
+    from python_mozetl_spark.functions.text import tokens
+    from python_mozetl_spark.operators.privacy import keyed_uniform
+    from pyspark.sql import Window
+
+    def gram_occurrences(df: DataFrame) -> DataFrame:
+        staged = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        grams = F.when(
+            F.size("__t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> concat_ws(' ', __t[i-1], __t[i]))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        return staged.select(id_col, F.explode(grams).alias("gram")).withColumn(
+            "bucket", F.pmod(H.md5_int64(F.col("gram"), salt="dsir"), F.lit(m))
+        )
+
+    tgt = gram_occurrences(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tc")
+    )
+    pool_occ = gram_occurrences(pool)
+    pq = pool_occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__qc")
+    )
+    spark = pool.sparkSession
+    grid = spark.range(m).select(F.col("id").cast("bigint").alias("bucket"))
+    tot_t = tgt.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__T"))
+    tot_q = pq.agg(F.coalesce(F.sum("__qc"), F.lit(0)).alias("__Q"))
+    model = (
+        grid.join(tgt, "bucket", "left")
+        .join(pq, "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_q))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("__tc", F.lit(0)) + F.lit(add_k))
+                    / (F.col("__T") + F.lit(add_k * m))
+                )
+                - F.log(
+                    (F.coalesce("__qc", F.lit(0)) + F.lit(add_k))
+                    / (F.col("__Q") + F.lit(add_k * m))
+                )
+            ).alias("__lr"),
+        )
+    )
+    per_doc = (
+        pool_occ.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("__lr").alias("__logw"))
+    )
+    u = keyed_uniform([F.col(id_col)], seed)
+    gumbel = -F.log(-F.log(u))
+    scored = (
+        pool.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(id_col, F.coalesce("__logw", F.lit(0.0)).alias("__logw"))
+        .select(
+            id_col,
+            F.round("__logw", round_dp).alias("logw"),
+            F.round(F.col("__logw") + gumbel, round_dp).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), id_col).limit(k)
+    w = Window.orderBy(F.desc("score"), id_col)
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

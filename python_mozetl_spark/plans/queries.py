@@ -4886,6 +4886,59 @@ def doc_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_dsir_selection",
+    "DSIR data selection (Xie et al. NeurIPS'23): pick the 50 non-"
+    "English pool docs most resembling the English target domain by "
+    "importance weight under two bag-of-hashed-bigram models "
+    "(ext/mixing.py:dsir_select) — logw(d) = sum_b c_b (ln p_b - "
+    "ln q_b) over m=256 md5-hashed buckets, Gumbel top-k selection "
+    "with md5-keyed draws so resampling-without-replacement is "
+    "deterministic and the full selection (weights, scores, ranks) "
+    "hash-matches the oracle.  Models are m-row broadcast grids; the "
+    "pool pays one bigram explode + broadcast join + id sum.",
+    ("ext-mixing", "U5", "F6"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents),
+occ AS (SELECT doc_id, lang,
+    ('0x' || substr(md5('dsir' || t[i] || ' ' || t[i + 1]), 1, 15))::BIGINT
+      % 256 AS bucket
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  WHERE len(t) >= 2),
+tgt AS (SELECT bucket, count(*) AS tc FROM occ WHERE lang = 'en' GROUP BY 1),
+pq AS (SELECT bucket, count(*) AS qc FROM occ WHERE lang <> 'en' GROUP BY 1),
+tt AS (SELECT coalesce(sum(tc), 0) AS T FROM tgt),
+qq AS (SELECT coalesce(sum(qc), 0) AS Q FROM pq),
+grid AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+model AS (SELECT g.bucket,
+    ln((coalesce(tgt.tc, 0) + 0.5) / (tt.T + 0.5 * 256))
+      - ln((coalesce(pq.qc, 0) + 0.5) / (qq.Q + 0.5 * 256)) AS lr
+  FROM grid g LEFT JOIN tgt ON g.bucket = tgt.bucket
+  LEFT JOIN pq ON g.bucket = pq.bucket CROSS JOIN tt CROSS JOIN qq),
+lw AS (SELECT occ.doc_id, sum(model.lr) AS logw
+  FROM occ JOIN model ON occ.bucket = model.bucket
+  WHERE occ.lang <> 'en' GROUP BY 1),
+sc AS (SELECT p.doc_id, coalesce(lw.logw, 0.0) AS logw,
+    -ln(-ln((('0x' || substr(md5('42' || chr(31)
+        || CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+        / 1152921504606846976.0)) AS g
+  FROM (SELECT doc_id FROM documents WHERE lang <> 'en') p
+  LEFT JOIN lw ON p.doc_id = lw.doc_id)
+SELECT doc_id, round(logw, 4) AS logw, round(logw + g, 4) AS score,
+  CAST(row_number() OVER (ORDER BY round(logw + g, 4) DESC, doc_id)
+       AS BIGINT) AS rank
+FROM sc ORDER BY score DESC, doc_id LIMIT 50
+""",
+)
+def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import dsir_select
+
+    d = t(spark, sf_dir, "documents")
+    target = d.where(F.col("lang") == "en")
+    pool = d.where(F.col("lang") != "en")
+    return dsir_select(pool, target, "doc_id", "text", m=256, k=50)
+
+
+@query(
     "event_type_daily_trend",
     "Per-group trend fitting: OLS of daily event volume against the "
     "epoch-day index, per event type — regr_slope/intercept/r2 as "
@@ -6788,6 +6841,7 @@ _DRIVER_WINDOW = [
     "doc_ccnet_buckets",
     "doc_contamination_report",
     "hybrid_search_rrf",
+    "doc_dsir_selection",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -6833,7 +6887,6 @@ _DRIVER_WINDOW = [
     "token_pmi_pairs",
     "event_transition_probs",
     "price_winsorized_revenue",
-    "event_gap_quantiles",
 ]
 
 

@@ -223,3 +223,35 @@ def test_contamination_report_zero_gram_docs_survive(spark):
     assert got[2]["n_grams"] == 0 and got[2]["dirty_frac"] == 0.0
     assert got[3]["n_grams"] == 0
     assert got[4]["n_dirty"] == 0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Importance weights rank pool docs that share the target's
+    bigrams above docs that don't; selection is deterministic."""
+    from python_mozetl_spark.ext.mixing import dsir_select
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps high") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "the quick brown fox runs"),        # target-like
+            (2, "quick brown fox jumps again"),     # target-like
+            (3, "zebra yak xylophone walrus vole"), # alien
+            (4, "unrelated words entirely here"),   # alien
+        ],
+        "doc_id long, text string",
+    )
+    out = dsir_select(pool, target, "doc_id", "text", m=64, k=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert min(rows[1]["logw"], rows[2]["logw"]) > max(
+        rows[3]["logw"], rows[4]["logw"]
+    )
+    # determinism: identical re-run, identical scores and ranks
+    again = {r["doc_id"]: r for r in
+             dsir_select(pool, target, "doc_id", "text", m=64, k=4).collect()}
+    assert {d: (r["score"], r["rank"]) for d, r in rows.items()} == {
+        d: (r["score"], r["rank"]) for d, r in again.items()
+    }
