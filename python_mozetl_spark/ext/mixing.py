@@ -325,12 +325,22 @@ def dsir_select(
             "bucket", F.pmod(H.md5_int64(F.col("gram"), salt="dsir"), F.lit(m))
         )
 
-    tgt = gram_occurrences(target).groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__tc")
+    # staging discipline (SCALE.md §6b): the pool occurrence subtree
+    # has two consumers (bucket counts + the per-doc weight join) and
+    # the two m-row count frames each feed a total AND the model grid —
+    # materialize each once instead of re-running tokenize+hash per
+    # consumer
+    tgt = (
+        gram_occurrences(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tc"))
+        .localCheckpoint(eager=False)
     )
-    pool_occ = gram_occurrences(pool)
-    pq = pool_occ.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__qc")
+    pool_occ = gram_occurrences(pool).localCheckpoint(eager=False)
+    pq = (
+        pool_occ.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__qc"))
+        .localCheckpoint(eager=False)
     )
     spark = pool.sparkSession
     grid = spark.range(m).select(F.col("id").cast("bigint").alias("bucket"))

@@ -499,6 +499,12 @@ def bigram_perplexity(
             )
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    # THREE consumers read the occurrence subtree (bigram counts,
+    # vocabulary, the final per-doc score join) — materialize it once
+    # instead of re-running tokenize+explode per consumer (the minhash
+    # staging discipline, SCALE.md §6b; at cluster scale persist the
+    # occurrence table instead)
+    occ = occ.localCheckpoint(eager=False)
     bi = occ.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("__c12"))
     ctx = bi.groupBy("w1").agg(F.sum("__c12").cast("bigint").alias("__c1"))
     vocab = occ.agg(F.countDistinct("w2").cast("bigint").alias("__V"))

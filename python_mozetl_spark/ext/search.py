@@ -155,6 +155,10 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # doc lengths AND the postings explode both read the tokenize
+    # subtree — materialize it once (minhash staging discipline,
+    # SCALE.md §6b) instead of re-tokenizing the corpus per consumer
+    toks = toks.localCheckpoint(eager=False)
     doclen = toks.select(id_col, F.size("__toks").cast("bigint").alias("__dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),

@@ -4799,9 +4799,13 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TERTILES — head (lowest ppl) trains as-is, middle gets sampled, "
     "tail is dropped or mined.  Composes the graded bigram-LM "
     "perplexity with one ntile window per language partition "
-    "(deterministic: ordered by rounded ppl then doc_id).  Scale: the "
-    "window partitions by lang, so no global sort — each language "
-    "ranks independently.",
+    "(deterministic: ordered by rounded ppl then doc_id).  Scale "
+    "note: exact ntile serializes each language into one sorted "
+    "partition — correct and cheap at grading scale; at 100 TB the "
+    "same contract is served by CCNet's actual mechanism, two "
+    "approx-percentile CUTOFFS per language (a broadcast 2-value agg) "
+    "with bucket-by-comparison, trading exact tertile counts for a "
+    "fully parallel assignment.",
     ("ext-quality", "lm", "+W"),
     oracle=f"""
 WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
