@@ -5306,6 +5306,11 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
         .distinct()
+        # e0 feeds the degree union (twice) and the orientation join —
+        # and everything downstream multiplies: without staging this
+        # plan re-ran the token self-join ~45x (90 scans measured).
+        # Same staging discipline as minhash/BM25 (SCALE.md §6b).
+        .localCheckpoint(eager=False)
     )
     deg = (
         e0.select(F.col("a").alias("v"))
@@ -5324,6 +5329,8 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("a"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("b"),
         )
+        # the oriented edge list is read THREE times by the wedge join
+        .localCheckpoint(eager=False)
     )
     tri = (
         e.alias("e1")
