@@ -308,20 +308,19 @@ def dsir_select(
     vocabulary — the paper's own trick, and the reason the model
     broadcast is O(m) not O(vocab).
     """
-    from python_mozetl_spark.functions.text import tokens
+    from python_mozetl_spark.functions.text import bigram_structs, tokens
     from python_mozetl_spark.operators.privacy import keyed_uniform
     from pyspark.sql import Window
 
     def gram_occurrences(df: DataFrame) -> DataFrame:
         staged = df.select(F.col(id_col), tokens(text_col).alias("__t"))
-        grams = F.when(
-            F.size("__t") >= 2,
-            F.expr(
-                "transform(sequence(1, size(__t) - 1), "
-                "i -> concat_ws(' ', __t[i-1], __t[i]))"
-            ),
-        ).otherwise(F.expr("CAST(array() AS array<string>)"))
-        return staged.select(id_col, F.explode(grams).alias("gram")).withColumn(
+        occ = staged.select(
+            id_col, F.explode(bigram_structs("__t")).alias("__bg")
+        )
+        return occ.select(
+            id_col,
+            F.concat_ws(" ", "__bg.w1", "__bg.w2").alias("gram"),
+        ).withColumn(
             "bucket", F.pmod(H.md5_int64(F.col("gram"), salt="dsir"), F.lit(m))
         )
 

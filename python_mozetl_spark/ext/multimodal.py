@@ -252,11 +252,25 @@ def decode_image_header(content: bytes) -> dict:
             "channels": 3,
         }
     if content[:2] == b"P6":
-        d = decode_image(content)
+        # header fields only — delegating to decode_image would sum
+        # the whole raster, breaking this function's never-touch-
+        # pixel-data contract for one of its four containers
+        pos, fields = 2, []
+        while len(fields) < 2:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while pos < len(content) and content[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(content[start:pos]))
         return {
             "codec": "ppm",
-            "width": d["width"],
-            "height": d["height"],
+            "width": fields[0],
+            "height": fields[1],
             "channels": 3,
         }
     raise ValueError("unknown image container (PNG/JPEG/BMP/P6 supported)")

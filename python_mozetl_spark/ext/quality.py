@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from python_mozetl_spark.functions.text import (
     all_shingles_from_tokens,
+    bigram_structs,
     shingles_from_tokens,
     tokens,
 )
@@ -490,14 +491,8 @@ def bigram_perplexity(
     aggregate cross-joined in — never a driver collect.
     """
     staged = df.select(F.col(id_col), tokens(text_col).alias("__t"))
-    occ = staged.where(F.size("__t") >= 2).select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__t) - 1), "
-                "i -> struct(__t[i-1] AS w1, __t[i] AS w2))"
-            )
-        ).alias("__bg"),
+    occ = staged.select(
+        F.col(id_col), F.explode(bigram_structs("__t")).alias("__bg")
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
     # THREE consumers read the occurrence subtree (bigram counts,
     # vocabulary, the final per-doc score join) — materialize it once

@@ -40,6 +40,23 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
 
 
+def bigram_structs(toks) -> Column:
+    """Bigram OCCURRENCES (not distinct) over an already-materialized
+    token array column, as ``array<struct<w1,w2>>`` — the shared unit
+    of the bigram LM (ext/quality.py) and hashed-bigram features
+    (ext/mixing.py:dsir_select).  Guards the ``sequence(1, 0)``
+    reverse-sequence trap: fewer than two tokens yields an empty
+    array, never ``[1, 0]``.  Same staging caveat as
+    :func:`shingles_from_tokens`: pass a plain column attribute."""
+    grams = F.expr(
+        "transform(sequence(1, size({c}) - 1), "
+        "i -> struct({c}[i-1] AS w1, {c}[i] AS w2))".format(c=toks)
+    )
+    return F.when(F.size(F.col(toks)) >= 2, grams).otherwise(
+        F.expr("CAST(array() AS array<struct<w1: string, w2: string>>)")
+    )
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (space-joined) — the MinHash unit.
 

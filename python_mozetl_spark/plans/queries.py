@@ -6797,7 +6797,14 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=ckpt,
             available_now=True,
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False WITHOUT raising on
+        # timeout — ignoring it would leave this stream running while
+        # the replay stream starts against the same table/swap dirs
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_merge_sink_roundtrip: micro-batch drain exceeded 300s"
+            )
 
     run(f"{root}/ckpt1")
     # full replay: a fresh checkpoint re-delivers EVERY micro-batch —
@@ -6837,7 +6844,14 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # profile_export_json, taar_locale_topn, graphics_device_shares,
 # missing_symbols_report, csv_dim_weighted_orders,
 # parquet_sink_roundtrip, taar_donor_scores, taar_lr_curves,
-# json_ping_rollup, doc_decontaminate, doc_cross_decontaminate.
+# json_ping_rollup, doc_decontaminate, doc_cross_decontaminate,
+# price_winsorized_revenue, event_gap_quantiles, doc_length_auc,
+# clients_daily_rollup, experiments_daily_rollup, token_pmi_pairs,
+# event_transition_probs (displaced by the late round-7 additions and
+# by this round's impl-changed re-grades: doc_winnow_copy_pairs
+# (pre-verify prune), doc_bigram_perplexity (occurrence staging), and
+# token_triangles (edge-list staging) all sit in the window because
+# their r05/r06 rows no longer describe current code).
 # Remaining r06-graded (current evidence, roll forward):
 # everything graded in CORRECTNESS_r06.json not re-touched this round.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
@@ -6857,6 +6871,8 @@ _DRIVER_WINDOW = [
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
     "multimodal_decode_stats",
+    "doc_winnow_copy_pairs",
+    "doc_bigram_perplexity",
     # (c) backlog: every remaining r03-graded query (the stalest rows)
     "multimodal_features",
     "latest_event_per_user",
@@ -6874,6 +6890,7 @@ _DRIVER_WINDOW = [
     "running_revenue",
     "region_nation_rollup",
     "props_json_stats",
+    "segment_active_customers",
     "regional_revenue",
     # (c) the stalest r05-graded displacements
     "bpe_merge_candidates",
@@ -6895,9 +6912,6 @@ _DRIVER_WINDOW = [
     "orders_quality_report",
     "user_trailing_7d_value",
     "token_triangles",
-    "token_pmi_pairs",
-    "event_transition_probs",
-    "price_winsorized_revenue",
 ]
 
 
