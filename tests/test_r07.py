@@ -255,3 +255,63 @@ def test_dsir_prefers_target_like_docs(spark):
     assert {d: (r["score"], r["rank"]) for d, r in rows.items()} == {
         d: (r["score"], r["rank"]) for d, r in again.items()
     }
+
+
+# ------------------------------------------------------------------
+# Property tests: header codecs round-trip for arbitrary dimensions
+# ------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=65_535),
+    h=st.integers(min_value=1, max_value=65_535),
+    ct=st.sampled_from([0, 2, 3, 4, 6]),
+)
+def test_png_header_roundtrip_property(w, h, ct):
+    from python_mozetl_spark.ext.multimodal import (
+        _PNG_CHANNELS,
+        decode_image_header,
+        encode_png_header,
+    )
+
+    d = decode_image_header(encode_png_header(w, h, ct))
+    assert d == {
+        "codec": "png", "width": w, "height": h, "channels": _PNG_CHANNELS[ct],
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=65_535),
+    h=st.integers(min_value=1, max_value=65_535),
+    nc=st.integers(min_value=1, max_value=4),
+)
+def test_jpeg_header_roundtrip_property(w, h, nc):
+    from python_mozetl_spark.ext.multimodal import (
+        decode_image_header,
+        encode_jpeg_header,
+    )
+
+    d = decode_image_header(encode_jpeg_header(w, h, nc))
+    assert d == {"codec": "jpeg", "width": w, "height": h, "channels": nc}
+
+
+@settings(max_examples=100, deadline=None)
+@given(junk=st.binary(max_size=64))
+def test_decode_image_header_never_hangs_on_junk(junk):
+    """Arbitrary bytes either decode or raise ValueError/IndexError —
+    never loop forever or return garbage silently (the PERMISSIVE
+    wrapper in header_features catches exactly these)."""
+    from python_mozetl_spark.ext.multimodal import decode_image_header
+
+    try:
+        d = decode_image_header(junk)
+        assert set(d) == {"codec", "width", "height", "channels"}
+    except (ValueError, IndexError, TypeError):
+        pass
+    except Exception as e:  # struct.error is allowed too
+        assert type(e).__name__ == "error"
