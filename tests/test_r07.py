@@ -315,3 +315,56 @@ def test_decode_image_header_never_hangs_on_junk(junk):
         pass
     except Exception as e:  # struct.error is allowed too
         assert type(e).__name__ == "error"
+
+
+# ------------------------------------------------------------------
+# Physical-plan pins for the round-7 operators
+# ------------------------------------------------------------------
+
+import os as _os
+
+_SF_DIR = _os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_dsir_model_join_is_broadcast_and_no_cartesian(spark):
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    plan = _formatted_plan(REGISTRY["doc_dsir_selection"].build(spark, _SF_DIR))
+    assert "BroadcastHashJoin" in plan      # model rides as a broadcast
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_contamination_benchmark_grams_broadcast(spark):
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    plan = _formatted_plan(
+        REGISTRY["doc_contamination_report"].build(spark, _SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fusion_is_takeordered(spark):
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    plan = _formatted_plan(REGISTRY["hybrid_search_rrf"].build(spark, _SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_edge_list_is_checkpoint_staged(spark):
+    """The 90-scans regression guard: the oriented edge list must ride
+    a materialized (checkpoint/RDD-scan) node, not re-derive the token
+    self-join per wedge-join consumer."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    plan = _formatted_plan(REGISTRY["token_triangles"].build(spark, _SF_DIR))
+    n_parquet_scans = plan.count("Scan parquet")
+    assert n_parquet_scans <= 4, f"edge list no longer staged: {n_parquet_scans} scans"
