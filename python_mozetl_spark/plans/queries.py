@@ -1068,6 +1068,63 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_token_budget_corpus",
+    "Quality-ranked token-budget selection (ext/mixing.py:"
+    "token_budget_select) — the final corpus-assembly step: rank docs "
+    "by (quality_score DESC, doc_id) and keep them while the running "
+    "token total stays under the 30k budget (a doc is kept iff the "
+    "budget was not exhausted before it starts).  Quality is the "
+    "graded doc_quality composite, rounded BEFORE ranking so the "
+    "order — and with it the exact cut point — is engine-identical.  "
+    "Grading form is the exact global ordered cumsum; the 100 TB form "
+    "is a quality-threshold cut from a (quality -> token mass) "
+    "histogram (broadcast scalar + parallel filter), identical up to "
+    "boundary ties.",
+    ("ext-mixing", "ext-quality", "+W"),
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(toks, t -> list_contains({_DUCK_STOP}, lower(t)))) AS DOUBLE)
+    / greatest(len(toks), 1) AS swr,
+  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+    / greatest(len(toks), 1) AS mtl
+  FROM tk),
+q AS (SELECT doc_id, n_tokens,
+  round(0.4 * (1 - swr) + 0.3 * least(n_tokens / 100.0, 1.0)
+        + 0.3 * least(mtl / 8.0, 1.0), 6) AS quality_score
+  FROM m),
+c AS (SELECT doc_id, n_tokens, quality_score,
+  CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_tokens
+  FROM q)
+SELECT doc_id, n_tokens, cum_tokens, quality_score
+FROM c WHERE cum_tokens - n_tokens < 30000
+""",
+)
+def doc_token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import token_budget_select
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text", T.tokens("text").alias("__toks"))
+    m = T.quality_metrics_from_tokens(F.col("__toks"), "text")
+    score = (
+        0.4 * (1 - m["stopword_ratio"])
+        + 0.3 * F.least(m["n_tokens"] / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(m["mean_token_len"] / F.lit(8.0), F.lit(1.0))
+    )
+    scored = staged.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        F.round(score, 6).alias("quality_score"),
+    )
+    return token_budget_select(
+        scored, "doc_id", "quality_score", "n_tokens", budget=30_000
+    ).select("doc_id", "n_tokens", "cum_tokens", "quality_score")
+
+
+@query(
     "doc_lang_id",
     "Language identification via marker-token scoring with deterministic "
     "argmax (ties → language-code order, all-zero → 'und').",
@@ -6847,7 +6904,8 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # json_ping_rollup, doc_decontaminate, doc_cross_decontaminate,
 # price_winsorized_revenue, event_gap_quantiles, doc_length_auc,
 # clients_daily_rollup, experiments_daily_rollup, token_pmi_pairs,
-# event_transition_probs (displaced by the late round-7 additions and
+# event_transition_probs, user_trailing_7d_value (displaced by the
+# late round-7 additions and
 # by this round's impl-changed re-grades: doc_winnow_copy_pairs
 # (pre-verify prune), doc_bigram_perplexity (occurrence staging), and
 # token_triangles (edge-list staging) all sit in the window because
@@ -6867,6 +6925,7 @@ _DRIVER_WINDOW = [
     "doc_contamination_report",
     "hybrid_search_rrf",
     "doc_dsir_selection",
+    "doc_token_budget_corpus",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -6910,7 +6969,6 @@ _DRIVER_WINDOW = [
     "part_zorder_keys",
     "event_type_user_overlap",
     "orders_quality_report",
-    "user_trailing_7d_value",
     "token_triangles",
 ]
 

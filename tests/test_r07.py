@@ -368,3 +368,26 @@ def test_triangle_edge_list_is_checkpoint_staged(spark):
     plan = _formatted_plan(REGISTRY["token_triangles"].build(spark, _SF_DIR))
     n_parquet_scans = plan.count("Scan parquet")
     assert n_parquet_scans <= 4, f"edge list no longer staged: {n_parquet_scans} scans"
+
+
+def test_token_budget_select_overshoot_by_at_most_one(spark):
+    from python_mozetl_spark.ext.mixing import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, 0.8, 10), (3, 0.7, 10), (4, 0.6, 10)],
+        "doc_id long, q double, n long",
+    )
+    sel = lambda b: sorted(
+        r["doc_id"]
+        for r in token_budget_select(df, "doc_id", "q", "n", b).collect()
+    )
+    assert sel(25) == [1, 2, 3]   # doc 3 starts at 20 < 25 (overshoots to 30)
+    assert sel(20) == [1, 2]      # doc 3 starts exactly at budget: excluded
+    assert sel(5) == [1]          # budget smaller than first doc: still 1 doc
+    assert sel(0) == []
+    # ties on quality break by id
+    tied = spark.createDataFrame(
+        [(5, 0.5, 10), (4, 0.5, 10)], "doc_id long, q double, n long"
+    )
+    got = token_budget_select(tied, "doc_id", "q", "n", 10).collect()
+    assert [r["doc_id"] for r in got] == [4]
