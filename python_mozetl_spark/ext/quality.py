@@ -525,3 +525,98 @@ def bigram_perplexity(
             F.round(F.exp(-F.avg("__lp")), precision).alias("ppl"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.80,
+    min_stopwords: int = 2,
+    precision: int = 6,
+) -> DataFrame:
+    """Gopher-style document-level quality rule stack (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1.1) — the
+    word-statistics half of the filter; the repetition half is
+    :func:`repetition_stats`.
+
+    Per document: ``n_words``, ``mean_word_len``, ``symbol_ratio``
+    (``#`` and ``...`` occurrences per word), ``alpha_frac`` (share of
+    words containing at least one ASCII letter), ``n_stopwords``
+    (DISTINCT stopwords present, from
+    :data:`functions.text.STOPWORDS`), one 0/1 flag per rule, and
+    ``keep`` — the conjunction.  Defaults are the paper's operating
+    points; the line-based rules (bullet/ellipsis line shares) are
+    meaningless on a single-line corpus and live with the caller.
+
+    Metrics are rounded to ``precision`` BEFORE thresholding so the
+    flags are reproducible across engines.
+
+    Scale shape: every metric is computed WITHIN the row from one
+    staged token array — zero shuffles, zero joins, one table scan,
+    embarrassingly parallel (same budget as :func:`repetition_stats`).
+    """
+    from python_mozetl_spark.functions.text import STOPWORDS
+
+    # NULL text => empty token array / empty string, NOT NULL metrics:
+    # the corpus does contain NULL-text rows (the exact-dedup lesson)
+    # and NULL-propagation differs between engines.
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__txt"),
+        F.coalesce(
+            tokens(text_col), F.array().cast("array<string>")
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    text = F.col("__txt")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    mean_wl = (
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).cast("double") / nd
+    )
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast(
+        "double"
+    ) / nd
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(
+            F.array_distinct(F.transform(toks, F.lower)),
+            lambda x: F.array_contains(stop_arr, x),
+        )
+    )
+    m = staged.select(
+        id_col,
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_wl, precision).alias("mean_word_len"),
+        F.round((n_hash + n_ellipsis) / nd, precision).alias("symbol_ratio"),
+        F.round(alpha, precision).alias("alpha_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+    )
+    rules = {
+        "r_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
+        "r_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "r_stopwords": F.col("n_stopwords") >= min_stopwords,
+    }
+    out = m.select(
+        "*", *[c.cast("int").alias(name) for name, c in rules.items()]
+    )
+    keep = F.lit(1)
+    for name in rules:
+        keep = keep * F.col(name)
+    return out.withColumn("keep_flag", keep.cast("int"))

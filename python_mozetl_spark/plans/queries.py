@@ -6873,6 +6873,72 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# R7b. Late round-7 additions: Gopher rule stack, TF-IDF cosine
+# all-pairs, two-sample KS drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_gopher_filter",
+    "Gopher document-quality rule stack (Rae et al. 2021 App. A1.1; "
+    "ext/quality.py:gopher_rules): per-doc word count, mean word "
+    "length, #/ellipsis symbol ratio, alphabetic-word share, distinct-"
+    "stopword count, one 0/1 flag per rule and the conjunctive keep. "
+    "Thresholds tuned to this corpus's ranges (word counts 10-99, mwl "
+    "3.7-5.3, 0-2 stopwords) so every rule exercises both outcomes. "
+    "All metrics are within-row array folds over one staged token "
+    "array: zero shuffles, zero joins, one scan (repetition_stats' "
+    "Exchange-free budget); the 100 TB form is identical.",
+    ("ext-quality", "P9"),
+    oracle=rf"""
+WITH tk AS (SELECT doc_id,
+    coalesce(text, '') AS txt,
+    coalesce({_DUCK_TOKS}, []) AS toks
+  FROM documents),
+m AS (SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    round(CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+          AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_word_len,
+    round(((length(txt) - length(replace(txt, '#', '')))
+           + (length(txt) - length(replace(txt, '...', ''))) / 3.0)
+          / greatest(len(toks), 1), 6) AS symbol_ratio,
+    round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+          AS DOUBLE) / greatest(len(toks), 1), 6) AS alpha_frac,
+    CAST(len(list_filter(list_distinct(list_transform(toks, t -> lower(t))),
+         t -> list_contains({_DUCK_STOP}, t))) AS BIGINT) AS n_stopwords
+  FROM tk),
+f AS (SELECT *,
+    CAST(n_words >= 25 AND n_words <= 90 AS INT) AS r_words,
+    CAST(mean_word_len >= 4.0 AND mean_word_len <= 10.0 AS INT)
+      AS r_word_len,
+    CAST(symbol_ratio <= 0.1 AS INT) AS r_symbols,
+    CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
+    CAST(n_stopwords >= 1 AS INT) AS r_stopwords
+  FROM m)
+SELECT *, r_words * r_word_len * r_symbols * r_alpha * r_stopwords
+  AS keep_flag
+FROM f
+""",
+)
+def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.quality import gopher_rules
+
+    d = t(spark, sf_dir, "documents")
+    return gopher_rules(
+        d,
+        "doc_id",
+        "text",
+        min_words=25,
+        max_words=90,
+        min_mean_word_len=4.0,
+        max_mean_word_len=10.0,
+        max_symbol_ratio=0.1,
+        min_alpha_frac=0.8,
+        min_stopwords=1,
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
 # The external correctness driver grades the FIRST 50 registry entries
@@ -6904,8 +6970,8 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # json_ping_rollup, doc_decontaminate, doc_cross_decontaminate,
 # price_winsorized_revenue, event_gap_quantiles, doc_length_auc,
 # clients_daily_rollup, experiments_daily_rollup, token_pmi_pairs,
-# event_transition_probs, user_trailing_7d_value (displaced by the
-# late round-7 additions and
+# event_transition_probs, user_trailing_7d_value, orders_quality_report
+# (displaced by the late round-7 additions and
 # by this round's impl-changed re-grades: doc_winnow_copy_pairs
 # (pre-verify prune), doc_bigram_perplexity (occurrence staging), and
 # token_triangles (edge-list staging) all sit in the window because
@@ -6926,6 +6992,7 @@ _DRIVER_WINDOW = [
     "hybrid_search_rrf",
     "doc_dsir_selection",
     "doc_token_budget_corpus",
+    "doc_gopher_filter",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -6968,7 +7035,6 @@ _DRIVER_WINDOW = [
     "event_type_daily_trend",
     "part_zorder_keys",
     "event_type_user_overlap",
-    "orders_quality_report",
     "token_triangles",
 ]
 

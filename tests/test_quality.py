@@ -245,3 +245,65 @@ def test_token_entropy_known_values(spark):
     h3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert got[3]["entropy"] == pytest.approx(round(h3, 6))
     assert got[4]["entropy"] == 0.0 and got[4]["n_tokens"] == 0
+
+
+def test_gopher_rules_hand_computed(spark):
+    from python_mozetl_spark.ext.quality import gopher_rules
+
+    df = spark.createDataFrame(
+        [
+            # 5 words, mwl 1.0, one '#' symbol, 'x' alpha-less? all
+            # alpha except '#'; stopword 'the' present once
+            (1, "the a b c d"),
+            # symbols: two '#' and one '...' over 4 words -> 3/4
+            (2, "ok# now# then... end"),
+            # digits only -> alpha_frac 0
+            (3, "123 456"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            df,
+            "doc_id",
+            "text",
+            min_words=2,
+            max_words=10,
+            min_mean_word_len=1.0,
+            max_mean_word_len=10.0,
+            max_symbol_ratio=0.5,
+            min_alpha_frac=0.5,
+            min_stopwords=1,
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_words"] == 5
+    assert r1["mean_word_len"] == pytest.approx(7 / 5)
+    assert r1["symbol_ratio"] == 0.0
+    assert r1["alpha_frac"] == 1.0
+    # 'the' and 'a' are both stopwords
+    assert r1["n_stopwords"] == 2
+    assert r1["keep_flag"] == 1
+    r2 = rows[2]
+    assert r2["symbol_ratio"] == pytest.approx(0.75)
+    assert r2["r_symbols"] == 0 and r2["keep_flag"] == 0
+    r3 = rows[3]
+    assert r3["alpha_frac"] == 0.0
+    assert r3["r_alpha"] == 0 and r3["r_stopwords"] == 0
+    # NULL text: empty-token metrics, not NULL/crash
+    r4 = rows[4]
+    assert r4["n_words"] == 0
+    assert r4["mean_word_len"] == 0.0
+    assert r4["keep_flag"] == 0
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    from python_mozetl_spark.ext.quality import gopher_rules
+    from tests.test_plans import _formatted_plan
+
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    plan = _formatted_plan(gopher_rules(df, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
