@@ -240,3 +240,128 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), id_col)
     )
     return out.limit(topk) if topk else out
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    *,
+    broadcast_df_table: bool = True,
+    stage: bool = True,
+    precision: int = 6,
+) -> DataFrame:
+    """All document pairs with TF-IDF **weighted cosine** similarity ≥
+    ``threshold`` — the weighted all-pairs similarity-search problem
+    (Bayardo, Ma & Srikant, WWW'07), the cosine complement of the
+    unweighted-Jaccard :func:`ext.dedup.ngram_jaccard_pairs`.
+
+    Weights: ``tf * (ln((N+1)/(df+1)) + 1)`` (smoothed idf, N = total
+    input rows), L2-normalized per document, so cosine = dot product.
+
+    Candidate generation is 100%-recall prefix filtering under a
+    global rarest-first term order (df ASC, term): with unit vectors,
+    if every shared term of a pair lies in the region of ``a`` where
+    the remaining suffix norm is < t, then by Cauchy-Schwarz
+    ``dot ≤ ||a_suffix|| · ||b|| < t`` — so any qualifying pair shares
+    a term inside ``a``'s PREFIX (the minimal head whose exclusive
+    squared-mass cumsum ≤ 1 - t², plus a 1e-9 float-slack).  Joining
+    prefix postings against FULL postings with ``id_a < id_b``
+    therefore misses nothing; an exact per-term dot-product join
+    verifies candidates, and the output equals brute force.
+
+    Plan shape, sized for 100 TB: one tokenize explode → (id, term)
+    hash agg; an O(vocab) term-df agg (broadcast back when
+    ``broadcast_df_table`` — flip it off on a billion-term corpus to
+    shuffle-join on the term instead, the bigram_perplexity switch);
+    ONE id-partitioned exchange serves both the L2 norm and the
+    prefix-order window; the candidate join carries only
+    ``(id, term, u)`` rows — never whole documents; the verify joins
+    are id-keyed on the deduped candidate pairs.  Prefix sizes shrink
+    as t grows (head mass ≤ 1 - t²), and rare terms — the ones
+    prefixes keep — have short postings by construction, which is
+    exactly what bounds the candidate volume (common terms sit at the
+    suffix end and never enter the join).
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+    tf = (
+        staged.select("__id", F.explode("__t").alias("__tok"))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dft = tf.groupBy("__tok").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    if broadcast_df_table:
+        dft = F.broadcast(dft)
+    w = (
+        tf.join(dft, "__tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "__tok",
+            "__df",
+            (
+                F.col("__tf")
+                * (F.log((F.col("__n") + 1) / (F.col("__df") + 1)) + 1)
+            ).alias("__w"),
+        )
+    )
+    by_id = Window.partitionBy("__id")
+    order = Window.partitionBy("__id").orderBy("__df", "__tok")
+    u = w.select(
+        "__id",
+        "__tok",
+        "__df",
+        (F.col("__w") / F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(by_id))
+         ).alias("__u"),
+    )
+    postings = u.select(
+        "__id",
+        "__tok",
+        "__df",
+        "__u",
+        F.coalesce(
+            F.sum(F.col("__u") * F.col("__u")).over(
+                order.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("__cum_excl"),
+    )
+    # THREE consumers (prefix side, full join side, verify) — the
+    # minhash staging discipline (SCALE.md §6b); at cluster scale
+    # persist the postings table instead.  ``stage=False`` keeps the
+    # full lineage visible (plan tests only — it re-runs the tokenize
+    # subtree per consumer).
+    if stage:
+        postings = postings.localCheckpoint(eager=False)
+    prefix = postings.where(
+        F.col("__cum_excl") <= F.lit(1.0 - threshold * threshold + 1e-9)
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ua = postings.select(
+        F.col("__id").alias("id_a"), "__tok", F.col("__u").alias("__ua")
+    )
+    ub = postings.select(
+        F.col("__id").alias("id_b"), "__tok", F.col("__u").alias("__ub")
+    )
+    dots = (
+        cand.join(ua, "id_a")
+        .join(ub, ["id_b", "__tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.sum(F.col("__ua") * F.col("__ub")), precision).alias("cosine"))
+    )
+    return dots.where(F.col("cosine") >= threshold)

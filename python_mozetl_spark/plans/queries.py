@@ -6938,6 +6938,42 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_tfidf_cosine_pairs",
+    "Weighted all-pairs similarity search (Bayardo et al. WWW'07; "
+    "ext/search.py:tfidf_cosine_pairs): document pairs with TF-IDF "
+    "cosine >= 0.9.  Candidates via 100%-recall prefix filtering "
+    "under a rarest-first term order (suffix-norm Cauchy-Schwarz "
+    "bound), exact per-term dot-product verify — output equals the "
+    "oracle's brute-force self-join.  One id-partitioned exchange "
+    "serves both the L2 norm and the prefix window; joins carry only "
+    "(id, term, weight) rows; the df table is broadcast (shuffle-join "
+    "switch for billion-term vocabularies).",
+    ("ext-dedup", "ext-search", "+J"),
+    oracle=rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dft AS (SELECT tok, count(*)::DOUBLE AS dft FROM tf GROUP BY 1),
+w AS (SELECT doc_id, tf.tok, tf * (ln((n + 1) / (dft + 1)) + 1) AS w
+      FROM tf, nn JOIN dft ON tf.tok = dft.tok),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+u AS (SELECT w.doc_id, tok, w / nrm AS u FROM w JOIN nrm USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(sum(a.u * b.u), 6) AS cosine
+FROM u a JOIN u b ON a.tok = b.tok AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING round(sum(a.u * b.u), 6) >= 0.9
+""",
+)
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, "doc_id", "text", threshold=0.9)
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -6970,7 +7006,8 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # json_ping_rollup, doc_decontaminate, doc_cross_decontaminate,
 # price_winsorized_revenue, event_gap_quantiles, doc_length_auc,
 # clients_daily_rollup, experiments_daily_rollup, token_pmi_pairs,
-# event_transition_probs, user_trailing_7d_value, orders_quality_report
+# event_transition_probs, user_trailing_7d_value, orders_quality_report,
+# event_type_user_overlap
 # (displaced by the late round-7 additions and
 # by this round's impl-changed re-grades: doc_winnow_copy_pairs
 # (pre-verify prune), doc_bigram_perplexity (occurrence staging), and
@@ -6993,6 +7030,7 @@ _DRIVER_WINDOW = [
     "doc_dsir_selection",
     "doc_token_budget_corpus",
     "doc_gopher_filter",
+    "doc_tfidf_cosine_pairs",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7034,7 +7072,6 @@ _DRIVER_WINDOW = [
     "embedding_lloyd_clusters",
     "event_type_daily_trend",
     "part_zorder_keys",
-    "event_type_user_overlap",
     "token_triangles",
 ]
 

@@ -92,3 +92,69 @@ def test_phrase_twins_agree_on_corpus(spark):
     a = df_rows(phrase_search(d, "doc_id", "text", ["table", "hash"]))
     b = df_rows(phrase_match(d, "doc_id", "text", ["table", "hash"]))
     assert a == b and len(a) > 0
+
+
+def test_tfidf_cosine_pairs_equals_brute_force(spark):
+    """Prefix filtering must be 100%-recall: compare against a numpy
+    brute-force TF-IDF cosine over a deterministic synthetic corpus
+    with real weight variety (rare + common terms, repeats)."""
+    import math
+
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for d in range(40):
+        # deterministic pseudo-random token draw, rare terms for high d
+        toks = [vocab[(d * 7 + i * i) % (3 + d % 17)] for i in range(5 + d % 9)]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # numpy-free brute force in plain python
+    from collections import Counter
+
+    tf = {d: Counter(t.split()) for d, t in rows}
+    n = float(len(rows))
+    dft = Counter()
+    for c in tf.values():
+        for tok in c:
+            dft[tok] += 1
+    u = {}
+    for d, c in tf.items():
+        w = {tok: cnt * (math.log((n + 1) / (dft[tok] + 1)) + 1)
+             for tok, cnt in c.items()}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        u[d] = {tok: x / nrm for tok, x in w.items()}
+    expected = {}
+    thr = 0.7
+    docs = sorted(u)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            dot = sum(ua * u[b].get(tok, 0.0) for tok, ua in u[a].items())
+            if round(dot, 6) >= thr:
+                expected[(a, b)] = round(dot, 6)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=thr
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_tfidf_cosine_pairs_plan(spark):
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+    from tests.test_plans import _formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")], ["doc_id", "text"]
+    )
+    plan = _formatted_plan(
+        tfidf_cosine_pairs(df, "doc_id", "text", stage=False)
+    )
+    # the df table rides a broadcast join; nothing falls back to a
+    # cartesian product (stage=False keeps the pre-checkpoint lineage
+    # visible)
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
