@@ -217,3 +217,73 @@ def chi_squared(
         ).cast("bigint").alias("dof"),
         F.max("__n").alias("n"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic against the
+    POOLED distribution: ``D_g = sup_x |ECDF_g(x) - ECDF_all(x)|`` —
+    the distribution-shape drift test PSI's fixed binning can miss
+    (:func:`psi_drift` is the binned-share companion).
+
+    Both ECDFs are step functions jumping only at observed values, so
+    the sup equals the max absolute difference evaluated at the pooled
+    distinct points.  Output: ``(group, n_group, ks_stat)``.
+
+    Scale shape: one (group, value) hash agg + one per-value hash agg,
+    then a groups × pooled-points grid whose per-group window — the
+    ONLY sort — computes BOTH cumulatives (the pooled per-value counts
+    ride every group's partition, so the global cumsum is re-derived
+    inside each group's window and no partition-less global window
+    ever exists; groups are independent tasks).  Each task sorts the
+    pooled point set, which is exact-KS's inherent cost — on an
+    unbounded 100 TB value domain, pre-bin values through
+    ext/sketches.py's log-histogram (KS on binned ECDFs, the standard
+    monitoring form); the grid is G x |points| either way, with G
+    small by construction.
+    """
+    from pyspark.sql import Window
+
+    ev = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).where(F.col(value_col).isNotNull())
+    gv = ev.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c_gv"))
+    pooled = ev.groupBy("__v").agg(F.count(F.lit(1)).alias("__c_all"))
+    groups = ev.groupBy("__g").agg(F.count(F.lit(1)).alias("__n_g"))
+    n_tot = ev.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    grid = (
+        pooled.crossJoin(F.broadcast(groups))
+        .join(gv, ["__g", "__v"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "__g",
+            "__v",
+            "__n_g",
+            "__n",
+            F.coalesce("__c_gv", F.lit(0)).alias("__c_gv"),
+            "__c_all",
+        )
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    diff = F.abs(
+        F.sum("__c_gv").over(w).cast("double") / F.col("__n_g")
+        - F.sum("__c_all").over(w).cast("double") / F.col("__n")
+    )
+    return (
+        grid.select("__g", "__n_g", diff.alias("__d"))
+        .groupBy("__g", "__n_g")
+        .agg(F.round(F.max("__d"), round_to).alias("ks_stat"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n_g").cast("bigint").alias("n_group"),
+            "ks_stat",
+        )
+    )

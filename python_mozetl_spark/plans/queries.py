@@ -6974,6 +6974,44 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(d, "doc_id", "text", threshold=0.9)
 
 
+@query(
+    "event_value_ks_drift",
+    "Two-sample Kolmogorov-Smirnov drift per event type vs the pooled "
+    "value distribution (operators/metrics.py:ks_drift) — the "
+    "shape-sensitive companion to price_psi_drift's binned shares.  "
+    "Exact sup over the pooled jump points; the pooled cumsum is "
+    "re-derived INSIDE each group's window so no partition-less "
+    "global window exists (groups are independent tasks, the "
+    "only sort is per-group over the point grid).",
+    ("ext-metrics", "+W", "A2"),
+    oracle="""
+WITH ev AS (SELECT event_type AS g, value AS v FROM events
+            WHERE value IS NOT NULL),
+gv AS (SELECT g, v, count(*) AS c_gv FROM ev GROUP BY 1, 2),
+pooled AS (SELECT v, count(*) AS c_all FROM ev GROUP BY 1),
+grp AS (SELECT g, count(*) AS n_g FROM ev GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM ev),
+grid AS (SELECT g, v, n_g, n, coalesce(c_gv, 0) AS c_gv, c_all
+         FROM pooled CROSS JOIN grp
+         LEFT JOIN gv USING (g, v) CROSS JOIN nn),
+c AS (SELECT g, n_g,
+        abs(CAST(sum(c_gv) OVER w AS DOUBLE) / n_g
+            - CAST(sum(c_all) OVER w AS DOUBLE) / n) AS d
+      FROM grid
+      WINDOW w AS (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT g AS event_type, CAST(n_g AS BIGINT) AS n_group,
+       round(max(d), 6) AS ks_stat
+FROM c GROUP BY 1, 2
+""",
+)
+def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.metrics import ks_drift
+
+    e = t(spark, sf_dir, "events")
+    return ks_drift(e, "event_type", "value")
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -7007,7 +7045,7 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # price_winsorized_revenue, event_gap_quantiles, doc_length_auc,
 # clients_daily_rollup, experiments_daily_rollup, token_pmi_pairs,
 # event_transition_probs, user_trailing_7d_value, orders_quality_report,
-# event_type_user_overlap
+# event_type_user_overlap, part_zorder_keys
 # (displaced by the late round-7 additions and
 # by this round's impl-changed re-grades: doc_winnow_copy_pairs
 # (pre-verify prune), doc_bigram_perplexity (occurrence staging), and
@@ -7031,6 +7069,7 @@ _DRIVER_WINDOW = [
     "doc_token_budget_corpus",
     "doc_gopher_filter",
     "doc_tfidf_cosine_pairs",
+    "event_value_ks_drift",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7071,7 +7110,6 @@ _DRIVER_WINDOW = [
     "doc_dup_span_coverage",
     "embedding_lloyd_clusters",
     "event_type_daily_trend",
-    "part_zorder_keys",
     "token_triangles",
 ]
 

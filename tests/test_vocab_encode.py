@@ -616,3 +616,31 @@ def test_kcenter_k_exceeds_corpus(spark):
     )
     out = kcenter_coreset(df, k=6).collect()
     assert len(out) == 3 and all(r["d2"] == 0.0 for r in out)
+
+
+def test_ks_drift_hand_computed(spark):
+    from python_mozetl_spark.operators.metrics import ks_drift
+
+    # group A: {1, 2}; group B: {3, 4}; pooled: {1, 2, 3, 4}
+    # at x=2: F_A=1.0, F_all=0.5 -> D_A = 0.5 (and symmetrically D_B
+    # at x=2: F_B=0, F_all=0.5 -> 0.5)
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0), ("C", None)],
+        ["g", "v"],
+    )
+    rows = {r["g"]: r for r in ks_drift(df, "g", "v").collect()}
+    assert rows["A"]["ks_stat"] == 0.5 and rows["A"]["n_group"] == 2
+    assert rows["B"]["ks_stat"] == 0.5
+    # NULL-only group contributes no rows at all
+    assert "C" not in rows
+
+
+def test_ks_drift_identical_group_is_zero(spark):
+    from python_mozetl_spark.operators.metrics import ks_drift
+
+    # one group == pooled distribution -> D = 0
+    df = spark.createDataFrame(
+        [("A", float(v)) for v in (1, 2, 3)], ["g", "v"]
+    )
+    rows = ks_drift(df, "g", "v").collect()
+    assert len(rows) == 1 and rows[0]["ks_stat"] == 0.0
