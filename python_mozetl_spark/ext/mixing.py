@@ -423,3 +423,48 @@ def token_budget_select(
     return ranked.where(
         F.col("cum_tokens") - F.col(tokens_col) < F.lit(budget)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: every document in a near-dup CLUSTER gets the split
+    of the cluster's canonical representative (min reachable id over
+    the ``pairs`` graph via ext/graph.py connected components;
+    singletons represent themselves), keyed through the same
+    md5-deterministic :func:`split_assign` recipe.
+
+    Random or per-doc-hash splitting puts one copy of a duplicated
+    document in train and another in test — the classic contamination
+    that inflates eval; grouping by dedup component is the standard
+    fix (the "group-aware split").  Stability inherits from both
+    halves: components are a pure function of the pair graph, the
+    split a pure function of (salt, representative id).
+
+    Output: ``(id_col, rep_id, split)`` — one row per input document.
+
+    Scale shape: pair enumeration is the caller's (banded LSH); the
+    component step is the bounded-probe/iterative HashMin of
+    connected_components; the rest is one left join on the id plus a
+    codegen'd hash — no extra shuffles beyond those stages.
+    """
+    from python_mozetl_spark.ext.graph import connected_components
+
+    comp = connected_components(pairs)
+    rep = df.select(F.col(id_col)).join(
+        comp.select(
+            F.col("vertex").alias(id_col), F.col("component").alias("rep_id")
+        ),
+        id_col,
+        "left",
+    ).select(
+        id_col, F.coalesce("rep_id", F.col(id_col)).alias("rep_id")
+    )
+    return split_assign(rep, "rep_id", splits, salt).select(
+        id_col, "rep_id", "split"
+    )

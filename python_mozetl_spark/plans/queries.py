@@ -7012,6 +7012,52 @@ def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(e, "event_type", "value")
 
 
+@query(
+    "doc_leakage_safe_split",
+    "Group-aware train/val/test assignment (ext/mixing.py:"
+    "leakage_safe_split): every near-duplicate cluster (MinHash-LSH "
+    "pairs -> connected components) takes the split of its canonical "
+    "min-id representative through the md5-deterministic "
+    "split_assign recipe, so no near-dup pair ever straddles "
+    "train/test — the classic eval-contamination fix.  Singletons "
+    "represent themselves.  Oracle: recursive-CTE components over the "
+    "brute-force pair scan + the same md5 interval arithmetic.",
+    ("ext-mixing", "ext-dedup", "U6", "F7"),
+    oracle=f"""
+WITH RECURSIVE
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tk),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+walk(v, r) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, walk.r FROM e JOIN walk ON walk.v = e.b),
+comp AS (SELECT v, min(r) AS component FROM walk GROUP BY v),
+rep AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+s AS (SELECT doc_id, rep_id,
+  ('0x' || substr(md5('split|' || CAST(rep_id AS VARCHAR)), 1, 15))::BIGINT
+    % 1000000 AS k
+  FROM rep)
+SELECT doc_id, rep_id,
+  CASE WHEN k < 800000 THEN 'train'
+       WHEN k < 900000 THEN 'val' ELSE 'test' END AS split
+FROM s
+""",
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
+    from python_mozetl_spark.ext.mixing import leakage_safe_split
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8)
+    return leakage_safe_split(d, pairs.select("id_a", "id_b"), "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -7045,7 +7091,7 @@ def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # price_winsorized_revenue, event_gap_quantiles, doc_length_auc,
 # clients_daily_rollup, experiments_daily_rollup, token_pmi_pairs,
 # event_transition_probs, user_trailing_7d_value, orders_quality_report,
-# event_type_user_overlap, part_zorder_keys
+# event_type_user_overlap, part_zorder_keys, event_type_daily_trend
 # (displaced by the late round-7 additions and
 # by this round's impl-changed re-grades: doc_winnow_copy_pairs
 # (pre-verify prune), doc_bigram_perplexity (occurrence staging), and
@@ -7070,6 +7116,7 @@ _DRIVER_WINDOW = [
     "doc_gopher_filter",
     "doc_tfidf_cosine_pairs",
     "event_value_ks_drift",
+    "doc_leakage_safe_split",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7109,7 +7156,6 @@ _DRIVER_WINDOW = [
     "price_quantile_sketch",
     "doc_dup_span_coverage",
     "embedding_lloyd_clusters",
-    "event_type_daily_trend",
     "token_triangles",
 ]
 

@@ -1181,3 +1181,31 @@ def test_incremental_lsh_equals_full_run(spark):
     assert base_pairs & inc_pairs == set()
     # the returned signature table serves the NEXT increment
     assert combined.count() == 6 and "mh_0" in combined.columns
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from python_mozetl_spark.ext.mixing import leakage_safe_split, split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], ["doc_id", "text"]
+    )
+    # two clusters: {1,2,3} (transitively via 1-2, 2-3) and {7,8};
+    # the rest are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    rows = {r["doc_id"]: r for r in
+            leakage_safe_split(docs, pairs, "doc_id").collect()}
+    assert len(rows) == 10
+    # whole cluster shares the min-id representative AND its split
+    assert {rows[i]["rep_id"] for i in (1, 2, 3)} == {1}
+    assert len({rows[i]["split"] for i in (1, 2, 3)}) == 1
+    assert {rows[i]["rep_id"] for i in (7, 8)} == {7}
+    assert len({rows[i]["split"] for i in (7, 8)}) == 1
+    # singletons: own rep, and the split equals plain split_assign on
+    # their own id (growth-stability contract preserved)
+    plain = {r["doc_id"]: r["split"]
+             for r in split_assign(docs, "doc_id").collect()}
+    for i in (4, 5, 6, 9, 10):
+        assert rows[i]["rep_id"] == i
+        assert rows[i]["split"] == plain[i]
