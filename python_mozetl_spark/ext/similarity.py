@@ -826,3 +826,84 @@ def semantic_dedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def gram_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    precision: int = 6,
+) -> DataFrame:
+    """Distributed covariance matrix of a vector column — the d x d
+    building block of embedding whitening / PCA / Mahalanobis scoring
+    at corpus scale.  Returns the upper triangle as ``(i, j, cov)``
+    rows (0-based, ``i <= j``), with
+    ``cov = E[x_i x_j] - E[x_i] E[x_j]`` (population form, biased-n
+    denominator), rounded to ``precision`` decimals.
+
+    Scale shape: each Arrow batch reduces to ONE partial-moment row
+    (count, sum vector, flattened ``X.T @ X`` outer-product sum), so
+    the only data that ever shuffles is numPartitions x (d^2 + d + 1)
+    scalars regardless of corpus size.  The partials frame is
+    localCheckpoint'd (three moment aggregates consume it — without
+    staging, each would re-run the corpus scan; SCALE.md §6b); the
+    moment assembly is posexplode + hash agg, and the covariance
+    arithmetic is a codegen'd expression over broadcast-joined
+    d-row / 1-row sides.  No driver collect anywhere — the matrix
+    STAYS a DataFrame (d(d+1)/2 rows) for downstream joins.
+    """
+
+    def partial_moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .mapInPandas(partial_moments, "n double, s array<double>, ss array<double>")
+        .localCheckpoint(eager=False)
+    )
+    total = parts.agg(F.sum("n").alias("n"))  # 1 row
+    svec = (
+        parts.select(F.posexplode("s").alias("i", "sv"))
+        .groupBy("i")
+        .agg(F.sum("sv").alias("s"))
+    )  # d rows
+    ssmat = (
+        parts.select(F.size("s").alias("d"), F.posexplode("ss").alias("ij", "ssv"))
+        .select(
+            F.expr("ij DIV d").cast("int").alias("i"),
+            F.expr("ij % d").cast("int").alias("j"),
+            "ssv",
+        )
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum("ssv").alias("ss"))
+    )  # d(d+1)/2 rows
+    a, b = svec.alias("a"), svec.alias("b")
+    return (
+        ssmat.crossJoin(F.broadcast(total))
+        .join(F.broadcast(a), ssmat["i"] == F.col("a.i"))
+        .join(F.broadcast(b), ssmat["j"] == F.col("b.i"))
+        .select(
+            ssmat["i"],
+            ssmat["j"],
+            # + 0.0 normalizes IEEE -0.0 to +0.0 (cross-engine parity)
+            (
+                F.round(
+                    F.col("ss") / F.col("n")
+                    - (F.col("a.s") / F.col("n")) * (F.col("b.s") / F.col("n")),
+                    precision,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

@@ -7058,6 +7058,39 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d, pairs.select("id_a", "id_b"), "doc_id")
 
 
+@query(
+    "embedding_covariance",
+    "Distributed d x d covariance matrix of the embedding column "
+    "(ext/similarity.py:gram_covariance) — the building block of "
+    "whitening / PCA / Mahalanobis scoring.  Each Arrow batch reduces "
+    "to ONE partial-moment row (count, sum vector, X.T@X), so the "
+    "shuffle carries numPartitions x (d^2+d+1) scalars at any corpus "
+    "size; moment assembly is posexplode + hash agg over the "
+    "localCheckpoint'd partials, covariance arithmetic is codegen'd.  "
+    "Oracle: brute-force per-(id,dim) self-join raw moments.",
+    ("ext-similarity", "F5", "A2"),
+    oracle="""
+WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+       WHERE embedding IS NOT NULL),
+m AS (SELECT i, sum(v) AS s FROM x GROUP BY 1),
+ss AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS ss
+       FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2)
+SELECT CAST(ss.i AS INT) AS i, CAST(ss.j AS INT) AS j,
+       round(ss.ss / n - (ma.s / n) * (mb.s / n), 6) + 0.0 AS cov
+FROM ss CROSS JOIN nn
+JOIN m ma ON ma.i = ss.i JOIN m mb ON mb.i = ss.j
+""",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import gram_covariance
+
+    e = t(spark, sf_dir, "embeddings")
+    return gram_covariance(e, "embedding")
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -7117,6 +7150,7 @@ _DRIVER_WINDOW = [
     "doc_tfidf_cosine_pairs",
     "event_value_ks_drift",
     "doc_leakage_safe_split",
+    "embedding_covariance",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7153,7 +7187,6 @@ _DRIVER_WINDOW = [
     "bloom_pruned_revenue",
     "session_attribution_rollup",
     "orders_incremental_state",
-    "price_quantile_sketch",
     "doc_dup_span_coverage",
     "embedding_lloyd_clusters",
     "token_triangles",

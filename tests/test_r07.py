@@ -391,3 +391,40 @@ def test_token_budget_select_overshoot_by_at_most_one(spark):
     )
     got = token_budget_select(tied, "doc_id", "q", "n", 10).collect()
     assert [r["doc_id"] for r in got] == [4]
+
+
+def test_gram_covariance_matches_numpy_any_partitioning(spark):
+    """Partial-moment assembly must equal np.cov(bias=True) regardless
+    of how rows land in Arrow batches (1 vs 8 partitions)."""
+    import numpy as np
+
+    from python_mozetl_spark.ext.similarity import gram_covariance
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 5)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(40)]
+    want = np.cov(X, rowvar=False, bias=True)
+    for nparts in (1, 8):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(nparts)
+        got = {
+            (r["i"], r["j"]): r["cov"]
+            for r in gram_covariance(df, "embedding").collect()
+        }
+        assert len(got) == 15
+        for i in range(5):
+            for j in range(i, 5):
+                assert got[(i, j)] == round(want[i, j], 6) + 0.0, (i, j, nparts)
+
+
+def test_gram_covariance_skips_null_vectors(spark):
+    from python_mozetl_spark.ext.similarity import gram_covariance
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in gram_covariance(df).collect()}
+    # over {(1,2),(3,6)}: var_x=1, cov_xy=2, var_y=4 (biased-n)
+    assert got == {(0, 0): 1.0, (0, 1): 2.0, (1, 1): 4.0}
