@@ -828,6 +828,84 @@ def semantic_dedup(
     )
 
 
+def zscore_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+    precision: int = 6,
+) -> DataFrame:
+    """Top-k embedding outliers by diagonal-Mahalanobis (z-score L2)
+    distance: standardize every dimension against the corpus
+    (population mean/variance), score each vector by
+    ``sqrt(sum_i (x_i - mu_i)^2 / var_i)`` (zero-variance dims
+    contribute 0), and keep the k highest scores (rounded-score DESC,
+    id tiebreak).  The outlier sweep a training-data pipeline runs
+    before ingesting a new embedding batch.
+
+    Scale shape: per-dimension moments come from one posexplode +
+    d-group hash agg (map-side partials make the explode cheap); the
+    d-row stats frame is collapsed to ONE row of index-aligned arrays
+    and broadcast, so scoring is a within-row ``zip_with``/
+    ``aggregate`` codegen expression over a second corpus scan — no
+    per-vector shuffle.  Top-k is a global TakeOrderedAndProject;
+    only the k survivors see the bounded re-rank window.
+    """
+    vec_d = F.col(vec_col).cast("array<double>")
+    x = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_d).alias("i", "v"))
+    )
+    stats = x.groupBy("i").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    # d rows -> one row of index-aligned (means, vars) arrays; the
+    # single-partition agg is bounded by the dimension, not the data.
+    arrs = stats.groupBy().agg(
+        F.expr(
+            "transform(sort_array(collect_list(named_struct"
+            "('i', i, 'm', s / n))), p -> p.m)"
+        ).alias("__mu"),
+        F.expr(
+            "transform(sort_array(collect_list(named_struct"
+            "('i', i, 'va', s2 / n - (s / n) * (s / n)))), p -> p.va)"
+        ).alias("__var"),
+    )
+    scored = (
+        df.where(F.col(vec_col).isNotNull())
+        .crossJoin(F.broadcast(arrs))
+        .select(
+            F.col(id_col),
+            (
+                F.round(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                F.zip_with(
+                                    vec_d, F.col("__mu"), lambda v, m: v - m
+                                ),
+                                F.col("__var"),
+                                lambda dvv, va: F.when(
+                                    va > 0, dvv * dvv / va
+                                ).otherwise(F.lit(0.0)),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, q: acc + q,
+                        )
+                    ),
+                    precision,
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 def gram_covariance(
     df: DataFrame,
     vec_col: str = "embedding",

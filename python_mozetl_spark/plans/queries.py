@@ -7092,6 +7092,44 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_zscore_outliers",
+    "Top-20 embedding outliers by diagonal-Mahalanobis (z-score L2) "
+    "distance (ext/similarity.py:zscore_outliers) — the pre-ingest "
+    "outlier sweep.  Per-dimension population moments via one "
+    "posexplode + d-group hash agg, collapsed to ONE broadcast row of "
+    "index-aligned (mu, var) arrays; scoring is a within-row "
+    "zip_with/aggregate codegen expression (no per-vector shuffle); "
+    "top-k is a global TakeOrderedAndProject with the bounded re-rank "
+    "window over only the k survivors.",
+    ("ext-similarity", "F5", "O4"),
+    oracle="""
+WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+st AS (SELECT i, sum(v) AS s, sum(v * v) AS s2,
+              CAST(count(*) AS DOUBLE) AS n
+       FROM x GROUP BY 1),
+z AS (SELECT x.vec_id,
+             sum(CASE WHEN (s2 / n - (s / n) * (s / n)) > 0
+                 THEN (v - s / n) * (v - s / n)
+                      / (s2 / n - (s / n) * (s / n))
+                 ELSE 0.0 END) AS q
+      FROM x JOIN st USING (i) GROUP BY 1),
+r AS (SELECT vec_id, round(sqrt(q), 6) + 0.0 AS score,
+             row_number() OVER (ORDER BY round(sqrt(q), 6) DESC, vec_id)
+               AS rk
+      FROM z)
+SELECT vec_id, score, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 20
+""",
+)
+def embedding_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import zscore_outliers
+
+    e = t(spark, sf_dir, "embeddings")
+    return zscore_outliers(e, "vec_id", "embedding", k=20)
+
+
+@query(
     "event_funnel",
     "Strict-order funnel view -> click -> purchase "
     "(operators/funnel.py:funnel): stage i counts users whose "
@@ -7227,6 +7265,7 @@ _DRIVER_WINDOW = [
     "embedding_covariance",
     "event_funnel",
     "user_cohort_retention",
+    "embedding_zscore_outliers",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7261,7 +7300,6 @@ _DRIVER_WINDOW = [
     "orders_neyman_sample",
     "priority_status_chi2",
     "bloom_pruned_revenue",
-    "doc_dup_span_coverage",
     "embedding_lloyd_clusters",
     "token_triangles",
 ]

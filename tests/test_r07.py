@@ -485,3 +485,26 @@ def test_cohort_retention_triangle(spark):
     assert got[("2024-01-08", 0)] == (1, 1.0)
     assert got[("2024-01-08", 2)] == (1, 1.0)
     assert len(got) == 4
+
+
+def test_zscore_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from python_mozetl_spark.ext.similarity import zscore_outliers
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(30, 4)
+    X[7] += 8.0  # planted outlier
+    rows = [(i, [float(v) for v in X[i]]) for i in range(30)]
+    # constant dimension must contribute 0, not divide by zero
+    rows = [(i, v + [1.0]) for i, v in rows]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = zscore_outliers(df, k=3).collect()
+    mu, var = X.mean(axis=0), X.var(axis=0)
+    want = np.sqrt((((X - mu) ** 2) / var).sum(axis=1))
+    order = sorted(range(30), key=lambda i: (-round(want[i], 6), i))[:3]
+    assert [r["vec_id"] for r in got] == order
+    assert got[0]["vec_id"] == 7
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    for r in got:
+        assert r["score"] == round(want[r["vec_id"]], 6) + 0.0
