@@ -620,3 +620,77 @@ def gopher_rules(
     for name in rules:
         keep = keep * F.col(name)
     return out.withColumn("keep_flag", keep.cast("int"))
+
+
+def unigram_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    split_col: str = "split",
+    reference: str = "train",
+    precision: int = 6,
+) -> DataFrame:
+    """Per-split unigram-distribution drift vs a reference split:
+    ``KL(P_split || P_reference)`` with add-one smoothing over each
+    pair's JOINT vocabulary — the distribution-shift check a pipeline
+    runs after splitting (or after mixing a new source in) to confirm
+    eval sets are token-distributionally representative of training.
+
+    Returns one row per non-reference split:
+    ``(split, n_tokens, joint_vocab, kl)`` where
+    ``p(w) = (c_w + 1) / (n + V)`` on both sides, ``V`` = the pair's
+    joint vocab size.
+
+    Scale shape: the corpus reduces to (split, token) counts in one
+    explode + hash agg (map-side partials); everything after runs on
+    the vocab-sized frame — the reference counts fan out over the
+    #splits-row dimension (bounded cross join), the joint-vocab grid
+    is one full-outer join keyed (split, token), per-split moments
+    come from one hash agg broadcast back, and the KL sum is a second
+    hash agg.  The grid is localCheckpoint-staged for its two
+    consumers (SCALE.md §6b); nothing downstream of the first agg
+    touches corpus-sized data.
+    """
+    toks = df.select(
+        F.col(split_col).alias("split"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    counts = toks.groupBy("split", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ref = counts.where(F.col("split") == reference).select("tok", F.col("c").alias("cr"))
+    oth = counts.where(F.col("split") != reference)
+    splits = oth.select("split").distinct()
+    refgrid = splits.crossJoin(ref).select(
+        F.col("split").alias("rs"), F.col("tok").alias("rt"), "cr"
+    )
+    grid = (
+        oth.join(
+            refgrid,
+            (F.col("split") == F.col("rs")) & (F.col("tok") == F.col("rt")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("split", "rs").alias("split"),
+            F.coalesce("tok", "rt").alias("tok"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    st = grid.groupBy("split").agg(
+        F.count(F.lit(1)).cast("double").alias("V"),
+        F.sum("c").cast("double").alias("n_s"),
+        F.sum("cr").cast("double").alias("n_r"),
+    )
+    p = (F.col("c") + 1) / (F.col("n_s") + F.col("V"))
+    q = (F.col("cr") + 1) / (F.col("n_r") + F.col("V"))
+    return (
+        grid.join(F.broadcast(st), "split")
+        .select("split", "n_s", "V", (p * F.log(p / q)).alias("__t"))
+        .groupBy("split", "n_s", "V")
+        .agg(F.round(F.sum("__t"), precision).alias("kl"))
+        .select(
+            "split",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.col("V").cast("bigint").alias("joint_vocab"),
+            "kl",
+        )
+    )

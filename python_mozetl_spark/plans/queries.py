@@ -7092,6 +7092,58 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_split_kl",
+    "Per-split unigram KL divergence vs the train split "
+    "(ext/quality.py:unigram_kl) over the md5-deterministic "
+    "split_assign partition: KL(P_split || P_train) with add-one "
+    "smoothing over each pair's joint vocabulary — the "
+    "distribution-shift check run after splitting.  Corpus reduces "
+    "to (split, token) counts in one explode + hash agg; the joint "
+    "vocab grid, per-split moments, and KL sum all run on the "
+    "vocab-sized frame (grid localCheckpoint-staged for its two "
+    "consumers; moments broadcast back).",
+    ("ext-quality", "ext-mixing", "U6", "A2"),
+    oracle=rf"""
+WITH d AS (SELECT text,
+  CASE WHEN k < 800000 THEN 'train'
+       WHEN k < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT text,
+          ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 AS k
+        FROM documents)),
+tk AS (SELECT split, unnest({_DUCK_TOKS}) AS tok FROM d),
+c AS (SELECT split, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+ref AS (SELECT tok, c AS cr FROM c WHERE split = 'train'),
+oth AS (SELECT * FROM c WHERE split <> 'train'),
+sp AS (SELECT DISTINCT split FROM oth),
+rg AS (SELECT sp.split AS rs, ref.tok AS rt, cr FROM sp CROSS JOIN ref),
+grid AS (SELECT coalesce(o.split, r.rs) AS split,
+                coalesce(o.tok, r.rt) AS tok,
+                coalesce(o.c, 0) AS c, coalesce(r.cr, 0) AS cr
+         FROM oth o FULL JOIN rg r ON o.split = r.rs AND o.tok = r.rt),
+st AS (SELECT split, CAST(count(*) AS DOUBLE) AS V,
+              CAST(sum(c) AS DOUBLE) AS n_s,
+              CAST(sum(cr) AS DOUBLE) AS n_r
+       FROM grid GROUP BY 1),
+term AS (SELECT g.split, n_s, V,
+                ((g.c + 1) / (n_s + V))
+                * ln(((g.c + 1) / (n_s + V)) / ((g.cr + 1) / (n_r + V)))
+                  AS t
+         FROM grid g JOIN st USING (split))
+SELECT split, CAST(n_s AS BIGINT) AS n_tokens,
+       CAST(V AS BIGINT) AS joint_vocab, round(sum(t), 6) AS kl
+FROM term GROUP BY split, n_s, V
+""",
+)
+def doc_split_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import split_assign
+    from python_mozetl_spark.ext.quality import unigram_kl
+
+    d = t(spark, sf_dir, "documents")
+    return unigram_kl(split_assign(d, "doc_id"), "text", "split", "train")
+
+
+@query(
     "embedding_zscore_outliers",
     "Top-20 embedding outliers by diagonal-Mahalanobis (z-score L2) "
     "distance (ext/similarity.py:zscore_outliers) — the pre-ingest "
@@ -7266,6 +7318,7 @@ _DRIVER_WINDOW = [
     "event_funnel",
     "user_cohort_retention",
     "embedding_zscore_outliers",
+    "doc_split_kl",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7298,7 +7351,6 @@ _DRIVER_WINDOW = [
     "priority_conversion_ci",
     "embedding_kcenter_coreset",
     "orders_neyman_sample",
-    "priority_status_chi2",
     "bloom_pruned_revenue",
     "embedding_lloyd_clusters",
     "token_triangles",

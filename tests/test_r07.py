@@ -508,3 +508,32 @@ def test_zscore_outliers_matches_numpy(spark):
     assert [r["rank"] for r in got] == [1, 2, 3]
     for r in got:
         assert r["score"] == round(want[r["vec_id"]], 6) + 0.0
+
+
+def test_unigram_kl_identical_splits_zero_and_asymmetry(spark):
+    """KL of an identical distribution must be 0; a shifted split must
+    be strictly positive; n_tokens/joint_vocab must be exact."""
+    from python_mozetl_spark.ext.quality import unigram_kl
+
+    rows = [
+        ("train", "a b c a"),
+        ("same", "a b c a"),
+        ("shifted", "a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "split string, text string")
+    got = {r["split"]: r for r in unigram_kl(df, "text", "split").collect()}
+    assert set(got) == {"same", "shifted"}
+    assert got["same"]["kl"] == 0.0
+    assert got["same"]["n_tokens"] == 4 and got["same"]["joint_vocab"] == 3
+    assert got["shifted"]["kl"] > 0.0
+    # joint vocab of (shifted, train) = {a, b, c}: b/c live only in train
+    assert got["shifted"]["joint_vocab"] == 3
+    # hand-check shifted KL: p=(5/7,1/7,1/7) vs q=(3/7,2/7,2/7)
+    import math
+
+    want = round(
+        5 / 7 * math.log((5 / 7) / (3 / 7))
+        + 2 * (1 / 7 * math.log((1 / 7) / (2 / 7))),
+        6,
+    )
+    assert got["shifted"]["kl"] == want
