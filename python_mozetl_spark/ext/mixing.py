@@ -85,12 +85,25 @@ def split_assign(
     Shape: one codegen'd hash expression per row — no shuffle, no
     sampling pass, no state.
     """
+    return df.withColumn("split", split_expr(F.col(id_col), splits, salt))
+
+
+def split_expr(
+    key_col,
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+):
+    """The pure-expression form of :func:`split_assign`: a Column
+    mapping any id column to its split name via the same
+    ``md5(salt‖id) mod 10⁶`` interval arithmetic.  Because the split
+    is a function of the id alone, downstream frames (e.g. a pair
+    list) can recover each endpoint's split with ZERO joins."""
     splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     total = sum(w for _, w in splits)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
     key = H.md5_int64(
-        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+        F.concat_ws("|", F.lit(salt), key_col.cast("string"))
     ) % _MOD
     expr = F.lit(splits[-1][0])  # remainder catches rounding tail
     cum = 0.0
@@ -100,7 +113,7 @@ def split_assign(
         bounds.append((name, int(round(cum * _MOD))))
     for name, bound in reversed(bounds):
         expr = F.when(key < bound, F.lit(name)).otherwise(expr)
-    return df.withColumn("split", expr)
+    return expr
 
 
 def shuffle_shards(

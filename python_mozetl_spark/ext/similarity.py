@@ -828,6 +828,65 @@ def semantic_dedup(
     )
 
 
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reference: str = "train",
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+    threshold: float = 0.4,
+    precision: int = 4,
+    rate_precision: int = 6,
+) -> DataFrame:
+    """Embedding-space eval-set contamination report: for every
+    non-reference split, the share of its vectors that have at least
+    one REFERENCE-split neighbor with rounded cosine >= ``threshold``
+    — the semantic companion to the token-overlap decontaminator
+    (``ext/quality.py:contamination_report``), catching paraphrased /
+    re-encoded leakage that n-gram matching misses.
+
+    Scale shape: pair enumeration delegates to
+    :func:`embedding_near_dup_pairs` (BLAS matmul under the broadcast
+    budget, pair join above it); each endpoint's split is recovered
+    from the md5 ``split_expr`` — a pure function of the id — so NO
+    join against a split table exists anywhere.  The report is two
+    tiny hash aggs (distinct contaminated ids, per-split totals)
+    joined broadcast.
+    """
+    from python_mozetl_spark.ext.mixing import split_expr
+
+    pairs = embedding_near_dup_pairs(df, id_col, vec_col, threshold, precision)
+    sa = split_expr(F.col("id_a"), splits, salt)
+    sb = split_expr(F.col("id_b"), splits, salt)
+    contaminated = (
+        pairs.select(
+            F.when((sa == reference) & (sb != reference), F.col("id_b"))
+            .when((sb == reference) & (sa != reference), F.col("id_a"))
+            .alias("__vid")
+        )
+        .where(F.col("__vid").isNotNull())
+        .distinct()
+        .groupBy(split_expr(F.col("__vid"), splits, salt).alias("split"))
+        .agg(F.count(F.lit(1)).alias("contaminated"))
+    )
+    totals = (
+        df.select(split_expr(F.col(id_col), splits, salt).alias("split"))
+        .where(F.col("split") != reference)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    return totals.join(F.broadcast(contaminated), "split", "left").select(
+        "split",
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.coalesce("contaminated", F.lit(0)).cast("bigint").alias("contaminated"),
+        F.round(
+            F.coalesce("contaminated", F.lit(0)) / F.col("n_vectors"),
+            rate_precision,
+        ).alias("rate"),
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     id_col: str = "vec_id",

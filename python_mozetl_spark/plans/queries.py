@@ -7092,6 +7092,52 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_split_contamination",
+    "Embedding-space eval-set contamination report "
+    "(ext/similarity.py:cross_split_contamination): per eval split, "
+    "the share of vectors with >= 1 train-split neighbor at rounded "
+    "cosine >= 0.4 — the semantic companion to token-overlap "
+    "decontamination, catching paraphrased leakage.  Pair "
+    "enumeration delegates to the budget-gated matmul/join kernel; "
+    "each endpoint's split is recovered from the md5 split_expr (a "
+    "pure function of the id), so NO split-table join exists; the "
+    "report is two tiny hash aggs joined broadcast.",
+    ("ext-similarity", "ext-mixing", "U6", "A14"),
+    oracle="""
+WITH s AS (SELECT vec_id, embedding,
+  CASE WHEN k < 800000 THEN 'train'
+       WHEN k < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT vec_id, embedding,
+          ('0x' || substr(md5('split|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 AS k
+        FROM embeddings)),
+p AS (SELECT e.split, e.vec_id
+      FROM s e JOIN s tr ON tr.split = 'train' AND e.split <> 'train'
+      WHERE round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]) = 0
+                         OR list_dot_product(tr.embedding::DOUBLE[],
+                                             tr.embedding::DOUBLE[]) = 0
+                       THEN 0.0
+                       ELSE list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   tr.embedding::DOUBLE[])
+                  END, 4) >= 0.4
+      GROUP BY 1, 2),
+tot AS (SELECT split, count(*) AS n FROM s WHERE split <> 'train' GROUP BY 1),
+c AS (SELECT split, count(*) AS contaminated FROM p GROUP BY 1)
+SELECT tot.split, CAST(n AS BIGINT) AS n_vectors,
+       CAST(coalesce(contaminated, 0) AS BIGINT) AS contaminated,
+       round(CAST(coalesce(contaminated, 0) AS DOUBLE) / n, 6) AS rate
+FROM tot LEFT JOIN c USING (split)
+""",
+)
+def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import cross_split_contamination
+
+    e = t(spark, sf_dir, "embeddings")
+    return cross_split_contamination(e, "vec_id", "embedding", threshold=0.4)
+
+
+@query(
     "doc_split_kl",
     "Per-split unigram KL divergence vs the train split "
     "(ext/quality.py:unigram_kl) over the md5-deterministic "
@@ -7319,6 +7365,7 @@ _DRIVER_WINDOW = [
     "user_cohort_retention",
     "embedding_zscore_outliers",
     "doc_split_kl",
+    "embedding_split_contamination",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7350,7 +7397,6 @@ _DRIVER_WINDOW = [
     "doc_negative_samples",
     "priority_conversion_ci",
     "embedding_kcenter_coreset",
-    "orders_neyman_sample",
     "bloom_pruned_revenue",
     "embedding_lloyd_clusters",
     "token_triangles",

@@ -537,3 +537,36 @@ def test_unigram_kl_identical_splits_zero_and_asymmetry(spark):
         6,
     )
     assert got["shifted"]["kl"] == want
+
+
+def test_cross_split_contamination_planted_pair(spark):
+    """A val vector identical to a train vector must be flagged; the
+    rate denominator is the split size, and eval-eval pairs must NOT
+    count as contamination."""
+    from python_mozetl_spark.ext.mixing import split_assign
+    from python_mozetl_spark.ext.similarity import cross_split_contamination
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], "vec_id long")
+    by_split = {}
+    for r in split_assign(ids, "vec_id").collect():
+        by_split.setdefault(r["split"], []).append(r["vec_id"])
+    tr, va = by_split["train"][0], by_split["val"][0]
+    va2, va3 = by_split["val"][1], by_split["val"][2]
+    rows = []
+    for i in range(60):
+        if i in (tr, va):
+            v = [1.0, 0.0, 0.0]          # planted train<->val duplicate
+        elif i in (va2, va3):
+            v = [0.0, 1.0, 0.0]          # val<->val pair: must not count
+        else:
+            v = [0.0, 0.0, 0.0]          # zero vectors: guarded cosine 0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["split"]: r
+        for r in cross_split_contamination(df, threshold=0.9).collect()
+    }
+    assert got["val"]["contaminated"] == 1
+    assert got["val"]["n_vectors"] == len(by_split["val"])
+    assert got["val"]["rate"] == round(1 / len(by_split["val"]), 6)
+    assert got["test"]["contaminated"] == 0
