@@ -7227,80 +7227,6 @@ def embedding_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(e, "vec_id", "embedding", k=20)
 
 
-@query(
-    "event_funnel",
-    "Strict-order funnel view -> click -> purchase "
-    "(operators/funnel.py:funnel): stage i counts users whose "
-    "earliest stage-i event is STRICTLY after the event that "
-    "satisfied stage i-1.  ONE corpus scan — each user's time-sorted "
-    "event array is folded with a codegen'd higher-order aggregate "
-    "lambda tracking (stage, ts) — replacing the classic k-way "
-    "self-join chain (k scans, k shuffles).  Oracle IS that join "
-    "chain, proving the fold's equivalence.",
-    ("+W", "A2", "E1"),
-    oracle="""
-WITH base AS (SELECT DISTINCT user_id FROM events),
-s1 AS (SELECT user_id, min(ts) AS t FROM events
-       WHERE event_type = 'view' GROUP BY 1),
-s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
-       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
-s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
-       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
-c AS (
-  SELECT 0 AS stage_idx, 'all' AS stage, count(*) AS users FROM base
-  UNION ALL SELECT 1, 'view', count(*) FROM s1
-  UNION ALL SELECT 2, 'click', count(*) FROM s2
-  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-SELECT stage_idx, stage, CAST(users AS BIGINT) AS users,
-       coalesce(round(CAST(users AS DOUBLE)
-                      / lag(users) OVER (ORDER BY stage_idx), 6),
-                1.0) AS conversion
-FROM c
-""",
-)
-def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_mozetl_spark.operators.funnel import funnel
-
-    e = t(spark, sf_dir, "events")
-    return funnel(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])
-
-
-@query(
-    "user_cohort_retention",
-    "Weekly cohort retention triangle (operators/funnel.py:"
-    "cohort_retention): cohort = Monday-truncated week of the user's "
-    "first event; active in offset w if any event lands in cohort "
-    "week + w.  Two exchanges (user min-ts, then (cohort, offset) "
-    "distinct-count); cohort sizes join back broadcast (one row per "
-    "calendar week); the first-event frame is localCheckpoint-staged "
-    "for its two consumers.",
-    ("+W", "A2", "J4"),
-    oracle="""
-WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
-a AS (SELECT strftime(date_trunc('week', f.t0), '%Y-%m-%d') AS cohort_week,
-             CAST(date_diff('day', CAST(date_trunc('week', f.t0) AS DATE),
-                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
-                  AS INT) AS week_offset,
-             e.user_id
-      FROM events e JOIN f USING (user_id)),
-act AS (SELECT cohort_week, week_offset,
-               count(DISTINCT user_id) AS active_users
-        FROM a GROUP BY 1, 2),
-sz AS (SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
-              count(DISTINCT user_id) AS sz FROM f GROUP BY 1)
-SELECT act.cohort_week, act.week_offset,
-       CAST(active_users AS BIGINT) AS active_users,
-       round(CAST(active_users AS DOUBLE) / sz, 6) AS retention
-FROM act JOIN sz USING (cohort_week)
-""",
-)
-def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_mozetl_spark.operators.funnel import cohort_retention
-
-    e = t(spark, sf_dir, "events")
-    return cohort_retention(e, "user_id", "ts")
-
-
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -7361,8 +7287,6 @@ _DRIVER_WINDOW = [
     "event_value_ks_drift",
     "doc_leakage_safe_split",
     "embedding_covariance",
-    "event_funnel",
-    "user_cohort_retention",
     "embedding_zscore_outliers",
     "doc_split_kl",
     "embedding_split_contamination",
@@ -7398,6 +7322,8 @@ _DRIVER_WINDOW = [
     "priority_conversion_ci",
     "embedding_kcenter_coreset",
     "bloom_pruned_revenue",
+    "orders_neyman_sample",
+    "priority_status_chi2",
     "embedding_lloyd_clusters",
     "token_triangles",
 ]

@@ -430,63 +430,6 @@ def test_gram_covariance_skips_null_vectors(spark):
     assert got == {(0, 0): 1.0, (0, 1): 2.0, (1, 1): 4.0}
 
 
-def test_funnel_strict_order_and_ties(spark):
-    """The fold must match the SQL join chain: a stage event at the
-    SAME timestamp as the previous stage's match does not advance;
-    events before the previous stage's match never count."""
-    from datetime import datetime as dt
-
-    from python_mozetl_spark.operators.funnel import funnel
-
-    rows = [
-        # u1: clean view -> click -> purchase
-        (1, dt(2024, 1, 1, 10), "view"),
-        (1, dt(2024, 1, 1, 11), "click"),
-        (1, dt(2024, 1, 1, 12), "purchase"),
-        # u2: click BEFORE view, purchase ties with click -> stops at view
-        (2, dt(2024, 1, 2, 9), "click"),
-        (2, dt(2024, 1, 2, 10), "view"),
-        (2, dt(2024, 1, 2, 10), "purchase"),
-        # u3: view + same-ts click (tie -> click must NOT count)
-        (3, dt(2024, 1, 3, 8), "view"),
-        (3, dt(2024, 1, 3, 8), "click"),
-        # u4: only an off-funnel event -> base only
-        (4, dt(2024, 1, 4, 8), "error"),
-    ]
-    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
-    got = {
-        r["stage"]: (r["users"], r["conversion"])
-        for r in funnel(df, "user_id", "ts", "event_type",
-                        ["view", "click", "purchase"]).collect()
-    }
-    assert got["all"] == (4, 1.0)
-    assert got["view"] == (3, 0.75)
-    assert got["click"] == (1, round(1 / 3, 6))
-    assert got["purchase"] == (1, 1.0)
-
-
-def test_cohort_retention_triangle(spark):
-    from datetime import datetime as dt
-
-    from python_mozetl_spark.operators.funnel import cohort_retention
-
-    rows = [
-        (1, dt(2024, 1, 1)), (1, dt(2024, 1, 9)),   # w0 cohort, active w0+w1
-        (2, dt(2024, 1, 3)),                          # w0 cohort, w0 only
-        (3, dt(2024, 1, 10)), (3, dt(2024, 1, 22)),  # w1 cohort, active w1+w3... offset 2
-    ]
-    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
-    got = {
-        (r["cohort_week"], r["week_offset"]): (r["active_users"], r["retention"])
-        for r in cohort_retention(df, "user_id", "ts").collect()
-    }
-    assert got[("2024-01-01", 0)] == (2, 1.0)
-    assert got[("2024-01-01", 1)] == (1, 0.5)
-    assert got[("2024-01-08", 0)] == (1, 1.0)
-    assert got[("2024-01-08", 2)] == (1, 1.0)
-    assert len(got) == 4
-
-
 def test_zscore_outliers_matches_numpy(spark):
     import numpy as np
 
