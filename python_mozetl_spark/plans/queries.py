@@ -7092,6 +7092,42 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_pair_lift",
+    "Association rules over order baskets (operators/basket.py:"
+    "basket_pair_lift): part pairs co-ordered in >= 2 orders with "
+    "support, confidence, and lift — the statistical layer the "
+    "reference's coinstall graph (taar_lite_guidguid.py:70-95) "
+    "stops short of.  Basket relation staged once for its three "
+    "consumers; per-item counts attached BEFORE the within-basket "
+    "self-join so the pair frame never re-shuffles; basket total "
+    "rides a broadcast 1-row frame; support pruning at the pair "
+    "aggregate.  Pair fanout is quadratic in basket size (<= ~13 "
+    "here) — bounded_bucket_pairs is the unbounded-basket route.",
+    ("E5", "A4", "+J"),
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n FROM b),
+ic AS (SELECT it, count(*) AS c FROM b GROUP BY 1),
+pc AS (SELECT a.it AS item_a, c.it AS item_b, count(*) AS n_ab
+       FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+  round(CAST(n_ab AS DOUBLE) / n.n, 6) AS support,
+  round(CAST(n_ab AS DOUBLE) / ia.c, 6) AS confidence,
+  round(CAST(n_ab AS DOUBLE) * n.n / (CAST(ia.c AS DOUBLE) * ib.c), 6)
+    AS lift
+FROM pc JOIN ic ia ON ia.it = pc.item_a
+        JOIN ic ib ON ib.it = pc.item_b CROSS JOIN n
+""",
+)
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.basket import basket_pair_lift
+
+    li = t(spark, sf_dir, "lineitem")
+    return basket_pair_lift(li, "l_orderkey", "l_partkey", min_count=2)
+
+
+@query(
     "embedding_split_contamination",
     "Embedding-space eval-set contamination report "
     "(ext/similarity.py:cross_split_contamination): per eval split, "
@@ -7290,6 +7326,7 @@ _DRIVER_WINDOW = [
     "embedding_zscore_outliers",
     "doc_split_kl",
     "embedding_split_contamination",
+    "part_pair_lift",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7322,7 +7359,6 @@ _DRIVER_WINDOW = [
     "priority_conversion_ci",
     "embedding_kcenter_coreset",
     "bloom_pruned_revenue",
-    "orders_neyman_sample",
     "priority_status_chi2",
     "embedding_lloyd_clusters",
     "token_triangles",

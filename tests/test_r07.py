@@ -513,3 +513,29 @@ def test_cross_split_contamination_planted_pair(spark):
     assert got["val"]["n_vectors"] == len(by_split["val"])
     assert got["val"]["rate"] == round(1 / len(by_split["val"]), 6)
     assert got["test"]["contaminated"] == 0
+
+
+def test_basket_pair_lift_hand_computed(spark):
+    """Support/confidence/lift on a hand-countable basket set,
+    including duplicate (basket, item) rows collapsing and the
+    min_count prune."""
+    from python_mozetl_spark.operators.basket import basket_pair_lift
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),   # dup (1, b) must collapse
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_pair_lift(df, "bk", "it", min_count=2).collect()
+    }
+    # only (a, b) survives min_count=2: n_ab=2, N=4, n_a=3, n_b=2
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert r["n_ab"] == 2
+    assert r["support"] == 0.5
+    assert r["confidence"] == round(2 / 3, 6)
+    assert r["lift"] == round(2 * 4 / (3 * 2), 6)
