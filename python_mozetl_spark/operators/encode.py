@@ -184,3 +184,41 @@ def hash_features(
             folded["idx"].alias("indices"), folded["val"].alias("values")
         ),
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency (quantile) binning — the scale-correct
+    alternative to ``ntile()``: an NTILE window forces a GLOBAL sort
+    through one partition, while this computes the n_bins-1 exact
+    interpolated cutoffs in a single aggregate (Spark ``percentile``
+    == DuckDB ``quantile_cont``), broadcasts the ONE-row cutoff
+    array, and assigns ``bin = #cutoffs strictly below value`` with
+    a within-row codegen expression.  Values exactly on a cutoff go
+    to the LOWER bin; bins are 0-indexed.
+
+    Unlike ntile, bin population is driven by the value
+    distribution (heavy ties collapse into one bin) — the property
+    feature pipelines actually want from a quantile transform.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    # df feeds both the cutoff aggregate and the binning pass — stage
+    # it so the upstream plan runs once (SCALE.md §6b)
+    df = df.localCheckpoint(eager=False)
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    cuts = df.agg(
+        F.expr(f"percentile({value_col}, array({qs}))").alias("__cuts")
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            bin_col,
+            F.expr(f"size(filter(__cuts, c -> {value_col} > c))").cast("int"),
+        )
+        .drop("__cuts")
+    )

@@ -320,3 +320,49 @@ def rolling_zscore_anomalies(
             "zscore",
         )
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: float = 7.0,
+    precision: int = 4,
+) -> DataFrame:
+    """Exponentially time-decayed value per key: each event
+    contributes ``value * 0.5 ** (age_days / half_life_days)`` with
+    age measured in whole epoch seconds from the corpus' newest
+    event — the recency-weighted LTV / engagement score that a
+    uniform trailing window (``running_agg``) can't express (old
+    events fade smoothly instead of falling off a cliff).
+
+    Returns ``(key, n_events, decayed_value)``; NULL values are
+    excluded (they would silently skew n_events vs the sum).
+
+    Scale shape: the projected (key, epoch, value) frame is staged
+    once for its two consumers (global max + the keyed agg); the
+    reference instant rides a broadcast 1-row frame (no driver
+    collect); the decay weight is a per-row codegen expression and
+    the whole thing is ONE keyed hash agg.  Whole-second epoch
+    truncation keeps the exponent engine-portable.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    e = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(key_col), epoch.alias("__s"), F.col(value_col).alias("__v"))
+        .localCheckpoint(eager=False)
+    )
+    ref = e.agg(F.max("__s").alias("__ref"))  # 1 row
+    w = F.pow(
+        F.lit(0.5),
+        (F.col("__ref") - F.col("__s")) / 86400.0 / float(half_life_days),
+    )
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("__v") * w), precision).alias("decayed_value"),
+        )
+    )

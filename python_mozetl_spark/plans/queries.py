@@ -7092,6 +7092,78 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_decayed_value",
+    "Per-user exponentially time-decayed event value, half-life 7 "
+    "days from the corpus' newest event (operators/timeseries.py:"
+    "decayed_sum) — the recency-weighted engagement score a uniform "
+    "trailing window can't express.  Projected (key, epoch, value) "
+    "staged once for its two consumers; the reference instant rides "
+    "a broadcast 1-row frame; decay weight is per-row codegen; ONE "
+    "keyed hash agg.  Whole-second epoch truncation keeps the "
+    "exponent engine-portable.",
+    ("timeseries", "A2", "+W"),
+    oracle="""
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+           FROM events WHERE value IS NOT NULL),
+r AS (SELECT max(s) AS ref FROM e)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value * pow(0.5, (ref - s) / 86400.0 / 7.0)), 4)
+    AS decayed_value
+FROM e CROSS JOIN r GROUP BY 1
+""",
+)
+def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import decayed_sum
+
+    e = t(spark, sf_dir, "events")
+    return decayed_sum(e, "user_id", "ts", "value", half_life_days=7.0)
+
+
+@query(
+    "customer_revenue_deciles",
+    "Equal-frequency decile binning of per-customer revenue "
+    "(operators/encode.py:quantile_bin) — the scale-correct ntile: "
+    "exact interpolated cutoffs from ONE aggregate (Spark percentile "
+    "== DuckDB quantile_cont), broadcast as a 1-row array, bin "
+    "assigned by a within-row codegen filter-count; no global sort, "
+    "no single-partition window.  Per-decile population and revenue "
+    "stats follow in one hash agg.",
+    ("A12", "F4", "O4"),
+    oracle="""
+WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+           FROM orders GROUP BY 1),
+c AS (SELECT quantile_cont(revenue,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM r),
+b AS (SELECT revenue, len(list_filter(cuts, x -> revenue > x)) AS decile
+      FROM r CROSS JOIN c)
+SELECT CAST(decile AS INT) AS decile,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  round(min(revenue), 4) AS min_rev,
+  round(max(revenue), 4) AS max_rev,
+  round(avg(revenue), 4) AS avg_rev
+FROM b GROUP BY 1
+""",
+)
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.encode import quantile_bin
+
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    return (
+        quantile_bin(rev, "revenue", 10, "decile")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.min("revenue"), 4).alias("min_rev"),
+            F.round(F.max("revenue"), 4).alias("max_rev"),
+            F.round(F.avg("revenue"), 4).alias("avg_rev"),
+        )
+    )
+
+
+@query(
     "part_pair_lift",
     "Association rules over order baskets (operators/basket.py:"
     "basket_pair_lift): part pairs co-ordered in >= 2 orders with "
@@ -7327,6 +7399,8 @@ _DRIVER_WINDOW = [
     "doc_split_kl",
     "embedding_split_contamination",
     "part_pair_lift",
+    "customer_revenue_deciles",
+    "user_decayed_value",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7358,8 +7432,6 @@ _DRIVER_WINDOW = [
     "doc_negative_samples",
     "priority_conversion_ci",
     "embedding_kcenter_coreset",
-    "bloom_pruned_revenue",
-    "priority_status_chi2",
     "embedding_lloyd_clusters",
     "token_triangles",
 ]

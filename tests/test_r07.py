@@ -539,3 +539,35 @@ def test_basket_pair_lift_hand_computed(spark):
     assert r["support"] == 0.5
     assert r["confidence"] == round(2 / 3, 6)
     assert r["lift"] == round(2 * 4 / (3 * 2), 6)
+
+
+def test_quantile_bin_equal_frequency_and_tie_rule(spark):
+    from python_mozetl_spark.operators.encode import quantile_bin
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    got = quantile_bin(df, "v", 4, "q").collect()
+    pops = {}
+    for r in got:
+        pops[r["q"]] = pops.get(r["q"], 0) + 1
+    # 100 values into quartiles: cutoffs 25.75/50.5/75.25 -> 25/25/25/25
+    assert pops == {0: 25, 1: 25, 2: 25, 3: 25}
+    # ties collapse: constant column -> everything in bin 0
+    const = spark.createDataFrame([(1.0,)] * 10, "v double")
+    assert {r["q"] for r in quantile_bin(const, "v", 4, "q").collect()} == {0}
+
+
+def test_decayed_sum_half_life_arithmetic(spark):
+    from datetime import datetime as dt
+
+    from python_mozetl_spark.operators.timeseries import decayed_sum
+
+    rows = [
+        (1, dt(2024, 1, 8), 10.0),   # ref instant: weight 1
+        (1, dt(2024, 1, 1), 10.0),   # exactly one half-life old: weight 0.5
+        (2, dt(2024, 1, 8), None),   # NULL value: excluded entirely
+        (2, dt(2024, 1, 1), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r for r in decayed_sum(df, "user_id", "ts", "value").collect()}
+    assert got[1]["n_events"] == 2 and got[1]["decayed_value"] == 15.0
+    assert got[2]["n_events"] == 1 and got[2]["decayed_value"] == 2.0
