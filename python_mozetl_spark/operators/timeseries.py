@@ -366,3 +366,143 @@ def decayed_sum(
             F.round(F.sum(F.col("__v") * w), precision).alias("decayed_value"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    precision: int = 4,
+) -> DataFrame:
+    """Per-key mean-shift changepoint via the classic CUSUM scan: for
+    each key's DAILY value series, the changepoint is the day
+    maximizing |cumulative sum of (x - series mean)| — the
+    level-shift detector behind pipeline monitoring alerts
+    (complementing ``rolling_zscore_anomalies``' pointwise spikes:
+    CUSUM finds the sustained regime change a single-day z-score
+    misses).
+
+    Returns ``(key, n_days, cp_day, cusum_max, mean_before,
+    mean_after)`` — before/after split inclusively at the
+    changepoint day.  Argmax ties break earliest-day on the ROUNDED
+    |cusum| (engine-portable ranking).
+
+    Scale shape: the raw stream collapses to the (key, day) frame in
+    one hash agg; everything after — the per-key mean, the running
+    CUSUM, the argmax, the before/after means — runs on that
+    calendar-bounded frame (per-key windows touch |days| rows, never
+    event volume).  The daily frame is staged once for its two
+    consumers.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"), F.to_date(ts_col).alias("day")
+        )
+        .agg(F.sum(value_col).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    wk = Window.partitionBy("k")
+    run = Window.partitionBy("k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.select(
+        "k",
+        "day",
+        "x",
+        (F.sum("x").over(run) - F.count(F.lit(1)).over(run) * F.avg("x").over(wk))
+        .alias("c"),
+    )
+    rk = Window.partitionBy("k").orderBy(
+        F.round(F.abs("c"), 6).desc(), F.col("day")
+    )
+    cp = (
+        cusum.withColumn("__r", F.row_number().over(rk))
+        .where(F.col("__r") == 1)
+        .select("k", F.col("day").alias("cp_day"), F.col("c").alias("cmax"))
+    )
+    return (
+        daily.join(F.broadcast(cp), "k")
+        .groupBy("k", "cp_day", "cmax")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.avg(F.when(F.col("day") <= F.col("cp_day"), F.col("x"))),
+                precision,
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col("day") > F.col("cp_day"), F.col("x"))),
+                precision,
+            ).alias("mean_after"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n_days",
+            F.date_format("cp_day", "yyyy-MM-dd").alias("cp_day"),
+            F.round(F.abs("cmax"), precision).alias("cusum_max"),
+            "mean_before",
+            "mean_after",
+        )
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-key robust (Theil-Sen) trend over the daily value series:
+    slope = MEDIAN of all pairwise day-to-day slopes, intercept =
+    median of ``x - slope * day_idx`` — the outlier-resistant
+    companion to the least-squares ``regr_slope`` trend (one wild
+    day moves the LS fit, not the pairwise median).
+
+    Returns ``(key, n_days, slope, intercept)``; ``day_idx`` is the
+    epoch-day index, so the intercept is the robust level at day 0
+    of the epoch (comparable across keys).
+
+    Scale shape: the raw stream collapses to the (key, day) frame in
+    one hash agg; the pairwise self-join fans out quadratically in
+    the DAY count — calendar-bounded (30 days -> <= 435 pairs per
+    key), never event volume; medians are exact interpolated
+    percentiles per key.  The daily frame is staged once for its
+    two consumers (pair join sides + intercept residuals).
+    """
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.datediff(F.to_date(ts_col), F.to_date(F.lit("1970-01-01"))).alias("d"),
+        )
+        .agg(F.sum(value_col).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select("k", F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select("k", F.col("d").alias("db"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, "k")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("k")
+        .agg(
+            F.expr("percentile((xb - xa) / (db - da), 0.5)").alias("slope")
+        )
+    )
+    return (
+        daily.join(F.broadcast(slopes), "k")
+        .groupBy("k", "slope")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("percentile(x - slope * d, 0.5)").alias("__icept"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n_days",
+            F.round("slope", precision).alias("slope"),
+            F.round("__icept", precision).alias("intercept"),
+        )
+    )

@@ -7092,6 +7092,80 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_cusum_changepoint",
+    "Per-event-type mean-shift changepoint via the CUSUM scan "
+    "(operators/timeseries.py:cusum_changepoint): the day maximizing "
+    "|cumsum(x - series mean)| over the daily value series, with "
+    "before/after level means — the sustained-regime-change detector "
+    "complementing rolling_zscore_anomalies' pointwise spikes.  Raw "
+    "stream collapses to the (key, day) frame in one hash agg; all "
+    "windows run on the calendar-bounded frame; argmax ties break "
+    "earliest-day on the ROUNDED |cusum|.",
+    ("timeseries", "+W", "A2"),
+    oracle="""
+WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                      sum(value) AS x
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT k, day, x,
+        sum(x) OVER w - (count(*) OVER w)
+          * (avg(x) OVER (PARTITION BY k)) AS c
+      FROM daily
+      WINDOW w AS (PARTITION BY k ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cp AS (SELECT k, day AS cp_day, c AS cmax,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY round(abs(c), 6) DESC, day) AS r
+       FROM c),
+cp1 AS (SELECT k, cp_day, cmax FROM cp WHERE r = 1)
+SELECT daily.k AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+  strftime(cp_day, '%Y-%m-%d') AS cp_day,
+  round(abs(cmax), 4) AS cusum_max,
+  round(avg(CASE WHEN day <= cp_day THEN x END), 4) AS mean_before,
+  round(avg(CASE WHEN day > cp_day THEN x END), 4) AS mean_after
+FROM daily JOIN cp1 USING (k)
+GROUP BY daily.k, cp_day, cmax
+""",
+)
+def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import cusum_changepoint
+
+    e = t(spark, sf_dir, "events")
+    return cusum_changepoint(e, "event_type", "ts", "value")
+
+
+@query(
+    "event_theil_sen_trend",
+    "Per-event-type robust Theil-Sen trend (operators/timeseries.py:"
+    "theil_sen_trend): slope = median of all pairwise daily slopes, "
+    "intercept = median residual at epoch day 0 — the "
+    "outlier-resistant companion to event_type_daily_trend's "
+    "least-squares fit.  Pairwise fanout is quadratic in the DAY "
+    "count (calendar-bounded, <= 435 pairs/key at 30 days), never "
+    "event volume; medians are exact interpolated percentiles "
+    "(Spark percentile == DuckDB quantile_cont).",
+    ("timeseries", "A12", "+J"),
+    oracle="""
+WITH daily AS (SELECT event_type AS k,
+                      date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS d,
+                      sum(value) AS x
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+s AS (SELECT a.k, quantile_cont((b.x - a.x) / (b.d - a.d), 0.5) AS slope
+      FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d GROUP BY 1)
+SELECT daily.k AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+  round(slope, 6) AS slope,
+  round(quantile_cont(x - slope * d, 0.5), 6) AS intercept
+FROM daily JOIN s USING (k) GROUP BY daily.k, slope
+""",
+)
+def event_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import theil_sen_trend
+
+    e = t(spark, sf_dir, "events")
+    return theil_sen_trend(e, "event_type", "ts", "value")
+
+
+@query(
     "user_decayed_value",
     "Per-user exponentially time-decayed event value, half-life 7 "
     "days from the corpus' newest event (operators/timeseries.py:"
@@ -7401,6 +7475,8 @@ _DRIVER_WINDOW = [
     "part_pair_lift",
     "customer_revenue_deciles",
     "user_decayed_value",
+    "event_cusum_changepoint",
+    "event_theil_sen_trend",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7430,8 +7506,6 @@ _DRIVER_WINDOW = [
     "bpe_merge_candidates",
     "bm25_search_docs",
     "doc_negative_samples",
-    "priority_conversion_ci",
-    "embedding_kcenter_coreset",
     "embedding_lloyd_clusters",
     "token_triangles",
 ]

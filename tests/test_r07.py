@@ -571,3 +571,41 @@ def test_decayed_sum_half_life_arithmetic(spark):
     got = {r["user_id"]: r for r in decayed_sum(df, "user_id", "ts", "value").collect()}
     assert got[1]["n_events"] == 2 and got[1]["decayed_value"] == 15.0
     assert got[2]["n_events"] == 1 and got[2]["decayed_value"] == 2.0
+
+
+def test_cusum_changepoint_planted_level_shift(spark):
+    """A clean level shift must place the changepoint at the last day
+    of the old regime with the right before/after means."""
+    from datetime import datetime as dt
+
+    from python_mozetl_spark.operators.timeseries import cusum_changepoint
+
+    rows = [("a", dt(2024, 1, d), 10.0) for d in range(1, 11)]   # level 10
+    rows += [("a", dt(2024, 1, d), 30.0) for d in range(11, 21)]  # level 30
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    r = cusum_changepoint(df, "k", "ts", "value").collect()[0]
+    assert r["cp_day"] == "2024-01-10"
+    assert r["n_days"] == 20
+    assert r["mean_before"] == 10.0 and r["mean_after"] == 30.0
+    # |cusum| at the boundary: 10 days x |10 - 20| = 100
+    assert r["cusum_max"] == 100.0
+
+
+def test_theil_sen_ignores_single_outlier(spark):
+    """y = 2d + 1 with one wild day: Theil-Sen recovers the true
+    slope/intercept exactly (least squares would not)."""
+    from datetime import datetime as dt
+
+    from python_mozetl_spark.operators.timeseries import theil_sen_trend
+
+    rows = []
+    for d in range(1, 12):
+        y = 2.0 * (19722 + d) + 3.0   # day_idx of 2024-01-0d is 19722+d
+        if d == 6:
+            y += 1000.0               # outlier
+        rows.append(("a", dt(2024, 1, d), y))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    r = theil_sen_trend(df, "k", "ts", "value").collect()[0]
+    assert r["n_days"] == 11
+    assert r["slope"] == 2.0
+    assert r["intercept"] == 3.0
