@@ -58,3 +58,28 @@ def manual_pivot(
         for v in values
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def unpivot_metrics(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    name_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide -> long (the inverse of :func:`pivot_agg`): melt
+    ``value_cols`` into (``name_col``, ``value_col``) rows, keeping
+    ``id_cols``.  Values are cast to double so heterogeneous metric
+    types stack into one column (Spark's ``unpivot`` requires a
+    common type).
+
+    Backed by ``DataFrame.unpivot`` — a zero-shuffle, narrow
+    row-expansion (|value_cols| output rows per input row) that
+    whole-stage codegen handles like any generator; the shape that
+    feeds metric-catalog sinks and per-metric alerting without one
+    query per column.
+    """
+    casted = df.select(
+        *id_cols, *[F.col(c).cast("double").alias(c) for c in value_cols]
+    )
+    return casted.unpivot(id_cols, value_cols, name_col, value_col)

@@ -7092,6 +7092,52 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pricing_metrics_long",
+    "Wide -> long unpivot (operators/pivot.py:unpivot_metrics, the "
+    "A7 inverse): the pricing rollup's metric columns melted into "
+    "(group, metric, value) rows — the shape that feeds "
+    "metric-catalog sinks and per-metric alerting without one query "
+    "per column.  DataFrame.unpivot is a zero-shuffle narrow "
+    "row-expansion; the only exchange is the upstream rollup's own "
+    "hash agg.",
+    ("A7", "A1", "P1"),
+    oracle="""
+WITH w AS (SELECT l_returnflag, l_linestatus,
+    CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+    CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+    CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+    CAST(count(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, metric, round(value, 4) AS value
+FROM (
+  SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric,
+         sum_qty AS value FROM w
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price FROM w
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, 'avg_disc', avg_disc FROM w
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, 'n_rows', n_rows FROM w)
+""",
+)
+def pricing_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.pivot import unpivot_metrics
+
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return unpivot_metrics(
+        wide,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_price", "avg_disc", "n_rows"],
+    ).withColumn("value", F.round("value", 4))
+
+
+@query(
     "event_cusum_changepoint",
     "Per-event-type mean-shift changepoint via the CUSUM scan "
     "(operators/timeseries.py:cusum_changepoint): the day maximizing "
@@ -7477,6 +7523,7 @@ _DRIVER_WINDOW = [
     "user_decayed_value",
     "event_cusum_changepoint",
     "event_theil_sen_trend",
+    "pricing_metrics_long",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7505,7 +7552,6 @@ _DRIVER_WINDOW = [
     # (c) the stalest r05-graded displacements
     "bpe_merge_candidates",
     "bm25_search_docs",
-    "doc_negative_samples",
     "embedding_lloyd_clusters",
     "token_triangles",
 ]

@@ -609,3 +609,13 @@ def test_theil_sen_ignores_single_outlier(spark):
     assert r["n_days"] == 11
     assert r["slope"] == 2.0
     assert r["intercept"] == 3.0
+
+
+def test_unpivot_metrics_roundtrip_and_cast(spark):
+    from python_mozetl_spark.operators.pivot import unpivot_metrics
+
+    df = spark.createDataFrame([("x", 1, 2.5), ("y", 3, 4.0)], "g string, a long, b double")
+    out = unpivot_metrics(df, ["g"], ["a", "b"]).collect()
+    got = {(r["g"], r["metric"]): r["value"] for r in out}
+    assert got == {("x", "a"): 1.0, ("x", "b"): 2.5, ("y", "a"): 3.0, ("y", "b"): 4.0}
+    assert len(out) == 4  # |rows| x |value_cols|
