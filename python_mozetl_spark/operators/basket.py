@@ -58,7 +58,10 @@ def basket_pair_lift(
     )
     n = b.agg(F.countDistinct("__bk").cast("double").alias("__n"))  # 1 row
     ic = b.groupBy("__it").agg(F.count(F.lit(1)).alias("__c"))
-    bc = b.join(ic, "__it")  # carry each item's basket count into the pairs
+    # carry each item's basket count into the pairs; staged because
+    # BOTH self-join sides consume it (otherwise the b⋈ic join runs
+    # twice — ReusedExchange does not cover the join itself)
+    bc = b.join(ic, "__it").localCheckpoint(eager=False)
     left = bc.select(
         F.col("__bk"), F.col("__it").alias("item_a"), F.col("__c").alias("__ca")
     )
