@@ -562,3 +562,132 @@ def test_asof_join_matches_strict_reference(sess, rights, l_ts, l_tb):
         float(max(preceding)[0] * 100 + max(preceding)[1]) if preceding else None
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 7 late: basket rules, decay, quantile bins, KL
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 6)),
+        min_size=1,
+        max_size=40,
+    ),
+    min_count=st.integers(1, 3),
+)
+def test_basket_pair_lift_matches_bruteforce(sess, rows, min_count):
+    """support/confidence/lift equal a plain-python brute force on any
+    random basket set, for any min_count."""
+    from python_mozetl_spark.operators.basket import basket_pair_lift
+
+    df = sess.createDataFrame(rows, ["bk", "it"])
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["n_ab"], r["support"], r["confidence"], r["lift"]
+        )
+        for r in basket_pair_lift(df, "bk", "it", min_count).collect()
+    }
+    baskets = {}
+    for bk, it in set(rows):
+        baskets.setdefault(bk, set()).add(it)
+    n = len(baskets)
+    from collections import Counter
+
+    ic, pc = Counter(), Counter()
+    for items in baskets.values():
+        for it in items:
+            ic[it] += 1
+        for a in items:
+            for b in items:
+                if a < b:
+                    pc[(a, b)] += 1
+    want = {
+        p: (
+            c,
+            round(c / n, 6),
+            round(c / ic[p[0]], 6),
+            round(c * n / (ic[p[0]] * ic[p[1]]), 6),
+        )
+        for p, c in pc.items()
+        if c >= min_count
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 3_000_000),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_decayed_sum_matches_python_reference(sess, rows):
+    import datetime as dt
+    import math
+
+    from python_mozetl_spark.operators.timeseries import decayed_sum
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(seconds=s), v) for k, s, v in rows]
+    df = sess.createDataFrame(data, "k long, ts timestamp, v double")
+    got = {
+        r["k"]: (r["n_events"], r["decayed_value"])
+        for r in decayed_sum(df, "k", "ts", "v", half_life_days=2.0).collect()
+    }
+    ref_s = max(s for _, s, _ in rows)
+    want = {}
+    for k, s, v in rows:
+        n, tot = want.get(k, (0, 0.0))
+        want[k] = (n + 1, tot + v * 0.5 ** ((ref_s - s) / 86400.0 / 2.0))
+    want = {k: (n, round(tot, 4)) for k, (n, tot) in want.items()}
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert math.isclose(got[k][1], want[k][1], abs_tol=2e-4), (k, got[k], want[k])
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=50),
+    n_bins=st.integers(2, 8),
+)
+def test_quantile_bin_monotone_and_in_range(sess, vals, n_bins):
+    """Bins are monotone non-decreasing in the value and always in
+    [0, n_bins-1]; equal values always share a bin."""
+    from python_mozetl_spark.operators.encode import quantile_bin
+
+    df = sess.createDataFrame([(v,) for v in vals], "v double")
+    out = sorted(
+        ((r["v"], r["q"]) for r in quantile_bin(df, "v", n_bins, "q").collect())
+    )
+    assert all(0 <= q <= n_bins - 1 for _, q in out)
+    for (v1, q1), (v2, q2) in zip(out, out[1:]):
+        assert q1 <= q2
+        if v1 == v2:
+            assert q1 == q2
+
+
+@settings(**SETTINGS)
+@given(
+    a=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=15),
+    b=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=15),
+)
+def test_unigram_kl_nonnegative_zero_iff_equal(sess, a, b):
+    """Gibbs: smoothed KL >= 0, and == 0 exactly when the two splits
+    have identical token count vectors."""
+    from collections import Counter
+
+    from python_mozetl_spark.ext.quality import unigram_kl
+
+    rows = [("train", " ".join(a)), ("eval", " ".join(b))]
+    df = sess.createDataFrame(rows, "split string, text string")
+    r = unigram_kl(df, "text", "split").collect()[0]
+    assert r["kl"] >= 0.0
+    assert (r["kl"] == 0.0) == (Counter(a) == Counter(b))
