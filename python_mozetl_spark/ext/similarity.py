@@ -730,6 +730,93 @@ def kcenter_coreset(
     )
 
 
+def mmr_select(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k vectors maximizing
+    ``lambda * relevance - (1 - lambda) * max-similarity-to-selected``
+    — the relevance-AND-diversity subset sampler (RAG context
+    packing, eval-set curation) where :func:`kcenter_coreset` is
+    diversity-only.  Relevance = cosine to the corpus centroid (the
+    deterministic stand-in for an external query vector).
+
+    Deterministic cross-engine spec, same discipline as
+    ``kcenter_coreset``: every compared quantity (relevance, pairwise
+    similarity, the MMR score) is cosine ROUNDED to ``round_dp``;
+    argmax ties break by lowest id; max-over-selected uses the
+    incremental ``greatest(prev, new)`` form, which over rounded
+    sims equals the recompute-all form.  Zero-norm vectors score
+    cosine 0.0 (guarded), so they can be selected but never dominate.
+
+    Scale shape: k scans of the staged (id, vector, relevance)
+    frame, each a narrow projection + TakeOrdered top-1 (1-row
+    argmax collect, bounded by construction); the centroid is a
+    d-row collect (bounded by the DIMENSION, not the data); no
+    corpus self-join anywhere — the candidate x selected similarity
+    exists only as a per-row expression against <= k broadcast
+    literals.
+
+    Returns the k selected rows ``(rank, id, relevance, score)`` in
+    selection order.
+    """
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).localCheckpoint()  # k argmax scans re-read the prepared frame
+    cen = [
+        r["m"]
+        for r in (
+            e.select(F.posexplode("__v").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.avg("x").alias("m"))
+            .orderBy("i")
+            .collect()  # d rows — bounded by the embedding dimension
+        )
+    ]
+
+    def cos_to(vec: list[float]):
+        return F.round(
+            cosine_similarity(F.col("__v"), F.lit(vec).cast("array<double>")),
+            round_dp,
+        )
+
+    cur = e.withColumn("__rel", cos_to(cen)).withColumn(
+        "__msim", F.lit(0.0)
+    )
+    score = F.round(
+        F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__msim"),
+        round_dp,
+    )
+    out = []
+    for rank in range(1, k + 1):
+        top = (
+            cur.withColumn("__score", score)
+            .orderBy(F.desc("__score"), id_col)
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t_ = top[0]
+        out.append((rank, t_[id_col], t_["__rel"], t_["__score"]))
+        cur = cur.where(F.col(id_col) != t_[id_col]).withColumn(
+            "__msim",
+            F.greatest("__msim", cos_to([float(x) for x in t_["__v"]])),
+        )
+        if rank % 3 == 0:
+            cur = cur.localCheckpoint()  # bound fold-over-fold lineage
+    return spark.createDataFrame(
+        out, f"rank int, {id_col} long, relevance double, score double"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -6388,6 +6388,77 @@ SELECT vec_id, CAST(cid AS BIGINT) AS center_id, d2 FROM fin WHERE rn = 1"""
     return "\n".join(parts)
 
 
+def _mmr_oracle(k: int = 10, lam: float = 0.5) -> str:
+    """SQL unrolling the greedy MMR spec (centroid relevance,
+    6dp-rounded guarded cosines, incremental greatest(prev, new)
+    max-sim, id tie-breaks) — mirrors ext/similarity.py:mmr_select."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(CASE WHEN list_dot_product({a}, {a}) = 0 "
+            f"OR list_dot_product({b}, {b}) = 0 THEN 0.0 "
+            f"ELSE list_cosine_similarity({a}, {b}) END, 6)"
+        )
+
+    sc = f"round({lam!r} * rel - {1 - lam!r} * msim, 6)"
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "cen AS (SELECT list(m ORDER BY i) AS v FROM ("
+        "  SELECT i, avg(x) AS m FROM ("
+        "    SELECT generate_subscripts(embedding, 1) AS i,"
+        "           CAST(unnest(embedding) AS DOUBLE) AS x"
+        "    FROM embeddings) GROUP BY i)),",
+        # MATERIALIZED: each m_i/s_i is referenced by two descendants —
+        # without it DuckDB inlines the chain and re-evaluates it
+        # exponentially (~2^k; measured 99 s -> sub-second at k=10)
+        f"m0 AS MATERIALIZED (SELECT e.vec_id, e.v, {cos('e.v', 'c.v')} AS rel,"
+        " 0.0 AS msim FROM e CROSS JOIN cen c),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT {i} AS rnk, vec_id, v, rel, "
+            f"{sc} AS score "
+            f"FROM m{i - 1} ORDER BY score DESC, vec_id LIMIT 1),"
+        )
+        if i < k:
+            parts.append(
+                f"m{i} AS MATERIALIZED (SELECT m.vec_id, m.v, m.rel, "
+                f"greatest(m.msim, {cos('m.v', 's.v')}) AS msim "
+                f"FROM m{i - 1} m CROSS JOIN s{i} s "
+                f"WHERE m.vec_id <> s.vec_id),"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT rnk, vec_id, rel, score FROM s{i}" for i in range(1, k + 1)
+    )
+    parts.append(
+        f'sel AS ({sel})\nSELECT CAST(rnk AS INT) AS "rank", vec_id, '
+        "rel AS relevance, score FROM sel"
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "embedding_mmr_select",
+    "Maximal Marginal Relevance top-10 (Carbonell & Goldstein "
+    "SIGIR'98; ext/similarity.py:mmr_select): greedy "
+    "lambda*relevance - (1-lambda)*max-sim-to-selected over "
+    "centroid-cosine relevance — the relevance-AND-diversity subset "
+    "sampler (RAG context packing) where kcenter is diversity-only.  "
+    "Deterministic spec: 6dp-rounded guarded cosines, id tie-breaks, "
+    "incremental greatest() max-sim; k TakeOrdered scans of the "
+    "staged frame + 1-row argmax collects, centroid a d-row collect "
+    "(bounded by dimension); no corpus self-join — the full unrolled "
+    "greedy hash-matches the SQL oracle.",
+    ("F7", "ext-sim", "coreset"),
+    oracle=_mmr_oracle(k=10, lam=0.5),
+)
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.similarity import mmr_select
+
+    em = t(spark, sf_dir, "embeddings")
+    return mmr_select(em, "vec_id", "embedding", k=10, lam=0.5)
+
+
 @query(
     "embedding_kcenter_coreset",
     "Greedy k-center coreset (Gonzalez'85 farthest-point traversal) — "
@@ -7524,6 +7595,7 @@ _DRIVER_WINDOW = [
     "event_cusum_changepoint",
     "event_theil_sen_trend",
     "pricing_metrics_long",
+    "embedding_mmr_select",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7551,7 +7623,6 @@ _DRIVER_WINDOW = [
     "regional_revenue",
     # (c) the stalest r05-graded displacements
     "bpe_merge_candidates",
-    "bm25_search_docs",
     "embedding_lloyd_clusters",
     "token_triangles",
 ]

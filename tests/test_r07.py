@@ -619,3 +619,54 @@ def test_unpivot_metrics_roundtrip_and_cast(spark):
     got = {(r["g"], r["metric"]): r["value"] for r in out}
     assert got == {("x", "a"): 1.0, ("x", "b"): 2.5, ("y", "a"): 3.0, ("y", "b"): 4.0}
     assert len(out) == 4  # |rows| x |value_cols|
+
+
+def test_mmr_select_matches_python_reference(spark):
+    """The distributed greedy equals a plain-python mirror of the spec
+    (rounded cosines, id tie-breaks, incremental max-sim), and the
+    second pick must NOT be the duplicate of the first."""
+    import numpy as np
+
+    from python_mozetl_spark.ext.similarity import mmr_select
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [1.0, 0.0, 0.0],     # duplicate of 1 — diversity must skip it
+        3: [0.8, 0.6, 0.0],
+        4: [0.0, 1.0, 0.0],
+        5: [0.0, 0.0, 1.0],
+        6: [0.0, 0.0, 0.0],     # zero vector: guarded cosine 0.0
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["relevance"], r["score"])
+        for r in mmr_select(df, k=4, lam=0.5).collect()
+    ]
+
+    def cos(a, b):
+        na, nb = np.dot(a, a), np.dot(b, b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(float(np.dot(a, b) / np.sqrt(na * nb)), 6)
+
+    cen = np.mean([v for v in vecs.values()], axis=0)
+    rel = {i: cos(v, cen) for i, v in vecs.items()}
+    msim = {i: 0.0 for i in vecs}
+    remaining, want = set(vecs), []
+    for rank in range(1, 5):
+        scored = sorted(
+            ((round(0.5 * rel[i] - 0.5 * msim[i], 6), i) for i in remaining),
+            key=lambda t: (-t[0], t[1]),
+        )
+        s, i = scored[0]
+        want.append((rank, i, rel[i], s))
+        remaining.discard(i)
+        for j in remaining:
+            msim[j] = max(msim[j], cos(vecs[j], vecs[i]))
+    assert got == want
+    # the duplicate (id 2) must not be picked right after id 1
+    picked = [i for _, i, _, _ in got]
+    if picked[0] == 1:
+        assert picked[1] != 2
