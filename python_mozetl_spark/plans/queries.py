@@ -7549,6 +7549,15 @@ def embedding_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ALL remaining r03-graded queries (VERDICT r06 task 2: after this
 # window no registry query's newest driver row is older than round 5),
 # then the stalest r05-graded displacements.
+# Late round-7 additions (embedding_covariance through
+# embedding_mmr_select below) displaced eleven r05-graded backlog
+# entries from the tail of section (c) — price_quantile_sketch,
+# session_attribution_rollup, orders_incremental_state,
+# doc_dup_span_coverage, priority_status_chi2, orders_neyman_sample,
+# bloom_pruned_revenue, embedding_kcenter_coreset,
+# priority_conversion_ci, doc_negative_samples, bm25_search_docs —
+# all roll to R08 holding green r05 driver rows plus r07 full-check
+# rows (regenerated at this round's final tree).
 # Remaining r05-graded (roll to R08, all hold green r05 rows + r07
 # full-check): search_engine_rollup, addon_aggregates_rollup,
 # addon_coinstall_graph, weekly_trend_merge, hardware_dimension_report,
