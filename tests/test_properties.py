@@ -679,9 +679,12 @@ def test_quantile_bin_monotone_and_in_range(sess, vals, n_bins):
     a=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=15),
     b=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=15),
 )
-def test_unigram_kl_nonnegative_zero_iff_equal(sess, a, b):
-    """Gibbs: smoothed KL >= 0, and == 0 exactly when the two splits
-    have identical token count vectors."""
+def test_unigram_kl_matches_python_reference(sess, a, b):
+    """Smoothed KL >= 0 (Gibbs) and equals a plain-python mirror;
+    == 0 whenever the count vectors match.  (The reverse implication
+    is FALSE — e.g. both splits all one token at different lengths
+    give identical smoothed distributions, hence KL = 0.)"""
+    import math
     from collections import Counter
 
     from python_mozetl_spark.ext.quality import unigram_kl
@@ -689,5 +692,15 @@ def test_unigram_kl_nonnegative_zero_iff_equal(sess, a, b):
     rows = [("train", " ".join(a)), ("eval", " ".join(b))]
     df = sess.createDataFrame(rows, "split string, text string")
     r = unigram_kl(df, "text", "split").collect()[0]
+    ca, cb = Counter(b), Counter(a)  # eval vs train
+    vocab = set(ca) | set(cb)
+    v, ns, nr = len(vocab), sum(ca.values()), sum(cb.values())
+    want = sum(
+        (ca[w] + 1) / (ns + v)
+        * math.log(((ca[w] + 1) / (ns + v)) / ((cb[w] + 1) / (nr + v)))
+        for w in vocab
+    )
     assert r["kl"] >= 0.0
-    assert (r["kl"] == 0.0) == (Counter(a) == Counter(b))
+    assert math.isclose(r["kl"], want, abs_tol=1e-6), (r["kl"], want)
+    if Counter(a) == Counter(b):
+        assert r["kl"] == 0.0
