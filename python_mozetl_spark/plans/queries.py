@@ -7311,6 +7311,53 @@ def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_rfm_segments",
+    "RFM customer segmentation (operators/encode.py:rfm_scores): "
+    "recency/frequency/monetary quartile scores composed from three "
+    "quantile_bin passes over the per-customer rollup, with a fixed "
+    "rule grid labeling champion/loyal/recent/hibernating.  ONE "
+    "keyed hash agg collapses the order stream; each quantile pass "
+    "is a tiny cutoff aggregate + broadcast array comparison — no "
+    "global sort anywhere (the reason ntile-based RFM dies at "
+    "scale); the reference instant rides a broadcast 1-row frame.",
+    ("F4", "A12", "A2"),
+    oracle="""
+WITH per AS (SELECT o_custkey,
+        max(CAST(o_orderdate AS DATE)) AS last_d,
+        CAST(count(*) AS BIGINT) AS frequency,
+        round(sum(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY 1),
+r AS (SELECT max(last_d) AS refd FROM per),
+base AS (SELECT o_custkey, frequency, monetary,
+        CAST(date_diff('day', last_d, refd) AS BIGINT) AS recency_days
+      FROM per CROSS JOIN r),
+cr AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS c FROM base),
+cf AS (SELECT quantile_cont(frequency, [0.25, 0.5, 0.75]) AS c FROM base),
+cm AS (SELECT quantile_cont(monetary, [0.25, 0.5, 0.75]) AS c FROM base),
+b AS (SELECT base.*,
+        len(list_filter(cr.c, x -> recency_days > x)) AS rb,
+        len(list_filter(cf.c, x -> frequency > x)) AS fb,
+        len(list_filter(cm.c, x -> monetary > x)) AS mb
+      FROM base CROSS JOIN cr CROSS JOIN cf CROSS JOIN cm)
+SELECT o_custkey, recency_days, frequency, monetary,
+  CAST(4 - rb AS INT) AS r_score,
+  CAST(fb + 1 AS INT) AS f_score,
+  CAST(mb + 1 AS INT) AS m_score,
+  CASE WHEN 4 - rb > 2 AND fb + 1 > 2 THEN 'champion'
+       WHEN fb + 1 > 2 THEN 'loyal'
+       WHEN 4 - rb > 2 THEN 'recent'
+       ELSE 'hibernating' END AS segment
+FROM b
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.encode import rfm_scores
+
+    o = t(spark, sf_dir, "orders")
+    return rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice", n_bins=4)
+
+
+@query(
     "customer_revenue_deciles",
     "Equal-frequency decile binning of per-customer revenue "
     "(operators/encode.py:quantile_bin) — the scale-correct ntile: "
@@ -7605,6 +7652,7 @@ _DRIVER_WINDOW = [
     "event_theil_sen_trend",
     "pricing_metrics_long",
     "embedding_mmr_select",
+    "customer_rfm_segments",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7631,7 +7679,6 @@ _DRIVER_WINDOW = [
     "segment_active_customers",
     "regional_revenue",
     # (c) the stalest r05-graded displacements
-    "bpe_merge_candidates",
     "embedding_lloyd_clusters",
     "token_triangles",
 ]

@@ -670,3 +670,38 @@ def test_mmr_select_matches_python_reference(spark):
     picked = [i for _, i, _, _ in got]
     if picked[0] == 1:
         assert picked[1] != 2
+
+
+def test_rfm_scores_hand_computed(spark):
+    """Quartile scores and segment labels on a hand-countable order
+    log: the most recent frequent customer is the champion, recency
+    inverts, every customer keeps exactly one row."""
+    from datetime import date
+
+    from python_mozetl_spark.operators.encode import rfm_scores
+
+    rows = []
+    # c1: 8 orders, newest day, big spend -> champion
+    for i in range(8):
+        rows.append((1, date(2024, 1, 28 + (i % 2)), 100.0))
+    # c2: 1 old cheap order -> hibernating
+    rows.append((2, date(2024, 1, 1), 5.0))
+    # c3: 4 mid orders, recent -> scores between
+    for i in range(4):
+        rows.append((3, date(2024, 1, 25), 20.0))
+    # c4: 2 orders, old -> low R
+    rows.append((4, date(2024, 1, 2), 50.0))
+    rows.append((4, date(2024, 1, 3), 50.0))
+    df = spark.createDataFrame(rows, "c long, d date, amt double")
+    got = {r["c"]: r for r in rfm_scores(df, "c", "d", "amt").collect()}
+    assert len(got) == 4
+    assert got[1]["segment"] == "champion"
+    assert got[1]["r_score"] == 4 and got[1]["f_score"] == 4
+    assert got[2]["segment"] == "hibernating"
+    assert got[2]["recency_days"] == 28
+    assert got[1]["recency_days"] == 0
+    assert got[2]["r_score"] == 1
+    # monotonicity: more recent never scores lower R than less recent
+    rs = sorted((r["recency_days"], r["r_score"]) for r in got.values())
+    for (d1, s1), (d2, s2) in zip(rs, rs[1:]):
+        assert s1 >= s2
