@@ -506,3 +506,73 @@ def theil_sen_trend(
             F.round("__icept", precision).alias("intercept"),
         )
     )
+
+
+def weekday_seasonality(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    precision: int = 4,
+) -> DataFrame:
+    """Per-key day-of-week seasonality profile: for every (key, dow)
+    cell the mean and share of daily value, plus the key's
+    seasonality strength — the R² of the DOW-means model
+    (``SS_between / SS_total`` over the daily series) — the "is this
+    metric weekly-periodic" diagnostic that decides whether alerts
+    should compare same-weekday baselines (cf. cusum_changepoint /
+    rolling_zscore_anomalies) or plain trailing means.
+
+    ``dow`` is 0=Monday..6=Sunday (Spark ``weekday`` == DuckDB
+    ``isodow - 1``).  Returns ``(key, dow, n_days, mean_value,
+    share, seasonality_r2)``; a constant series reports r2 = 0.
+
+    Scale shape: the raw stream collapses to the calendar-bounded
+    (key, day) frame in one hash agg; both windows partition on the
+    key (days-per-key rows, never event volume); the output distinct
+    collapses identical windowed rows.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), F.to_date(ts_col).alias("day"))
+        .agg(F.sum(value_col).alias("x"))
+        .select("k", F.expr("weekday(day)").alias("dow"), "x")
+    )
+    wkd = Window.partitionBy("k", "dow")
+    wk = Window.partitionBy("k")
+    c = daily.select(
+        "k",
+        "dow",
+        "x",
+        F.avg("x").over(wkd).alias("dmean"),
+        F.avg("x").over(wk).alias("gmean"),
+        F.sum("x").over(wkd).alias("dsum"),
+        F.sum("x").over(wk).alias("gsum"),
+        F.count(F.lit(1)).over(wkd).alias("nd"),
+    )
+    sq = lambda col: col * col  # noqa: E731
+    r = c.select(
+        "k",
+        "dow",
+        "dmean",
+        "dsum",
+        "gsum",
+        "nd",
+        F.sum(sq(F.col("dmean") - F.col("gmean"))).over(wk).alias("ssb"),
+        F.sum(sq(F.col("x") - F.col("gmean"))).over(wk).alias("sst"),
+    )
+    return r.select(
+        F.col("k").alias(key_col),
+        F.col("dow").cast("int").alias("dow"),
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.round("dmean", precision).alias("mean_value"),
+        F.round(F.col("dsum") / F.col("gsum"), 6).alias("share"),
+        F.round(
+            F.when(F.col("sst") > 0, F.col("ssb") / F.col("sst")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("seasonality_r2"),
+    ).distinct()

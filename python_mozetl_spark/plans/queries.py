@@ -7283,6 +7283,51 @@ def event_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_weekday_seasonality",
+    "Per-event-type day-of-week seasonality profile "
+    "(operators/timeseries.py:weekday_seasonality): per (type, dow) "
+    "mean/share of daily value plus the key's seasonality strength "
+    "as the R^2 of the DOW-means model (SS_between / SS_total) — "
+    "the is-it-weekly-periodic diagnostic that decides whether "
+    "alerts baseline on same-weekday history.  Raw stream collapses "
+    "to the calendar-bounded daily frame in one hash agg; both "
+    "windows partition on the key; dow = Spark weekday == DuckDB "
+    "isodow - 1 (0=Monday).",
+    ("timeseries", "+W", "A2"),
+    oracle="""
+WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                      sum(value) AS x
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+w AS (SELECT k, isodow(day) - 1 AS dow, x FROM daily),
+c AS (SELECT k, dow, x,
+        avg(x) OVER (PARTITION BY k, dow) AS dmean,
+        avg(x) OVER (PARTITION BY k) AS gmean,
+        sum(x) OVER (PARTITION BY k, dow) AS dsum,
+        sum(x) OVER (PARTITION BY k) AS gsum,
+        count(*) OVER (PARTITION BY k, dow) AS nd
+      FROM w),
+r AS (SELECT k, dow, dmean, dsum, gsum, nd,
+        sum((dmean - gmean) * (dmean - gmean)) OVER (PARTITION BY k)
+          AS ssb,
+        sum((x - gmean) * (x - gmean)) OVER (PARTITION BY k) AS sst
+      FROM c)
+SELECT DISTINCT k AS event_type, CAST(dow AS INT) AS dow,
+  CAST(nd AS BIGINT) AS n_days,
+  round(dmean, 4) AS mean_value,
+  round(dsum / gsum, 6) AS share,
+  round(CASE WHEN sst > 0 THEN ssb / sst ELSE 0.0 END, 6)
+    AS seasonality_r2
+FROM r
+""",
+)
+def event_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.timeseries import weekday_seasonality
+
+    e = t(spark, sf_dir, "events")
+    return weekday_seasonality(e, "event_type", "ts", "value")
+
+
+@query(
     "user_decayed_value",
     "Per-user exponentially time-decayed event value, half-life 7 "
     "days from the corpus' newest event (operators/timeseries.py:"
@@ -7653,6 +7698,7 @@ _DRIVER_WINDOW = [
     "pricing_metrics_long",
     "embedding_mmr_select",
     "customer_rfm_segments",
+    "event_weekday_seasonality",
     # (b) oracle/impl changed round 7
     "embedding_semantic_dedup",
     "json_artifact_roundtrip",
@@ -7679,7 +7725,6 @@ _DRIVER_WINDOW = [
     "segment_active_customers",
     "regional_revenue",
     # (c) the stalest r05-graded displacements
-    "embedding_lloyd_clusters",
     "token_triangles",
 ]
 

@@ -705,3 +705,30 @@ def test_rfm_scores_hand_computed(spark):
     rs = sorted((r["recency_days"], r["r_score"]) for r in got.values())
     for (d1, s1), (d2, s2) in zip(rs, rs[1:]):
         assert s1 >= s2
+
+
+def test_weekday_seasonality_perfect_and_flat(spark):
+    """A perfectly weekly-periodic series reports r2 = 1; a constant
+    series reports r2 = 0 with uniform shares."""
+    from datetime import datetime as dt, timedelta
+
+    from python_mozetl_spark.operators.timeseries import weekday_seasonality
+
+    rows = []
+    base = dt(2024, 1, 1)  # a Monday
+    for d in range(28):
+        day = base + timedelta(days=d)
+        rows.append(("periodic", day, float(day.weekday() + 1)))
+        rows.append(("flat", day, 5.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {
+        (r["k"], r["dow"]): r
+        for r in weekday_seasonality(df, "k", "ts", "value").collect()
+    }
+    assert len(got) == 14
+    for dow in range(7):
+        assert got[("periodic", dow)]["seasonality_r2"] == 1.0
+        assert got[("periodic", dow)]["mean_value"] == dow + 1.0
+        assert got[("periodic", dow)]["n_days"] == 4
+        assert got[("flat", dow)]["seasonality_r2"] == 0.0
+        assert got[("flat", dow)]["share"] == round(1 / 7, 6)
