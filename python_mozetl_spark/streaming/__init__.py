@@ -9,7 +9,9 @@ from python_mozetl_spark.streaming.joins import (  # noqa: F401
     interval_join_stream,
 )
 from python_mozetl_spark.streaming.stateful import (  # noqa: F401
+    batch_decayed_totals,
     batch_running_totals,
+    decayed_totals_stream,
     running_totals_stream,
 )
 from python_mozetl_spark.streaming.funnel import (  # noqa: F401

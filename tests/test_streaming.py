@@ -566,3 +566,67 @@ def test_streaming_zscore_anomalies_matches_batch(spark):
         # day with a different value
         spike = [t for t in exp if t[1].day == 10]
         assert spike and all(t in got for t in spike)
+
+
+def test_stateful_decayed_totals_across_microbatches(spark):
+    """The incremental re-decay state converges to the batch twin's
+    per-key decayed sum regardless of micro-batch splits, including a
+    late (out-of-order) event in a later file."""
+    import glob
+    import os
+
+    from datetime import datetime as dt
+
+    from python_mozetl_spark.streaming import (
+        batch_decayed_totals,
+        decayed_totals_stream,
+    )
+
+    rows = [
+        # user 1: spread over 2 weeks + a LATE event written last
+        (1, dt(2024, 1, 1, 12), 10.0),
+        (1, dt(2024, 1, 8, 12), 10.0),
+        (1, dt(2024, 1, 15, 12), 10.0),
+        (1, dt(2024, 1, 4, 12), 6.0),    # late arrival
+        # user 2: single event; value NULL row must be ignored
+        (2, dt(2024, 1, 10), 4.0),
+        (2, dt(2024, 1, 11), None),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        batch = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        batch.repartition(4).write.mode("overwrite").parquet(src)
+        n_files = len(glob.glob(os.path.join(src, "*.parquet")))
+        stream_df = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            decayed_totals_stream(stream_df, half_life_days=7.0)
+            .writeStream.format("memory")
+            .queryName("decayed_totals_t")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert n_files > 1
+        final = {}
+        for r in spark.table("decayed_totals_t").collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (
+                    r["n_events"], r["ref_epoch"], r["decayed_value"]
+                )
+        expect = {
+            r["user_id"]: (r["n_events"], r["ref_epoch"], r["decayed_value"])
+            for r in batch_decayed_totals(
+                spark.read.parquet(src), half_life_days=7.0
+            ).collect()
+        }
+        assert final == expect
+        assert final[1][0] == 4 and final[2][0] == 1
