@@ -372,3 +372,38 @@ def test_bpe_pair_counts_vocab_sized_exchanges(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round7_late_operators_plan_shapes(spark):
+    """The scale claims the round-7 late operators make must appear in
+    their physical plans: no cartesian products, no ntile-style global
+    sort windows, top-k as TakeOrdered, 1-row sides broadcast."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    lift = _formatted_plan(REGISTRY["part_pair_lift"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in lift  # basket join is keyed; n broadcast
+
+    deciles = _formatted_plan(
+        REGISTRY["customer_revenue_deciles"].build(spark, SF_DIR)
+    )
+    assert "Window" not in deciles  # quantile_bin replaces ntile: no window
+    assert "CartesianProduct" not in deciles
+
+    rfm = _formatted_plan(REGISTRY["customer_rfm_segments"].build(spark, SF_DIR))
+    assert "Window" not in rfm and "CartesianProduct" not in rfm
+
+    zscore = _formatted_plan(
+        REGISTRY["embedding_zscore_outliers"].build(spark, SF_DIR)
+    )
+    assert "TakeOrderedAndProject" in zscore  # global top-k, not a sort
+    assert "CartesianProduct" not in zscore
+
+    decay = _formatted_plan(REGISTRY["user_decayed_value"].build(spark, SF_DIR))
+    assert "Window" not in decay  # one keyed hash agg, ref broadcast
+    assert "CartesianProduct" not in decay
+
+    ts = _formatted_plan(REGISTRY["event_theil_sen_trend"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in ts  # pair join keyed on the series key
+
+    kl = _formatted_plan(REGISTRY["doc_split_kl"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in kl
