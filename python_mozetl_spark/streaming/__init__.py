@@ -25,6 +25,7 @@ from python_mozetl_spark.streaming.sketch import (  # noqa: F401
     batch_histogram_quantiles,
     cm_sketch_stream,
     histogram_quantiles_stream,
+    mg_heavy_hitters_stream,
 )
 from python_mozetl_spark.streaming.anomaly import (  # noqa: F401
     zscore_anomalies_stream,

@@ -160,3 +160,95 @@ def cm_sketch_stream(
     return fanned.groupBy(
         F.col("__db.d").alias("d"), F.col("__db.bucket").alias("bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def mg_heavy_hitters_stream(
+    events,
+    col: str,
+    k: int = 8,
+    num_shards: int = 16,
+    salt: str = "mgs",
+):
+    """Sharded streaming Misra-Gries frequent items: each value
+    routes to shard ``md5(salt|value) % num_shards`` — a value lives
+    in exactly ONE shard, so its shard count IS its global count —
+    and each shard keeps at most ``k`` MG counters as
+    ``applyInPandasWithState`` state across micro-batches.
+
+    Contract (the MG guarantee, carried over batches): after any
+    prefix of the stream, every value with true count
+    > n_shard/(k+1) survives in its shard's counters, and each
+    counter c_v satisfies ``true - n_shard/(k+1) <= c_v <= true``.
+    Counters are NOT merge-order-invariant (reductions happen at
+    micro-batch boundaries), so this operator is pytest-guaranteed
+    against the bound — exactly like the batch
+    ``ext/sketches.py:mg_candidates`` it extends — not hash-graded.
+
+    Emits, per batch per shard touched, the current survivors:
+    ``(shard, value, count_lb, n_shard)``.  Use
+    ``outputMode("update")``; state per shard is <= k (value, count)
+    pairs — |shards| x k counters total at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.functions import hashing as H
+
+    import json
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # counters ride a JSON string: an MG reduction can legally
+        # empty the set, and empty-ARRAY state columns do not survive
+        # the store round-trip (the shard would silently restart)
+        if state.exists:
+            js, n = state.get
+            counters = pd.Series(json.loads(js), dtype="int64")
+        else:
+            counters, n = pd.Series(dtype="int64"), 0
+        for b in pdfs:
+            vc = b[col].dropna().value_counts()
+            n += int(vc.sum())
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        counters = counters.astype("int64")
+        state.update(
+            (json.dumps({str(v): int(c) for v, c in counters.items()}), n)
+        )
+        # always emit >= 1 row per touched shard — a reduction can
+        # empty the survivors, and downstream still needs to see the
+        # advanced n_shard (value NULL marks the no-survivor state)
+        vals_out = [str(v) for v in counters.index] or [None]
+        cnts_out = [int(c) for c in counters] or [0]
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(vals_out),
+                "value": vals_out,
+                "count_lb": cnts_out,
+                "n_shard": [n] * len(vals_out),
+            }
+        )
+
+    shard = (
+        H.md5_int64(F.concat_ws("|", F.lit(salt), F.col(col).cast("string")))
+        % num_shards
+    ).cast("int")
+    return (
+        events.where(F.col(col).isNotNull())
+        .select(F.col(col), shard.alias("shard"))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "shard int, value string, count_lb long, n_shard long"
+            ),
+            stateStructType="js string, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -630,3 +630,77 @@ def test_stateful_decayed_totals_across_microbatches(spark):
         }
         assert final == expect
         assert final[1][0] == 4 and final[2][0] == 1
+
+
+def test_streaming_mg_heavy_hitters_guarantee(spark):
+    """Across micro-batches, every value with true count >
+    n_shard/(k+1) survives in its shard's final counters, and every
+    counter is a lower bound within n_shard/(k+1) of the truth."""
+    import glob
+    import os
+    from collections import Counter
+
+    from python_mozetl_spark.streaming import mg_heavy_hitters_stream
+
+    # skewed stream: a few heavy values + a long tail
+    vals = (["hh1"] * 300 + ["hh2"] * 200 + ["mid"] * 40
+            + [f"t{i}" for i in range(200)])
+    rows = [(i, v) for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        batch = spark.createDataFrame(rows, "i long, v string")
+        batch.repartition(5).write.mode("overwrite").parquet(src)
+        assert len(glob.glob(os.path.join(src, "*.parquet"))) > 1
+        stream_df = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        k, shards = 4, 8
+        q = (
+            mg_heavy_hitters_stream(stream_df, "v", k=k, num_shards=shards)
+            .writeStream.format("memory")
+            .queryName("mg_hh_t")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.table("mg_hh_t").collect()
+        # final emission per shard = the one with the largest n_shard
+        final_n, final_rows = {}, {}
+        for r in emitted:
+            if r["n_shard"] >= final_n.get(r["shard"], -1):
+                if r["n_shard"] > final_n.get(r["shard"], -1):
+                    final_rows[r["shard"]] = {}
+                final_n[r["shard"]] = r["n_shard"]
+                if r["value"] is not None:  # NULL = no-survivor sentinel
+                    final_rows[r["shard"]][r["value"]] = r["count_lb"]
+        # truth per shard, replaying the same md5 routing
+        from python_mozetl_spark.functions import hashing as H
+        from pyspark.sql import functions as F
+
+        routed = (
+            batch.select(
+                "v",
+                (H.md5_int64(F.concat_ws("|", F.lit("mgs"), F.col("v")))
+                 % shards).cast("int").alias("shard"),
+            ).collect()
+        )
+        truth, n_shard = {}, Counter()
+        for r in routed:
+            truth.setdefault(r["shard"], Counter())[r["v"]] += 1
+            n_shard[r["shard"]] += 1
+        for sh, counts in truth.items():
+            bound = n_shard[sh] / (k + 1)
+            got = final_rows.get(sh, {})
+            assert final_n.get(sh) == n_shard[sh]
+            for v, c in counts.items():
+                if c > bound:
+                    assert v in got, (sh, v, c, bound)
+                if v in got:
+                    assert c - bound <= got[v] <= c, (sh, v, got[v], c)
+        # the two planted heavy hitters must always survive
+        all_survivors = {v for rows_ in final_rows.values() for v in rows_}
+        assert {"hh1", "hh2"} <= all_survivors
