@@ -337,8 +337,13 @@ def tfidf_cosine_pairs(
     # subtree per consumer).
     if stage:
         postings = postings.localCheckpoint(eager=False)
+    # the OUTPUT filter accepts the ROUNDED cosine >= threshold, so a
+    # pair with true cosine in [threshold - 5*10^-precision, threshold)
+    # can round in — the prefix bound must guarantee recall down to
+    # that rounding half-ulp, not just to the unrounded threshold
+    t_eff = max(threshold - 5.0 * 10.0 ** (-precision), 0.0)
     prefix = postings.where(
-        F.col("__cum_excl") <= F.lit(1.0 - threshold * threshold + 1e-9)
+        F.col("__cum_excl") <= F.lit(1.0 - t_eff * t_eff + 1e-9)
     )
     cand = (
         prefix.alias("a")

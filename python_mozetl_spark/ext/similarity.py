@@ -812,8 +812,11 @@ def mmr_select(
         )
         if rank % 3 == 0:
             cur = cur.localCheckpoint()  # bound fold-over-fold lineage
+    # derive the id type from the input — a string/int32 id column
+    # must round-trip, not coerce to bigint
+    id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        out, f"rank int, {id_col} long, relevance double, score double"
+        out, f"rank int, {id_col} {id_type}, relevance double, score double"
     )
 
 

@@ -218,7 +218,16 @@ def quantile_bin(
         df.crossJoin(F.broadcast(cuts))
         .withColumn(
             bin_col,
-            F.expr(f"size(filter(__cuts, c -> {value_col} > c))").cast("int"),
+            # NULL values get a NULL bin: the lambda `value > c` is
+            # NULL for NULL values, so an unguarded size(filter(...))
+            # would silently drop them into bin 0 while the cutoffs
+            # themselves ignore NULLs
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.expr(
+                    f"size(filter(__cuts, c -> {value_col} > c))"
+                ).cast("int"),
+            ),
         )
         .drop("__cuts")
     )

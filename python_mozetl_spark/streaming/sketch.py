@@ -239,8 +239,12 @@ def mg_heavy_hitters_stream(
         % num_shards
     ).cast("int")
     return (
+        # cast to string BEFORE the stateful fold: state counters
+        # round-trip through JSON with string keys, so a native-typed
+        # batch index (42 vs "42") would split counts across batches
+        # and void the MG bound.  Matches the shard-routing cast.
         events.where(F.col(col).isNotNull())
-        .select(F.col(col), shard.alias("shard"))
+        .select(F.col(col).cast("string").alias(col), shard.alias("shard"))
         .groupBy("shard")
         .applyInPandasWithState(
             update,

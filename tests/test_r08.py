@@ -1,0 +1,182 @@
+"""Round-8 additions: advisor hardenings (non-string MG stream values,
+typed mmr ids, NULL-safe quantile_bin, rounding-aware tfidf prefix
+bound) and the new graded operators."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# Advisor (medium): mg_heavy_hitters_stream must not split counts for
+# non-string value columns — JSON state keys are strings, so a native
+# int batch index used to make 42 and "42" distinct counters
+# ------------------------------------------------------------------
+
+def test_streaming_mg_heavy_hitters_long_values(spark):
+    import glob
+    import os
+    from collections import Counter
+
+    from python_mozetl_spark.streaming import mg_heavy_hitters_stream
+
+    # one heavy LONG value spread across many micro-batches: without
+    # the string cast its counts split per batch and the final
+    # emission carries duplicate rows per (shard, value)
+    vals = [7] * 120 + [11] * 60 + list(range(100, 160))
+    rows = [(i, v) for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        batch = spark.createDataFrame(rows, "i long, v long")
+        batch.repartition(5).write.mode("overwrite").parquet(src)
+        assert len(glob.glob(os.path.join(src, "*.parquet"))) > 1
+        stream_df = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        k, shards = 3, 4
+        q = (
+            mg_heavy_hitters_stream(stream_df, "v", k=k, num_shards=shards)
+            .writeStream.format("memory")
+            .queryName("mg_hh_long_t")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.table("mg_hh_long_t").collect()
+        final_n, final_rows = {}, {}
+        for r in emitted:
+            if r["n_shard"] >= final_n.get(r["shard"], -1):
+                if r["n_shard"] > final_n.get(r["shard"], -1):
+                    final_rows[r["shard"]] = {}
+                final_n[r["shard"]] = r["n_shard"]
+                if r["value"] is not None:
+                    # duplicate value rows in ONE emission = the
+                    # split-count bug
+                    assert r["value"] not in final_rows[r["shard"]]
+                    final_rows[r["shard"]][r["value"]] = r["count_lb"]
+        from python_mozetl_spark.functions import hashing as H
+
+        routed = batch.select(
+            F.col("v").cast("string").alias("v"),
+            (H.md5_int64(F.concat_ws("|", F.lit("mgs"),
+                                     F.col("v").cast("string")))
+             % shards).cast("int").alias("shard"),
+        ).collect()
+        truth, n_shard = {}, Counter()
+        for r in routed:
+            truth.setdefault(r["shard"], Counter())[r["v"]] += 1
+            n_shard[r["shard"]] += 1
+        for sh, counts in truth.items():
+            bound = n_shard[sh] / (k + 1)
+            got = final_rows.get(sh, {})
+            assert final_n.get(sh) == n_shard[sh]
+            for v, c in counts.items():
+                if c > bound:
+                    assert v in got, (sh, v, c, bound, got)
+                if v in got:
+                    assert c - bound <= got[v] <= c, (sh, v, c, got[v])
+
+
+# ------------------------------------------------------------------
+# Advisor (low): mmr_select must carry the input id type through to
+# the result schema (string doc ids, int32) instead of hardcoding long
+# ------------------------------------------------------------------
+
+def test_mmr_select_string_ids(spark):
+    from python_mozetl_spark.ext.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0]),
+         ("d", [0.1, 0.9])],
+        ["doc_id", "embedding"],
+    )
+    out = mmr_select(df, id_col="doc_id", vec_col="embedding", k=3,
+                     lam=0.5)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert len({r["doc_id"] for r in rows}) == 3
+
+
+# ------------------------------------------------------------------
+# Advisor (low): quantile_bin NULL values must yield a NULL bin, not
+# phantom members of bin 0
+# ------------------------------------------------------------------
+
+def test_quantile_bin_null_values_get_null_bin(spark):
+    from python_mozetl_spark.operators.encode import quantile_bin
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 13)] + [(None,), (None,)],
+        "v double",
+    )
+    got = quantile_bin(df, "v", 4, "q").collect()
+    assert all(r["q"] is None for r in got if r["v"] is None)
+    non_null = [r for r in got if r["v"] is not None]
+    assert {r["q"] for r in non_null} == {0, 1, 2, 3}
+    # cutoffs ignore NULLs: the 12 real values still split 3/3/3/3
+    from collections import Counter
+
+    assert Counter(r["q"] for r in non_null) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+# ------------------------------------------------------------------
+# Advisor (low): tfidf_cosine_pairs prefix bound must guarantee recall
+# down to the ROUNDING half-ulp, since the output filter accepts the
+# rounded cosine.  Coarse precision=1 makes the boundary region
+# [0.45, 0.5) wide enough that a deterministic corpus exercises it.
+# ------------------------------------------------------------------
+
+def test_tfidf_prefix_covers_rounding_boundary(spark):
+    import math
+    from collections import Counter
+
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for d in range(40):
+        toks = [vocab[(d * 7 + i * i) % (3 + d % 17)]
+                for i in range(5 + d % 9)]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    tf = {d: Counter(t.split()) for d, t in rows}
+    n = float(len(rows))
+    dft = Counter()
+    for c in tf.values():
+        for tok in c:
+            dft[tok] += 1
+    u = {}
+    for d, c in tf.items():
+        w = {tok: cnt * (math.log((n + 1) / (dft[tok] + 1)) + 1)
+             for tok, cnt in c.items()}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        u[d] = {tok: x / nrm for tok, x in w.items()}
+    thr, prec = 0.5, 1
+    expected = {}
+    docs = sorted(u)
+    boundary = 0
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            dot = sum(ua * u[b].get(tok, 0.0) for tok, ua in u[a].items())
+            if dot < thr and round(dot, prec) >= thr:
+                boundary += 1  # rounds IN — the recall-critical region
+            if round(dot, prec) >= thr:
+                expected[(a, b)] = round(dot, prec)
+    assert boundary > 0  # the corpus actually exercises the boundary
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=thr, precision=prec
+        ).collect()
+    }
+    assert got == expected
