@@ -17,6 +17,7 @@ from python_mozetl_spark.ext.graph import (  # noqa: F401
     pagerank,
 )
 from python_mozetl_spark.ext.mixing import (  # noqa: F401
+    domain_quota,
     ring_negative_samples,
     shuffle_shards,
     split_assign,

@@ -481,3 +481,53 @@ def leakage_safe_split(
     return split_assign(rep, "rep_id", splits, salt).select(
         id_col, "rep_id", "split"
     )
+
+
+def domain_quota(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "dq",
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Per-domain quota / frequency cap (RefinedWeb §3.2 "URL-level
+    deduplication quotas", Dolma's per-domain caps): keep at most
+    ``cap`` documents per domain, chosen by deterministic md5 rank —
+    the standard web-curation stage that stops mega-domains (forums,
+    mirrors, SEO farms) from dominating the training mix.
+
+    Retention is a pure function of ``(salt, id)``: documents rank by
+    ``md5(salt‖id)`` (id tiebreak) within their domain and the first
+    ``cap`` survive, so the kept set is stable across engines,
+    retries, cluster sizes, and corpus REORDERING — appending new
+    documents can displace old ones only at the quota boundary, never
+    reshuffle survivors wholesale (the :func:`split_assign` stability
+    argument, applied to curation).
+
+    Output: the input rows that survive, plus ``rank_col`` (1-based
+    rank within the domain).
+
+    Scale shape: ONE hash exchange on the domain key and a
+    within-partition sort — a single ``row_number`` window over
+    domain-bucketed rows, no global sort, no join, no driver state.
+    Domains are the natural partition key of a web corpus; for a
+    pathological mega-domain (one domain ≫ executor memory) pre-filter
+    with an approximate per-domain count and process the outliers with
+    a salted two-level rank — the cap makes the SECOND pass tiny by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(domain_col).orderBy(
+        H.md5_int64(
+            F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+        ),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= cap)
+    )

@@ -7618,6 +7618,163 @@ def embedding_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(e, "vec_id", "embedding", k=20)
 
 
+@query(
+    "doc_domain_quota",
+    "Per-domain quota / frequency cap (ext/mixing.py:domain_quota; "
+    "RefinedWeb/Dolma-style curation): keep at most 15 docs per source "
+    "domain by deterministic md5 rank — stops mega-domains dominating "
+    "the mix.  ONE hash exchange on the domain key + a per-partition "
+    "row_number; no global sort, no join.",
+    ("U7", "mixing"),
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5('dq|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+               doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source, CAST(rk AS INT) AS domain_rank
+FROM r WHERE rk <= 15
+""",
+)
+def doc_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import domain_quota
+
+    d = t(spark, sf_dir, "documents")
+    return domain_quota(d, "source", "doc_id", cap=15).select(
+        "doc_id", "source", "domain_rank"
+    )
+
+
+@query(
+    "stream_mg_bound_audit",
+    "The streaming Misra-Gries guarantee graded as an oracle row "
+    "(streaming/sketch.py:mg_heavy_hitters_stream): a skewed value "
+    "feed derived from events streams through the sharded stateful MG "
+    "operator over several micro-batches; the FINAL per-shard "
+    "counters are then audited batch-side against exact groupBy "
+    "counts — every value with true count > n_shard/(k+1) must "
+    "survive, and every survivor's count_lb must sit in "
+    "[true - n_shard/(k+1), true].  The audit booleans are BATCH-"
+    "ORDER-INVARIANT (the MG bound holds for any prefix in any "
+    "order), so (shard, n_shard, true, true) hash-matches a trivial "
+    "oracle even though the counters themselves are not merge-order-"
+    "invariant.",
+    ("§2.12", "streaming", "sketches"),
+    oracle="""
+WITH v AS (
+  SELECT CASE WHEN event_type IN ('click', 'view') THEN event_type
+              ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS value
+  FROM events),
+s AS (
+  SELECT value,
+    CAST(('0x' || substr(md5('mgs|' || value), 1, 15))::BIGINT % 4 AS INT)
+      AS shard
+  FROM v)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_shard,
+       TRUE AS heavy_covered, TRUE AS bounds_ok
+FROM s GROUP BY shard
+""",
+)
+def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from python_mozetl_spark.streaming import mg_heavy_hitters_stream
+
+    k, shards = 3, 4
+    # skewed feed: two heavy values (click/view, ~20% each) + a ~50-
+    # value tail, so survival AND eviction both actually happen
+    feed = t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        )
+        .otherwise(F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")))
+        .alias("value")
+    )
+    root = _os.path.join(
+        tempfile.gettempdir(),
+        f"python_mozetl_spark_mg_audit_{_os.getpid()}_"
+        f"{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    # several source files => several micro-batches under
+    # maxFilesPerTrigger=1 — the cross-batch state fold is the point
+    feed.repartition(4).write.parquet(src)
+    mem_name = (
+        f"mg_audit_{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    q = (
+        mg_heavy_hitters_stream(
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "value",
+            k=k,
+            num_shards=shards,
+        )
+        .writeStream.format("memory")
+        .queryName(mem_name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_mg_bound_audit: drain exceeded 300s")
+    emitted = spark.table(mem_name)
+    # final emission per shard = the rows carrying that shard's max
+    # n_shard (n_shard strictly grows every time a shard is touched)
+    w = Window.partitionBy("shard")
+    final = emitted.withColumn("__mx", F.max("n_shard").over(w)).where(
+        F.col("n_shard") == F.col("__mx")
+    )
+    survivors = final.where(F.col("value").isNotNull()).select(
+        "shard", "value", "count_lb"
+    )
+    # exact truth, replaying the operator's md5 shard routing
+    truth = (
+        spark.read.parquet(src)
+        .select(
+            "value",
+            (
+                H.md5_int64(F.concat_ws("|", F.lit("mgs"), F.col("value")))
+                % shards
+            )
+            .cast("int")
+            .alias("shard"),
+        )
+        .groupBy("shard", "value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    n_shard = truth.groupBy("shard").agg(
+        F.sum("true_cnt").cast("bigint").alias("n_shard")
+    )
+    bound = F.col("n_shard") / (k + 1)
+    audited = (
+        truth.join(survivors, ["shard", "value"], "left")
+        .join(n_shard, "shard")
+        .groupBy("shard", "n_shard")
+        .agg(
+            F.min(
+                F.when(F.col("true_cnt") > bound,
+                       F.col("count_lb").isNotNull()).otherwise(F.lit(True))
+            ).alias("heavy_covered"),
+            F.min(
+                F.when(
+                    F.col("count_lb").isNotNull(),
+                    (F.col("count_lb") <= F.col("true_cnt"))
+                    & (F.col("count_lb") >= F.col("true_cnt") - bound),
+                ).otherwise(F.lit(True))
+            ).alias("bounds_ok"),
+        )
+    )
+    return audited.select("shard", "n_shard", "heavy_covered", "bounds_ok")
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------

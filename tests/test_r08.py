@@ -180,3 +180,37 @@ def test_tfidf_prefix_covers_rounding_boundary(spark):
         ).collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------------------------
+# Round-8 task 5: per-domain quota curation operator
+# ------------------------------------------------------------------
+
+def test_domain_quota_cap_and_stability(spark):
+    from python_mozetl_spark.ext.mixing import domain_quota
+
+    rows = [(i, f"d{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = domain_quota(df, "domain", "doc_id", cap=5).collect()
+    from collections import Counter
+
+    by_dom = Counter(r["domain"] for r in kept)
+    assert by_dom == {"d0": 5, "d1": 5, "d2": 5}
+    assert all(1 <= r["domain_rank"] <= 5 for r in kept)
+
+    # determinism + growth stability: adding NEW docs never reshuffles
+    # survivors wholesale — old survivors stay unless displaced at the
+    # quota boundary by a better-ranked newcomer
+    kept_ids = {r["doc_id"] for r in kept}
+    grown = spark.createDataFrame(
+        rows + [(i, f"d{i % 3}") for i in range(60, 90)],
+        "doc_id long, domain string",
+    )
+    kept2 = {r["doc_id"] for r in domain_quota(grown, "domain", "doc_id",
+                                               cap=5).collect()}
+    # ranks are md5(id)-keyed: survivors of the grown corpus that are
+    # old ids must be survivors of the old corpus too (cap can only
+    # displace, never promote an old non-survivor)
+    assert {i for i in kept2 if i < 60} <= kept_ids
+    with pytest.raises(ValueError):
+        domain_quota(df, "domain", "doc_id", cap=0)
