@@ -54,6 +54,7 @@ def run() -> None:
     for name in names:  # global warm pass — see module docstring
         materialize(name)
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in names:
         spark._jvm.System.gc()  # don't bill query N for query N-1's heap debt
         runs = []
@@ -62,6 +63,14 @@ def run() -> None:
             materialize(name)
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[2], 3)  # median of 5
+        # keep the spread the median throws away: a 11-vs-15 s reading
+        # is only interpretable next to its own min/max (BASELINE.md
+        # "variance rule")
+        spread[name] = {
+            "median": timings[name],
+            "min": round(min(runs), 3),
+            "max": round(max(runs), 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -71,6 +80,7 @@ def run() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -407,3 +407,63 @@ def test_round7_late_operators_plan_shapes(spark):
 
     kl = _formatted_plan(REGISTRY["doc_split_kl"].build(spark, SF_DIR))
     assert "CartesianProduct" not in kl
+
+
+# ----------------------------------------------------------------------
+# Round-8 task 4: the SCALE.md §6b scan-count sweep as a standing gate.
+# Every registry plan is budgeted: total Scan nodes (parquet +
+# ExistingRDD staging reads) and, stricter, parquet scans PER BASE
+# TABLE — the round-7 token_triangles regression (an un-staged edge
+# list multiplying to 90 corpus scans through a join tree) must be
+# structurally impossible, not a manual-audit habit.
+# Budgets are the measured round-8 counts; lowering one is progress,
+# raising one requires a staging argument in SCALE.md §6b.
+# ----------------------------------------------------------------------
+
+_SCAN_TOTAL_DEFAULT = 6
+_SCAN_TOTAL_EXCEPTIONS = {
+    "doc_minhash_estimates": 7,   # sketch panel fans over staged sigs
+    "token_pagerank": 7,          # iterative ranks vs materialized matrix
+    "taar_donor_scores": 8,       # donor pool joined per score component
+    "taar_lr_curves": 8,
+    "token_triangles": 9,         # staged wedge join (was 90 pre-staging)
+    "doc_incremental_lsh": 10,    # old + delta corpus, banded both sides
+    "embedding_semantic_dedup": 11,   # Lloyd iterations + pair stage
+    "embedding_semantic_dedup_hi": 11,
+}
+_SCAN_PER_TABLE_DEFAULT = 4
+_SCAN_PER_TABLE_EXCEPTIONS = {
+    "orders_upsert_merge": 5,        # base + two CDC snapshots, diffed
+    "embedding_semantic_dedup": 7,   # per-Lloyd-iteration assignment reads
+    "embedding_semantic_dedup_hi": 7,
+    "taar_donor_scores": 8,          # customer is a broadcast-sized dim
+    "taar_lr_curves": 8,
+}
+_BASE_TABLES = ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def test_registry_scan_budgets(spark):
+    import re
+
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    over = []
+    for name, q in REGISTRY.items():
+        plan = _formatted_plan(q.build(spark, SF_DIR))
+        total = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        budget = _SCAN_TOTAL_EXCEPTIONS.get(name, _SCAN_TOTAL_DEFAULT)
+        if total > budget:
+            over.append(f"{name}: {total} Scan nodes > budget {budget}")
+        tb = _SCAN_PER_TABLE_EXCEPTIONS.get(name, _SCAN_PER_TABLE_DEFAULT)
+        for table in _BASE_TABLES:
+            n = len(re.findall(rf"{table}\.parquet", plan))
+            if n > tb:
+                over.append(
+                    f"{name}: {n} scans of {table}.parquet > budget {tb}"
+                )
+    assert not over, (
+        "scan budget exceeded — an un-staged multi-consumer subtree "
+        "(stage it with localCheckpoint / a persisted table, SCALE.md "
+        "§6b):\n" + "\n".join(over)
+    )
