@@ -7788,101 +7788,93 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the current window is STALE-FROM-A-PRIOR-COMMIT evidence, not a
 # current-code grade (see COVERAGE.md "Driver grading window").
 #
-# Rotation policy (round 7): front (a) queries ADDED this round
-# (never driver-graded), (b) queries whose IMPLEMENTATION or ORACLE
-# changed this round — their old rows no longer describe current code
-# (embedding_semantic_dedup: zero-norm-guarded oracle cosine;
-# json_artifact_roundtrip: side_input scheme/size guard;
-# multimodal_decode_stats: ext/multimodal.py gained the header-decode
-# family alongside decode_image) — then (c) the consolidated backlog:
-# ALL remaining r03-graded queries (VERDICT r06 task 2: after this
-# window no registry query's newest driver row is older than round 5),
-# then the stalest r05-graded displacements.
-# Late round-7 additions (embedding_covariance through
-# embedding_mmr_select below) displaced eleven r05-graded backlog
-# entries from the tail of section (c) — price_quantile_sketch,
-# session_attribution_rollup, orders_incremental_state,
+# Rotation policy (round 8): front (a) queries ADDED this round
+# (never driver-graded: doc_domain_quota, stream_mg_bound_audit),
+# (b) queries whose IMPLEMENTATION changed this round — their old rows
+# no longer describe current code (doc_tfidf_cosine_pairs: prefix
+# bound widened to cover the rounding half-ulp; embedding_mmr_select:
+# id type derived from the input schema; customer_rfm_segments /
+# customer_revenue_deciles: quantile_bin NULL-bin guard) — then
+# (c) the ENTIRE 42-query r04-graded backlog (VERDICT r07 task 1:
+# after this window no registry query's newest driver row is older
+# than round 5), then (d) the head of the r05-graded displacement
+# list (price_quantile_sketch, session_attribution_rollup).
+# R09 QUEUE (all hold green r05 rows + r08 full-check rows): the
+# remaining r05-graded displacements — orders_incremental_state,
 # doc_dup_span_coverage, priority_status_chi2, orders_neyman_sample,
 # bloom_pruned_revenue, embedding_kcenter_coreset,
-# priority_conversion_ci, doc_negative_samples, bm25_search_docs —
-# all roll to R08 holding green r05 driver rows plus r07 full-check
-# rows (regenerated at this round's final tree).
-# Remaining r05-graded (roll to R08, all hold green r05 rows + r07
-# full-check): search_engine_rollup, addon_aggregates_rollup,
+# priority_conversion_ci, doc_negative_samples, bm25_search_docs,
+# bpe_merge_candidates, embedding_lloyd_clusters — then the rest of
+# the r05 cohort: search_engine_rollup, addon_aggregates_rollup,
 # addon_coinstall_graph, weekly_trend_merge, hardware_dimension_report,
 # profile_export_json, taar_locale_topn, graphics_device_shares,
 # missing_symbols_report, csv_dim_weighted_orders,
-# parquet_sink_roundtrip, taar_donor_scores, taar_lr_curves,
-# json_ping_rollup, doc_decontaminate, doc_cross_decontaminate,
+# parquet_sink_roundtrip, doc_cross_decontaminate,
 # price_winsorized_revenue, event_gap_quantiles, doc_length_auc,
 # clients_daily_rollup, experiments_daily_rollup, token_pmi_pairs,
 # event_transition_probs, user_trailing_7d_value, orders_quality_report,
-# event_type_user_overlap, part_zorder_keys, event_type_daily_trend
-# (displaced by the late round-7 additions and
-# by this round's impl-changed re-grades: doc_winnow_copy_pairs
-# (pre-verify prune), doc_bigram_perplexity (occurrence staging), and
-# token_triangles (edge-list staging) all sit in the window because
-# their r05/r06 rows no longer describe current code).
-# Remaining r06-graded (current evidence, roll forward):
-# everything graded in CORRECTNESS_r06.json not re-touched this round.
+# event_type_user_overlap, part_zorder_keys, event_type_daily_trend,
+# doc_ngram_jaccard_pairs, embedding_bucket_topk, embedding_near_dup,
+# embedding_topk.
+# Remaining r06/r07-graded: current evidence, roll forward.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
-    # (a) added in round 7 (never driver-graded => MUST hold a slot,
+    # (a) added in round 8 (never driver-graded => MUST hold a slot,
     # pinned by tests/test_entry.py)
-    "doc_incremental_lsh",
-    "multimodal_image_headers",
-    "embedding_semantic_dedup_hi",
-    "stream_merge_sink_roundtrip",
-    "doc_ccnet_buckets",
-    "doc_contamination_report",
-    "hybrid_search_rrf",
-    "doc_dsir_selection",
-    "doc_token_budget_corpus",
-    "doc_gopher_filter",
+    "doc_domain_quota",
+    "stream_mg_bound_audit",
+    # (b) impl changed round 8
     "doc_tfidf_cosine_pairs",
-    "event_value_ks_drift",
-    "doc_leakage_safe_split",
-    "embedding_covariance",
-    "embedding_zscore_outliers",
-    "doc_split_kl",
-    "embedding_split_contamination",
-    "part_pair_lift",
-    "customer_revenue_deciles",
-    "user_decayed_value",
-    "event_cusum_changepoint",
-    "event_theil_sen_trend",
-    "pricing_metrics_long",
     "embedding_mmr_select",
     "customer_rfm_segments",
-    "event_weekday_seasonality",
-    # (b) oracle/impl changed round 7
-    "embedding_semantic_dedup",
-    "json_artifact_roundtrip",
-    "multimodal_decode_stats",
-    "doc_winnow_copy_pairs",
-    "doc_bigram_perplexity",
-    # (c) backlog: every remaining r03-graded query (the stalest rows)
-    "multimodal_features",
-    "latest_event_per_user",
-    "filtered_scan",
-    "event_type_pivot",
-    "doc_token_stats",
-    "dp_lang_source_counts",
-    "doc_token_explode",
-    "doc_lang_id",
-    "doc_quality",
-    "daily_event_rollup",
-    "customers_without_orders",
-    "capped_events_per_user",
-    "priority_join_agg",
-    "running_revenue",
-    "region_nation_rollup",
-    "props_json_stats",
-    "segment_active_customers",
-    "regional_revenue",
-    # (c) the stalest r05-graded displacements
-    "token_triangles",
+    "customer_revenue_deciles",
+    # (c) backlog: every remaining r04-graded query (the stalest rows)
+    "bigram_lm_top",
+    "customer_status_scd2",
+    "customer_value_ranks",
+    "daily_new_users",
+    "doc_bpe_token_stats",
+    "doc_decontaminate",
+    "doc_length_batches",
+    "doc_overlap_chunks",
+    "doc_pack_chunks",
+    "doc_repetition_filter",
+    "doc_shuffle_shards",
+    "doc_source_mix",
+    "doc_split_assign",
+    "doc_stratified_exact_sample",
+    "doc_tfidf_keywords",
+    "doc_token_entropy",
+    "doc_unigram_logprob",
+    "embedding_ivf_topk",
+    "embedding_quantized_topk",
+    "event_funnel",
+    "event_multi_rollup",
+    "event_pii_scrub",
+    "event_value_anomalies",
+    "json_ping_rollup",
+    "kmv_distinct_users",
+    "multimodal_frame_sample",
+    "order_burst_interval_join",
+    "phrase_search_docs",
+    "price_outlier_stats",
+    "pricing_summary",
+    "priority_grouping_sets",
+    "quantity_percentiles",
+    "salted_segment_order_stats",
+    "source_length_corr",
+    "status_cube",
+    "taar_donor_scores",
+    "taar_lr_curves",
+    "token_inverted_index",
+    "token_pagerank",
+    "user_daily_gapfill",
+    "vocab_heavy_hitters",
+    "weekly_retention_cohorts",
+    # (d) head of the r05-graded displacement list
+    "price_quantile_sketch",
+    "session_attribution_rollup",
 ]
 
 

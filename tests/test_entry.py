@@ -49,3 +49,21 @@ def test_driver_window_covers_every_query_at_least_once():
         f"queries with NO driver row ever and not in this round's "
         f"window: {sorted(missing)} — front them in _DRIVER_WINDOW"
     )
+
+
+def test_coverage_md_registry_count_is_current():
+    """COVERAGE.md's registry count is marker-derived, never
+    hand-typed: every `N <!-- len(REGISTRY) -->` marker must equal the
+    live registry size (run tools/sync_counts.py after adding a
+    query)."""
+    import re
+
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    text = open("/root/repo/COVERAGE.md").read()
+    counts = re.findall(r"(\d+) <!-- len\(REGISTRY\) -->", text)
+    assert counts, "COVERAGE.md lost its registry-count markers"
+    assert all(int(c) == len(REGISTRY) for c in counts), (
+        f"stale COVERAGE.md count {counts} != {len(REGISTRY)} — "
+        "run python tools/sync_counts.py"
+    )
