@@ -1,0 +1,129 @@
+"""Synthesize the scale-decade fixtures for the dedup/similarity core.
+
+The driver testdata tops out at sf0.1 (5k documents / 2k embeddings) —
+enough for correctness, not for scale-shape evidence.  And its corpus
+is word salad over a 31-word vocabulary, which makes PAIR VOLUME
+inherently quadratic in corpus size (every doc shares shingles with
+every doc — at 10x, LSH buckets hold 10x members and the true
+candidate set grows 100x regardless of algorithm).  Real web corpora
+don't do that: vocabulary grows with the corpus (Heaps' law,
+V ~ k * N^beta, beta ~ 0.5-0.7), so shingle collisions across
+UNRELATED documents stay rare and candidate volume tracks the genuine
+duplicate rate.
+
+This generator therefore keeps the sf0.1 SHAPE (uniform word salad,
+7-87 words/doc, 5 langs, 20 sources) but draws from a Heaps-scaled
+vocabulary ``V = 12 * N^0.7`` (x1: ~4.7k words for 5k docs; x10:
+~23.5k words for 50k docs) with a CONSTANT near-dup rate:
+
+- 4% of docs are a 2-word mutation of an earlier doc (shingle overlap
+  stays high, so MinHash/winnow/TF-IDF genuinely find them),
+- 0.2% are exact copies,
+
+so true pair volume grows ~linearly and any super-linear runtime in
+the x10/x1 ratio is the operator's own fanout, not the corpus.
+
+embeddings (0.4 vectors per doc, 64-dim, as at sf0.1): 10 Gaussian
+clusters plus 5% epsilon-duplicates (a copy of an earlier vector +
+tiny noise) for SemDeDup.
+
+Deterministic (numpy RandomState(42)); writes
+``scalefix/x1`` (5k docs / 2k vecs) and ``scalefix/x10`` (50k / 20k)
+under the repo root.  Usage: ``python tools/make_scale_fixture.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_documents(n: int, rng: np.random.RandomState) -> pa.Table:
+    langs = ["en", "zh", "de", "fr", "es"]
+    n_sources = 20
+    vocab_size = int(12 * n ** 0.7)  # Heaps' law, beta=0.7
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    # mildly Zipf token frequencies (natural-language shape): word
+    # ranks draw with p ~ 1/(rank+50)^0.8.  A UNIFORM vocabulary is
+    # the worst case for TF-IDF prefix filtering (every token has the
+    # same mid-range df, so no prefix is ever rare) and measured
+    # quadratic candidate volume that no real corpus exhibits; the
+    # skew restores the df variance the WWW'07 bound exploits while
+    # keeping the hottest token under ~1% so shingle buckets stay
+    # bounded.
+    w = 1.0 / (np.arange(vocab_size) + 50.0) ** 0.8
+    cdf = np.cumsum(w / w.sum())
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.rand()
+        if i > 10 and r < 0.002:  # exact duplicate of an earlier doc
+            texts.append(texts[rng.randint(0, i)])
+            continue
+        if i > 10 and r < 0.042:  # near-dup: swap exactly 2 words
+            base = texts[rng.randint(0, i)].split(" ")
+            for _ in range(2):
+                base[rng.randint(0, len(base))] = vocab[
+                    int(np.searchsorted(cdf, rng.rand()))
+                ]
+            texts.append(" ".join(base))
+            continue
+        n_words = rng.randint(7, 88)
+        idx = np.searchsorted(cdf, rng.rand(n_words))
+        texts.append(" ".join(vocab[j] for j in idx))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [langs[j] for j in rng.randint(0, len(langs), size=n)]
+            ),
+            "source": pa.array(
+                [f"src{j}" for j in rng.randint(0, n_sources, size=n)]
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def make_embeddings(m: int, rng: np.random.RandomState) -> pa.Table:
+    dim, n_clusters = 64, 10
+    centers = rng.randn(n_clusters, dim) * 0.5
+    labels = rng.randint(0, n_clusters, size=m)
+    vecs = centers[labels] + rng.randn(m, dim) * 0.12
+    for i in range(20, m):  # epsilon-duplicates for SemDeDup
+        if rng.rand() < 0.05:
+            j = rng.randint(0, i)
+            vecs[i] = vecs[j] + rng.randn(dim) * 0.004
+            labels[i] = labels[j]
+    return pa.table(
+        {
+            "vec_id": pa.array(range(m), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def main() -> None:
+    for name, n_docs in [("x1", 5_000), ("x10", 50_000)]:
+        out = os.path.join(ROOT, "scalefix", name)
+        os.makedirs(out, exist_ok=True)
+        rng = np.random.RandomState(42)  # same stream per scale
+        docs = make_documents(n_docs, rng)
+        pq.write_table(docs, os.path.join(out, "documents.parquet"))
+        emb = make_embeddings(int(n_docs * 0.4), rng)
+        pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+        print(f"{name}: {docs.num_rows} docs, {emb.num_rows} vecs -> {out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
