@@ -586,10 +586,14 @@ def lloyd_clusters(
     last-updated centroids.
     """
     spark = df.sparkSession
+    # the prepared frame has iters+2 consumers (init collect, one
+    # assignment per iteration, the final assignment) — stage it so
+    # the source scans once instead of once per consumer (SCALE.md
+    # §6b; at cluster scale persist a vectors table instead)
     e = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    )
+    ).localCheckpoint(eager=False)
 
     def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
         cdf = spark.createDataFrame(cents, ["__cid", "__cv"]).select(
@@ -877,7 +881,8 @@ def semantic_dedup(
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    )
+    ).localCheckpoint(eager=False)  # joined under the pair stage AND
+    # re-read through assign's final pass — one source scan (§6b)
     banded = assign.join(vecs, id_col).select(
         F.col("cluster").alias("__bucket"),
         F.struct(F.col(id_col), F.col("__v")).alias("__p"),

@@ -7800,7 +7800,8 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # than round 5), then (d) the head of the r05-graded displacement
 # list (price_quantile_sketch, session_attribution_rollup).
 # R09 QUEUE (all hold green r05 rows + r08 full-check rows): the
-# remaining r05-graded displacements — orders_incremental_state,
+# remaining r05-graded displacements — price_quantile_sketch,
+# session_attribution_rollup, orders_incremental_state,
 # doc_dup_span_coverage, priority_status_chi2, orders_neyman_sample,
 # bloom_pruned_revenue, embedding_kcenter_coreset,
 # priority_conversion_ci, doc_negative_samples, bm25_search_docs,
@@ -7872,9 +7873,12 @@ _DRIVER_WINDOW = [
     "user_daily_gapfill",
     "vocab_heavy_hitters",
     "weekly_retention_cohorts",
-    # (d) head of the r05-graded displacement list
-    "price_quantile_sketch",
-    "session_attribution_rollup",
+    # (d) impl changed late round 8 (Lloyd vector-frame staging —
+    # §6b: one source scan instead of one per consumer); the two
+    # displaced r05 heads (price_quantile_sketch,
+    # session_attribution_rollup) lead the R09 queue
+    "embedding_semantic_dedup",
+    "embedding_lloyd_clusters",
 ]
 
 

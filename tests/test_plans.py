@@ -434,8 +434,8 @@ _SCAN_TOTAL_EXCEPTIONS = {
 _SCAN_PER_TABLE_DEFAULT = 4
 _SCAN_PER_TABLE_EXCEPTIONS = {
     "orders_upsert_merge": 5,        # base + two CDC snapshots, diffed
-    "embedding_semantic_dedup": 7,   # per-Lloyd-iteration assignment reads
-    "embedding_semantic_dedup_hi": 7,
+    # embedding_semantic_dedup(_hi) dropped 7 -> 0 parquet re-scans in
+    # round 8: lloyd_clusters stages its prepared vector frame (§6b)
     "taar_donor_scores": 8,          # customer is a broadcast-sized dim
     "taar_lr_curves": 8,
 }
