@@ -3,6 +3,7 @@ from python_mozetl_spark.ext.dedup import (  # noqa: F401
     bounded_bucket_pairs,
     duplicated_span_coverage,
     cross_corpus_lsh_filter,
+    cut_duplicated_spans,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signature_table,

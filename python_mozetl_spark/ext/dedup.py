@@ -954,6 +954,98 @@ def duplicated_span_coverage(
     )
 
 
+def cut_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Substring-level dedup, the CUT step: remove every token covered
+    by an n-gram window that also occurs in ANOTHER document — the
+    text-transforming companion of :func:`duplicated_span_coverage`
+    (which only measures).  Together they are the n-gram-hash form of
+    the ExactSubstr deduplication of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): detection marks the
+    duplicated spans, this operator emits the cleaned corpus with
+    those spans excised (boilerplate headers, license blocks,
+    templated paragraphs — content document-level dedup never
+    removes).
+
+    Same gram/duplication spec as the coverage operator (whitespace
+    tokens, md5 n-gram hash, cross-doc = min(doc) != max(doc) on the
+    gram hash), so a doc's covered_toks there equals
+    ``n_toks - kept_toks`` here.
+
+    Scale shape: the gram aggregate and flag join are the coverage
+    operator's (map-side-combined min/max agg, broadcast-or-skew-join
+    back); the cut itself NEVER explodes windows into positions — each
+    doc's duplicated window starts collect into one bounded array
+    (<= n_toks entries, the doc's own length) and a single
+    within-row ``filter((tok, i) -> no window covers i)`` drops the
+    spans, so the fanout stage of a naive position-explode (n rows per
+    dup window) does not exist.  One extra keyed exchange total (the
+    per-doc start collect).
+
+    Returns (id, n_toks, kept_toks, kept_text) — one row per input
+    document, including documents shorter than ``n`` (kept whole).
+    """
+    from python_mozetl_spark.session import spread
+
+    base = (
+        spread(df)
+        .select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        .withColumn("__ntoks", F.size("__toks"))
+        # two consumers (gram side, cut side): stage so the tokenize
+        # subtree runs once (SCALE.md §6b)
+        .localCheckpoint(eager=False)
+    )
+    idx = F.when(
+        F.col("__ntoks") >= n, F.sequence(F.lit(1), F.col("__ntoks") - (n - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    H.md5_int64(
+                        F.concat_ws(" ", F.slice("__toks", i, n))
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.pos", "g.gh")
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("gh")
+    )
+    dup_starts = (
+        grams.join(dup_hashes, "gh")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__dp"))
+    )
+    joined = base.join(dup_starts, id_col, "left").withColumn(
+        "__dp", F.coalesce("__dp", F.expr("CAST(array() AS array<int>)"))
+    )
+    # token j (1-based) is covered iff some dup window starts at
+    # p in (j-n, j]; F.filter's index is 0-based
+    kept = F.filter(
+        "__toks",
+        lambda tok, i: ~F.exists(
+            "__dp", lambda p: (p <= i + 1) & (i + 1 < p + n)
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("__ntoks").cast("long").alias("n_toks"),
+        F.size(kept).cast("long").alias("kept_toks"),
+        F.concat_ws(" ", kept).alias("kept_text"),
+    )
+
+
 def incremental_lsh_pairs(
     base_signatures: DataFrame,
     new_docs: DataFrame,

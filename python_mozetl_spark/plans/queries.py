@@ -7775,6 +7775,53 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audited.select("shard", "n_shard", "heavy_covered", "bounds_ok")
 
 
+@query(
+    "doc_span_cut",
+    "Substring-level dedup CUT (ext/dedup.py:cut_duplicated_spans; the "
+    "Lee et al. 2022 ExactSubstr cut in n-gram-hash form): emit the "
+    "cleaned corpus with every cross-doc-duplicated 8-gram span "
+    "excised — the transform step over doc_dup_span_coverage's "
+    "detection (same gram/dup spec, so covered_toks there = n_toks - "
+    "kept_toks here).  The cut is a bounded per-doc window-start array "
+    "+ one within-row filter — no position explode stage exists.",
+    ("ext-dedup",),
+    oracle=r"""
+WITH tk AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+g AS (SELECT doc_id, i AS pos,
+    ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')),
+     1, 15))::BIGINT AS gh
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) s
+  WHERE len(w) >= 8),
+d AS (SELECT doc_id, pos,
+    min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
+      AS dup
+  FROM g),
+dp AS (SELECT doc_id, list(pos) AS ps FROM d WHERE dup GROUP BY doc_id),
+kept AS (
+  SELECT tk.doc_id, j, tk.w[j] AS tok
+  FROM tk
+  LEFT JOIN dp ON dp.doc_id = tk.doc_id,
+  LATERAL (SELECT unnest(generate_series(1, len(tk.w))) AS j) s
+  WHERE dp.ps IS NULL
+     OR len(list_filter(dp.ps, p -> p <= j AND j < p + 8)) = 0),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_toks,
+               string_agg(tok, ' ' ORDER BY j) AS kept_text
+        FROM kept GROUP BY doc_id)
+SELECT tk.doc_id, CAST(len(tk.w) AS BIGINT) AS n_toks,
+  coalesce(agg.kept_toks, 0) AS kept_toks,
+  coalesce(agg.kept_text, '') AS kept_text
+FROM tk LEFT JOIN agg ON agg.doc_id = tk.doc_id
+""",
+)
+def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import cut_duplicated_spans
+
+    d = t(spark, sf_dir, "documents")
+    return cut_duplicated_spans(d, "doc_id", "text", n=8)
+
+
 # --------------------------------------------------------------------------
 # Driver grading window
 # --------------------------------------------------------------------------
@@ -7799,7 +7846,8 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after this window no registry query's newest driver row is older
 # than round 5), then (d) the head of the r05-graded displacement
 # list (price_quantile_sketch, session_attribution_rollup).
-# R09 QUEUE (all hold green r05 rows + r08 full-check rows): the
+# R09 QUEUE (all hold green rows + r08 full-check rows): status_cube
+# (r4 row, displaced by doc_span_cut), then the
 # remaining r05-graded displacements — price_quantile_sketch,
 # session_attribution_rollup, orders_incremental_state,
 # doc_dup_span_coverage, priority_status_chi2, orders_neyman_sample,
@@ -7822,9 +7870,13 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
     # (a) added in round 8 (never driver-graded => MUST hold a slot,
-    # pinned by tests/test_entry.py)
+    # pinned by tests/test_entry.py).  doc_span_cut's slot displaces
+    # status_cube from the r04 backlog (adds-first per the rotation
+    # policy; status_cube keeps its green r4 row + this round's
+    # full-check row and leads the R09 queue with the r05 heads)
     "doc_domain_quota",
     "stream_mg_bound_audit",
+    "doc_span_cut",
     # (b) impl changed round 8
     "doc_tfidf_cosine_pairs",
     "embedding_mmr_select",
@@ -7865,7 +7917,6 @@ _DRIVER_WINDOW = [
     "quantity_percentiles",
     "salted_segment_order_stats",
     "source_length_corr",
-    "status_cube",
     "taar_donor_scores",
     "taar_lr_curves",
     "token_inverted_index",

@@ -214,3 +214,39 @@ def test_domain_quota_cap_and_stability(spark):
     assert {i for i in kept2 if i < 60} <= kept_ids
     with pytest.raises(ValueError):
         domain_quota(df, "domain", "doc_id", cap=0)
+
+
+# ------------------------------------------------------------------
+# Round-8: substring-span CUT (the ExactSubstr transform step)
+# ------------------------------------------------------------------
+
+def test_cut_duplicated_spans_matches_coverage_and_hand_case(spark):
+    from python_mozetl_spark.ext.dedup import (
+        cut_duplicated_spans,
+        duplicated_span_coverage,
+    )
+
+    shared = "a b c d e f g h"  # one exact 8-gram shared by docs 1, 2
+    rows = [
+        (1, f"x1 x2 {shared} y1 y2"),
+        (2, f"z1 {shared} z2 z3 z4"),
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),  # unique: kept whole
+        (4, "short doc"),                    # < n tokens: kept whole
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cut = {r["doc_id"]: r for r in cut_duplicated_spans(df, n=8).collect()}
+    # doc 3 and 4 untouched
+    assert cut[3]["kept_text"] == rows[2][1] and cut[3]["kept_toks"] == 9
+    assert cut[4]["kept_text"] == "short doc"
+    # docs 1, 2: exactly the shared 8 tokens are excised
+    assert cut[1]["kept_text"] == "x1 x2 y1 y2"
+    assert cut[2]["kept_text"] == "z1 z2 z3 z4"
+    assert cut[1]["n_toks"] == 12 and cut[1]["kept_toks"] == 4
+
+    # contract vs the detection operator: covered = n_toks - kept_toks
+    cov = {
+        r["doc_id"]: r
+        for r in duplicated_span_coverage(df, n=8).collect()
+    }
+    for i in cut:
+        assert cov[i]["covered_toks"] == cut[i]["n_toks"] - cut[i]["kept_toks"]
