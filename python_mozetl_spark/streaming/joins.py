@@ -45,10 +45,22 @@ def interval_join_stream(
     watermark: str = "2 hours",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join of two event streams on ``key_col`` where the right
-    event lands within ``[left_ts, left_ts + max_delay]`` — the
+    """Join of two event streams on ``key_col`` where the right event
+    lands within ``[left_ts, left_ts + max_delay]`` — the
     click→conversion attribution shape.
+
+    ``how="leftOuter"`` gives the UNCONVERTED-clicks variant: a left
+    row with no right match is emitted with NULL right columns, but —
+    the Structured Streaming contract worth stating — only once the
+    watermark passes ``left_ts + max_delay``, because until then a
+    matching right event could still arrive.  Outer results therefore
+    trail the watermark by the range width; a drained finite stream
+    (availableNow) emits them only if a LATER micro-batch advances the
+    watermark past the row's horizon (the twin test pins exactly this
+    with sentinel batches).  Same state bound as the inner form: both
+    sides buffer watermark + range width.
 
     Output columns are prefix-renamed so the same pair of frames can
     carry identical column names (both sides are usually the same
@@ -70,4 +82,4 @@ def interval_join_stream(
     out = [F.col(f"l.{c}").alias(f"{left_prefix}{c}") for c in left.columns] + [
         F.col(f"r.{c}").alias(f"{right_prefix}{c}") for c in right.columns
     ]
-    return l_side.alias("l").join(r_side.alias("r"), cond).select(*out)
+    return l_side.alias("l").join(r_side.alias("r"), cond, how).select(*out)

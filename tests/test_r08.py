@@ -250,3 +250,79 @@ def test_cut_duplicated_spans_matches_coverage_and_hand_case(spark):
     }
     for i in cut:
         assert cov[i]["covered_toks"] == cut[i]["n_toks"] - cut[i]["kept_toks"]
+
+
+# ------------------------------------------------------------------
+# Round-8: stream-stream LEFT OUTER interval join — unmatched left
+# rows emit with NULL right columns once the watermark passes
+# left_ts + max_delay (sentinel batches advance it)
+# ------------------------------------------------------------------
+
+def test_interval_join_stream_left_outer_matches_batch_twin(spark):
+    import os
+
+    from python_mozetl_spark.streaming import interval_join_stream
+
+    rows = [
+        (1, "2024-01-01 00:05:00", 100, "click", 1.0),
+        (2, "2024-01-01 00:40:00", 100, "view", 2.0),   # matches click 1
+        (5, "2024-01-01 00:20:00", 200, "click", 5.0),
+        (6, "2024-01-01 00:50:00", 200, "view", 6.0),   # matches click 5
+        (7, "2024-01-01 00:10:00", 300, "click", 7.0),  # NO view: outer row
+    ]
+    # sentinels far in the future push the watermark past every click's
+    # horizon; they themselves match nothing
+    sentinels = [
+        (98, "2024-01-02 00:00:00", 999, "click", 0.0),
+        (99, "2024-01-03 00:00:00", 999, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows + sentinels, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as d:
+        clicks_dir, views_dir = os.path.join(d, "c"), os.path.join(d, "v")
+        # sentinel rows land in their own LATER files (lexicographic
+        # part ordering) so a subsequent micro-batch advances the
+        # watermark after the real data is buffered
+        df.where((F.col("event_type") == "click") & (F.col("event_id") < 90)
+                 ).coalesce(1).write.parquet(clicks_dir)
+        df.where((F.col("event_type") == "click") & (F.col("event_id") >= 90)
+                 ).coalesce(1).write.mode("append").parquet(clicks_dir)
+        df.where((F.col("event_type") == "view") & (F.col("event_id") < 90)
+                 ).coalesce(1).write.parquet(views_dir)
+        df.where((F.col("event_type") == "view") & (F.col("event_id") >= 90)
+                 ).coalesce(1).write.mode("append").parquet(views_dir)
+        schema = df.schema
+
+        def join_of(c, v):
+            return interval_join_stream(
+                c, v, "user_id", max_delay="1 hour", watermark="1 hour",
+                how="leftOuter",
+            ).select("l_event_id", "r_event_id")
+
+        q = (
+            join_of(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(clicks_dir),
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(views_dir),
+            )
+            .writeStream.format("memory")
+            .queryName("ivj_outer_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            tuple(r) for r in spark.table("ivj_outer_t").collect()
+            if r["l_event_id"] < 90
+        )
+        batch = sorted(
+            tuple(r)
+            for r in join_of(
+                spark.read.parquet(clicks_dir), spark.read.parquet(views_dir)
+            ).collect()
+            if r["l_event_id"] < 90
+        )
+        assert got == batch == [(1, 2), (5, 6), (7, None)]
