@@ -704,3 +704,43 @@ def test_unigram_kl_matches_python_reference(sess, a, b):
     assert math.isclose(r["kl"], want, abs_tol=1e-6), (r["kl"], want)
     if Counter(a) == Counter(b):
         assert r["kl"] == 0.0
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                 unique=True),
+    n_domains=st.integers(1, 5),
+    cap=st.integers(1, 8),
+    parts=st.integers(1, 7),
+)
+def test_domain_quota_partitioning_invariant_and_capped(
+    sess, ids, n_domains, cap, parts
+):
+    """The kept set is a pure function of (salt, ids): identical under
+    any input partitioning, never exceeds cap per domain, and equals
+    the python replay of the md5 rank."""
+    import hashlib
+
+    from python_mozetl_spark.ext.mixing import domain_quota
+
+    rows = [(i, f"d{i % n_domains}") for i in ids]
+    df = sess.createDataFrame(rows, "doc_id long, domain string")
+    got = {
+        (r["doc_id"], r["domain_rank"])
+        for r in domain_quota(
+            df.repartition(parts), "domain", "doc_id", cap=cap
+        ).collect()
+    }
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"dq|{i}".encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for d in {f"d{i % n_domains}" for i in ids}:
+        members = sorted(
+            (i for i in ids if f"d{i % n_domains}" == d),
+            key=lambda i: (h(i), i),
+        )
+        want |= {(i, rk + 1) for rk, i in enumerate(members[:cap])}
+    assert got == want
