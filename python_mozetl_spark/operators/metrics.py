@@ -287,3 +287,91 @@ def ks_drift(
             "ks_stat",
         )
     )
+
+
+def mannwhitney_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group two-sample Mann-Whitney U test of each group's values
+    against the REST of the corpus — the rank-based (median/location)
+    drift test completing the family: :func:`ks_drift` is
+    shape-sensitive, :func:`psi_drift` bin-share-sensitive, this one
+    detects location shift with no distributional assumption.
+
+    Classic definition with average ranks for ties:
+    ``U_g = R_g − n_g(n_g+1)/2`` where ``R_g`` is the group's rank-sum
+    in the combined sample, plus the normal approximation
+    ``z = (U − n₁n₂/2) / σ`` with the standard tie-corrected
+    ``σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`` — all deterministic
+    closed-form arithmetic, so the full statistic is oracle-checkable.
+
+    Scale shape: ranks NEVER use a global sort — the average rank of a
+    distinct value is ``(#values below) + (ties+1)/2``, computable
+    from the pooled per-value counts with the same per-group grid
+    window as :func:`ks_drift` (the pooled cumsum re-derives inside
+    each group's partition; groups are independent tasks).  The tie
+    term is one 1-row aggregate, broadcast.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        df.select(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .where(F.col(value_col).isNotNull())
+        # FIVE consumers (gv, pooled, groups, n, ties-via-pooled):
+        # stage so the source scans once (SCALE.md §6b)
+        .localCheckpoint(eager=False)
+    )
+    gv = ev.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c_gv"))
+    pooled = ev.groupBy("__v").agg(F.count(F.lit(1)).alias("__c_all"))
+    groups = ev.groupBy("__g").agg(F.count(F.lit(1)).alias("__n_g"))
+    n_tot = ev.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    ties = pooled.groupBy().agg(
+        F.sum(
+            F.col("__c_all").cast("double") * F.col("__c_all") * F.col("__c_all")
+            - F.col("__c_all")
+        ).alias("__tie")
+    )
+    grid = (
+        pooled.crossJoin(F.broadcast(groups))
+        .join(gv, ["__g", "__v"], "left")
+        .select(
+            "__g",
+            "__v",
+            "__n_g",
+            F.coalesce("__c_gv", F.lit(0)).alias("__c_gv"),
+            "__c_all",
+        )
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank_v = (
+        F.coalesce(F.sum("__c_all").over(w), F.lit(0)).cast("double")
+        + (F.col("__c_all") + 1) / 2.0
+    )
+    rsum = (
+        grid.select("__g", "__n_g", (F.col("__c_gv") * rank_v).alias("__r"))
+        .groupBy("__g", "__n_g")
+        .agg(F.sum("__r").alias("__rg"))
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(ties))
+    )
+    n1 = F.col("__n_g").cast("double")
+    n2 = (F.col("__n") - F.col("__n_g")).cast("double")
+    n = F.col("__n").cast("double")
+    u = F.col("__rg") - n1 * (n1 + 1) / 2.0
+    sigma2 = n1 * n2 / 12.0 * ((n + 1) - F.col("__tie") / (n * (n - 1)))
+    z = F.when(sigma2 > 0, (u - n1 * n2 / 2.0) / F.sqrt(sigma2))
+    return rsum.select(
+        F.col("__g").alias(group_col),
+        F.col("__n_g").cast("bigint").alias("n_group"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, round_to).alias("z_score"),
+    )

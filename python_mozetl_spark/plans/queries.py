@@ -7776,6 +7776,52 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_value_mannwhitney",
+    "Per-group Mann-Whitney U drift (operators/metrics.py:"
+    "mannwhitney_drift): each event type's values rank-tested against "
+    "the rest of the corpus — the location-shift member of the drift "
+    "family (KS = shape, PSI = bin shares).  Average-rank ties, "
+    "tie-corrected normal z, all closed-form; ranks come from the "
+    "pooled per-value counts through the SAME per-group grid window "
+    "as ks_drift — no global sort anywhere.",
+    ("ext-metrics", "+W", "A2"),
+    oracle="""
+WITH ev AS (SELECT event_type AS g, value AS v FROM events
+            WHERE value IS NOT NULL),
+gv AS (SELECT g, v, count(*) AS c_gv FROM ev GROUP BY 1, 2),
+pooled AS (SELECT v, count(*) AS c_all FROM ev GROUP BY 1),
+grp AS (SELECT g, count(*) AS n_g FROM ev GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM ev),
+tie AS (SELECT sum(CAST(c_all AS DOUBLE) * c_all * c_all - c_all) AS tie_sum
+        FROM pooled),
+grid AS (SELECT g, v, n_g, coalesce(c_gv, 0) AS c_gv, c_all
+         FROM pooled CROSS JOIN grp
+         LEFT JOIN gv USING (g, v)),
+r AS (SELECT g, n_g,
+        c_gv * (CAST(coalesce(sum(c_all) OVER w, 0) AS DOUBLE)
+                + (c_all + 1) / 2.0) AS rterm
+      FROM grid
+      WINDOW w AS (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+s AS (SELECT g, n_g, sum(rterm) AS rg FROM r GROUP BY 1, 2)
+SELECT g AS event_type, CAST(n_g AS BIGINT) AS n_group,
+  round(rg - CAST(n_g AS DOUBLE) * (n_g + 1) / 2.0, 1) AS u_stat,
+  round((rg - CAST(n_g AS DOUBLE) * (n_g + 1) / 2.0
+         - CAST(n_g AS DOUBLE) * (n - n_g) / 2.0)
+        / sqrt(CAST(n_g AS DOUBLE) * (n - n_g) / 12.0
+               * ((n + 1) - tie_sum / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+    AS z_score
+FROM s CROSS JOIN nn CROSS JOIN tie
+""",
+)
+def event_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.operators.metrics import mannwhitney_drift
+
+    e = t(spark, sf_dir, "events")
+    return mannwhitney_drift(e, "event_type", "value")
+
+
+@query(
     "doc_span_cut",
     "Substring-level dedup CUT (ext/dedup.py:cut_duplicated_spans; the "
     "Lee et al. 2022 ExactSubstr cut in n-gram-hash form): emit the "
@@ -7847,7 +7893,8 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # than round 5), then (d) the head of the r05-graded displacement
 # list (price_quantile_sketch, session_attribution_rollup).
 # R09 QUEUE (all hold green rows + r08 full-check rows): status_cube
-# (r4 row, displaced by doc_span_cut), then the
+# and priority_grouping_sets (r4 rows, displaced by doc_span_cut and
+# event_value_mannwhitney — adds-first), then the
 # remaining r05-graded displacements — price_quantile_sketch,
 # session_attribution_rollup, orders_incremental_state,
 # doc_dup_span_coverage, priority_status_chi2, orders_neyman_sample,
@@ -7877,6 +7924,7 @@ _DRIVER_WINDOW = [
     "doc_domain_quota",
     "stream_mg_bound_audit",
     "doc_span_cut",
+    "event_value_mannwhitney",
     # (b) impl changed round 8
     "doc_tfidf_cosine_pairs",
     "embedding_mmr_select",
@@ -7913,7 +7961,6 @@ _DRIVER_WINDOW = [
     "phrase_search_docs",
     "price_outlier_stats",
     "pricing_summary",
-    "priority_grouping_sets",
     "quantity_percentiles",
     "salted_segment_order_stats",
     "source_length_corr",

@@ -326,3 +326,46 @@ def test_interval_join_stream_left_outer_matches_batch_twin(spark):
             if r["l_event_id"] < 90
         )
         assert got == batch == [(1, 2), (5, 6), (7, None)]
+
+
+# ------------------------------------------------------------------
+# Round-8: Mann-Whitney U drift — pinned against a pure-python
+# reference with ties (average ranks, tie-corrected z)
+# ------------------------------------------------------------------
+
+def test_mannwhitney_drift_matches_python_reference(spark):
+    import math
+
+    from python_mozetl_spark.operators.metrics import mannwhitney_drift
+
+    rows = (
+        [("a", v) for v in [1.0, 2.0, 2.0, 3.0, 10.0, 11.0]]
+        + [("b", v) for v in [2.0, 4.0, 5.0, 5.0, 6.0]]
+        + [("b", None)]  # NULLs excluded
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in mannwhitney_drift(df, "g", "v").collect()}
+
+    vals = [(g, v) for g, v in rows if v is not None]
+    pooled = sorted(v for _, v in vals)
+    n = len(pooled)
+
+    def avg_rank(v):
+        lo = sum(1 for x in pooled if x < v)
+        t_ = sum(1 for x in pooled if x == v)
+        return lo + (t_ + 1) / 2.0
+
+    tie_sum = 0.0
+    for v in set(pooled):
+        t_ = pooled.count(v)
+        tie_sum += t_ ** 3 - t_
+    for g in ("a", "b"):
+        sample = [v for gg, v in vals if gg == g]
+        n1, n2 = len(sample), n - len(sample)
+        rg = sum(avg_rank(v) for v in sample)
+        u = rg - n1 * (n1 + 1) / 2.0
+        sigma2 = n1 * n2 / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
+        z = (u - n1 * n2 / 2.0) / math.sqrt(sigma2)
+        assert got[g]["n_group"] == n1
+        assert abs(got[g]["u_stat"] - round(u, 1)) < 1e-9
+        assert abs(got[g]["z_score"] - round(z, 6)) < 1e-9
