@@ -854,6 +854,61 @@ def winnow_fingerprints(
     )
 
 
+def _cross_doc_dup_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    stage_base: bool,
+):
+    """Shared gram pipeline of the span-dedup pair
+    (:func:`duplicated_span_coverage` detects,
+    :func:`cut_duplicated_spans` transforms): whitespace tokens,
+    md5 n-gram hash per window start, and the cross-doc duplication
+    flag as a map-side-combined ``min(doc) != max(doc)`` aggregate on
+    the gram hash.  One definition keeps the two operators' documented
+    contract (``covered_toks == n_toks - kept_toks``) structurally
+    impossible to break by editing only one copy.
+
+    Returns ``(base, grams, dup_hashes)``; ``stage_base`` checkpoints
+    the token frame when the caller consumes it on BOTH sides of the
+    gram aggregate (the cut path).
+    """
+    from python_mozetl_spark.session import spread
+
+    base = (
+        spread(df)
+        .select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        .withColumn("__ntoks", F.size("__toks"))
+    )
+    if stage_base:
+        base = base.localCheckpoint(eager=False)
+    idx = F.when(
+        F.col("__ntoks") >= n, F.sequence(F.lit(1), F.col("__ntoks") - (n - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    H.md5_int64(
+                        F.concat_ws(" ", F.slice("__toks", i, n))
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.pos", "g.gh")
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("gh")
+    )
+    return base, grams, dup_hashes
+
+
 def duplicated_span_coverage(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -894,33 +949,8 @@ def duplicated_span_coverage(
     Returns one row per input document: (id, n_toks, dup_grams,
     covered_toks, dup_frac).
     """
-    from python_mozetl_spark.session import spread
-
-    base = spread(df).select(
-        F.col(id_col), T.tokens(text_col).alias("__toks")
-    ).withColumn("__ntoks", F.size("__toks"))
-    idx = F.when(
-        F.col("__ntoks") >= n, F.sequence(F.lit(1), F.col("__ntoks") - (n - 1))
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    grams = base.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    H.md5_int64(
-                        F.concat_ws(" ", F.slice("__toks", i, n))
-                    ).alias("gh"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, "g.pos", "g.gh")
-    dup_hashes = (
-        grams.groupBy("gh")
-        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
-        .where(F.col("__mn") != F.col("__mx"))
-        .select("gh")
+    base, grams, dup_hashes = _cross_doc_dup_grams(
+        df, id_col, text_col, n, stage_base=False
     )
     dup_pos = grams.join(dup_hashes, "gh").select(id_col, "pos")
     wd = Window.partitionBy(id_col).orderBy("pos")
@@ -989,38 +1019,10 @@ def cut_duplicated_spans(
     Returns (id, n_toks, kept_toks, kept_text) — one row per input
     document, including documents shorter than ``n`` (kept whole).
     """
-    from python_mozetl_spark.session import spread
-
-    base = (
-        spread(df)
-        .select(F.col(id_col), T.tokens(text_col).alias("__toks"))
-        .withColumn("__ntoks", F.size("__toks"))
-        # two consumers (gram side, cut side): stage so the tokenize
-        # subtree runs once (SCALE.md §6b)
-        .localCheckpoint(eager=False)
-    )
-    idx = F.when(
-        F.col("__ntoks") >= n, F.sequence(F.lit(1), F.col("__ntoks") - (n - 1))
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    grams = base.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    H.md5_int64(
-                        F.concat_ws(" ", F.slice("__toks", i, n))
-                    ).alias("gh"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, "g.pos", "g.gh")
-    dup_hashes = (
-        grams.groupBy("gh")
-        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
-        .where(F.col("__mn") != F.col("__mx"))
-        .select("gh")
+    # stage_base: two consumers (gram side, cut side) — the tokenize
+    # subtree runs once (SCALE.md §6b)
+    base, grams, dup_hashes = _cross_doc_dup_grams(
+        df, id_col, text_col, n, stage_base=True
     )
     dup_starts = (
         grams.join(dup_hashes, "gh")

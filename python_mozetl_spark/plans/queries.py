@@ -7671,7 +7671,7 @@ s AS (
   SELECT value,
     CAST(('0x' || substr(md5('mgs|' || value), 1, 15))::BIGINT % 4 AS INT)
       AS shard
-  FROM v)
+  FROM v WHERE value IS NOT NULL)
 SELECT shard, CAST(count(*) AS BIGINT) AS n_shard,
        TRUE AS heavy_covered, TRUE AS bounds_ok
 FROM s GROUP BY shard
@@ -7701,8 +7701,13 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     src, ckpt = f"{root}/src", f"{root}/ckpt"
     # several source files => several micro-batches under
-    # maxFilesPerTrigger=1 — the cross-batch state fold is the point
-    feed.repartition(4).write.parquet(src)
+    # maxFilesPerTrigger=1 — the cross-batch state fold is the point.
+    # NULL feed values are excluded HERE so the operator, the truth
+    # replay, and the oracle all see the same domain (the operator
+    # drops NULLs internally, but concat_ws-based routing in the
+    # replay would otherwise hash a NULL as 'mgs' while the oracle's
+    # '||' propagates it to a NULL shard — a latent parity split)
+    feed.where(F.col("value").isNotNull()).repartition(4).write.parquet(src)
     mem_name = (
         f"mg_audit_{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     )
@@ -7888,10 +7893,13 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bound widened to cover the rounding half-ulp; embedding_mmr_select:
 # id type derived from the input schema; customer_rfm_segments /
 # customer_revenue_deciles: quantile_bin NULL-bin guard) — then
-# (c) the ENTIRE 42-query r04-graded backlog (VERDICT r07 task 1:
-# after this window no registry query's newest driver row is older
-# than round 5), then (d) the head of the r05-graded displacement
-# list (price_quantile_sketch, session_attribution_rollup).
+# (c) 40 of the 42-query r04-graded backlog (VERDICT r07 task 1
+# aimed at "no driver row older than round 5"; two r4 entries —
+# status_cube, priority_grouping_sets — were displaced by this
+# round's doc_span_cut / event_value_mannwhitney additions, adds
+# ranking first in the rotation policy, so those two keep r4 rows
+# plus this round's full-check evidence and LEAD the R09 queue),
+# then (d) the late impl-changed Lloyd-staging re-grades.
 # R09 QUEUE (all hold green rows + r08 full-check rows): status_cube
 # and priority_grouping_sets (r4 rows, displaced by doc_span_cut and
 # event_value_mannwhitney — adds-first), then the

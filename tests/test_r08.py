@@ -49,7 +49,10 @@ def test_streaming_mg_heavy_hitters_long_values(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # awaitTermination(timeout) returns False WITHOUT raising on
+        # timeout — asserting against a half-drained table would fail
+        # with a misleading "MG bound violated"
+        assert q.awaitTermination(120), "mg stream drain exceeded 120s"
         emitted = spark.table("mg_hh_long_t").collect()
         final_n, final_rows = {}, {}
         for r in emitted:
@@ -313,7 +316,7 @@ def test_interval_join_stream_left_outer_matches_batch_twin(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "outer-join drain exceeded 180s"
         got = sorted(
             tuple(r) for r in spark.table("ivj_outer_t").collect()
             if r["l_event_id"] < 90

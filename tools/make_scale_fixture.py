@@ -59,6 +59,8 @@ def make_documents(n: int, rng: np.random.RandomState) -> pa.Table:
     # bounded.
     w = 1.0 / (np.arange(vocab_size) + 50.0) ** 0.8
     cdf = np.cumsum(w / w.sum())
+    cdf[-1] = 1.0  # float cumsum can end below 1.0; a draw in
+    # (cdf[-1], 1) would searchsorted to vocab_size -> IndexError
     texts: list[str] = []
     for i in range(n):
         r = rng.rand()

@@ -59,9 +59,8 @@ def main() -> None:
 
     def timed(name: str, sf_dir: str, reps: int) -> tuple[float, int]:
         runs = []
-        build(name, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()  # warm pass outside the timed window
+        # warm pass doubles as the row count — no extra materialization
+        rows = build(name, sf_dir).count()
         for _ in range(reps):
             spark._jvm.System.gc()
             t0 = time.time()
@@ -69,7 +68,6 @@ def main() -> None:
                 "overwrite"
             ).save()
             runs.append(time.time() - t0)
-        rows = build(name, sf_dir).count()
         return round(sorted(runs)[len(runs) // 2], 3), rows
 
     queries = [
