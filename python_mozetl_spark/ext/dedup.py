@@ -878,7 +878,17 @@ def _cross_doc_dup_grams(
 
     base = (
         spread(df)
-        .select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            # NULL text tokenizes to NULL — coalesce to an empty array
+            # so a NULL-text doc flows through as a zero-token doc
+            # (n_toks=0, kept_text='') instead of NULL-propagating
+            # through size()/filter(); the DuckDB oracles mirror this
+            # with trim(coalesce(text, '')).
+            F.coalesce(
+                T.tokens(text_col), F.expr("CAST(array() AS array<string>)")
+            ).alias("__toks"),
+        )
         .withColumn("__ntoks", F.size("__toks"))
     )
     if stage_base:

@@ -60,15 +60,20 @@ class Query:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None
     bench: bool = False  # include in bench.py headline set
+    # build() RUNS work (e.g. drains a Structured Streaming job into a
+    # temp dir) rather than just declaring a plan — plan-shape sweeps
+    # (scan budgets, explain audits) must skip these instead of paying
+    # a full streaming run per plan inspection.
+    side_effect: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def query(name: str, doc: str, tags: tuple[str, ...], oracle: str | None = None,
-          bench: bool = False):
+          bench: bool = False, side_effect: bool = False):
     def deco(fn):
-        REGISTRY[name] = Query(name, doc, tags, fn, oracle, bench)
+        REGISTRY[name] = Query(name, doc, tags, fn, oracle, bench, side_effect)
         return fn
 
     return deco
@@ -4621,7 +4626,8 @@ def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("ext-dedup",),
     oracle=r"""
 WITH tk AS (SELECT doc_id,
-    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+    list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                x -> x <> '') AS w
   FROM documents),
 g AS (SELECT doc_id, i AS pos,
     ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')),
@@ -7676,6 +7682,7 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_shard,
        TRUE AS heavy_covered, TRUE AS bounds_ok
 FROM s GROUP BY shard
 """,
+    side_effect=True,
 )
 def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -7700,84 +7707,97 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     src, ckpt = f"{root}/src", f"{root}/ckpt"
-    # several source files => several micro-batches under
-    # maxFilesPerTrigger=1 — the cross-batch state fold is the point.
-    # NULL feed values are excluded HERE so the operator, the truth
-    # replay, and the oracle all see the same domain (the operator
-    # drops NULLs internally, but concat_ws-based routing in the
-    # replay would otherwise hash a NULL as 'mgs' while the oracle's
-    # '||' propagates it to a NULL shard — a latent parity split)
-    feed.where(F.col("value").isNotNull()).repartition(4).write.parquet(src)
-    mem_name = (
-        f"mg_audit_{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    )
-    q = (
-        mg_heavy_hitters_stream(
-            spark.readStream.schema("value string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src),
-            "value",
-            k=k,
-            num_shards=shards,
+    # the audit result is 4 tiny rows — materialize it, then remove
+    # the pid-scoped temp root (src parquet + checkpoint) so repeated
+    # builds across processes do not accumulate temp dirs (the
+    # returned frame must not lazily read the deleted src)
+    try:
+        # several source files => several micro-batches under
+        # maxFilesPerTrigger=1 — the cross-batch state fold is the point.
+        # NULL feed values are excluded HERE so the operator, the truth
+        # replay, and the oracle all see the same domain (the operator
+        # drops NULLs internally, but concat_ws-based routing in the
+        # replay would otherwise hash a NULL as 'mgs' while the oracle's
+        # '||' propagates it to a NULL shard — a latent parity split)
+        feed.where(F.col("value").isNotNull()).repartition(4).write.parquet(src)
+        mem_name = (
+            f"mg_audit_{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
         )
-        .writeStream.format("memory")
-        .queryName(mem_name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_mg_bound_audit: drain exceeded 300s")
-    emitted = spark.table(mem_name)
-    # final emission per shard = the rows carrying that shard's max
-    # n_shard (n_shard strictly grows every time a shard is touched)
-    w = Window.partitionBy("shard")
-    final = emitted.withColumn("__mx", F.max("n_shard").over(w)).where(
-        F.col("n_shard") == F.col("__mx")
-    )
-    survivors = final.where(F.col("value").isNotNull()).select(
-        "shard", "value", "count_lb"
-    )
-    # exact truth, replaying the operator's md5 shard routing
-    truth = (
-        spark.read.parquet(src)
-        .select(
-            "value",
-            (
-                H.md5_int64(F.concat_ws("|", F.lit("mgs"), F.col("value")))
-                % shards
+        q = (
+            mg_heavy_hitters_stream(
+                spark.readStream.schema("value string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                "value",
+                k=k,
+                num_shards=shards,
             )
-            .cast("int")
-            .alias("shard"),
+            .writeStream.format("memory")
+            .queryName(mem_name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .groupBy("shard", "value")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
-    )
-    n_shard = truth.groupBy("shard").agg(
-        F.sum("true_cnt").cast("bigint").alias("n_shard")
-    )
-    bound = F.col("n_shard") / (k + 1)
-    audited = (
-        truth.join(survivors, ["shard", "value"], "left")
-        .join(n_shard, "shard")
-        .groupBy("shard", "n_shard")
-        .agg(
-            F.min(
-                F.when(F.col("true_cnt") > bound,
-                       F.col("count_lb").isNotNull()).otherwise(F.lit(True))
-            ).alias("heavy_covered"),
-            F.min(
-                F.when(
-                    F.col("count_lb").isNotNull(),
-                    (F.col("count_lb") <= F.col("true_cnt"))
-                    & (F.col("count_lb") >= F.col("true_cnt") - bound),
-                ).otherwise(F.lit(True))
-            ).alias("bounds_ok"),
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_mg_bound_audit: drain exceeded 300s")
+        emitted = spark.table(mem_name)
+        # final emission per shard = the rows carrying that shard's max
+        # n_shard (n_shard strictly grows every time a shard is touched)
+        w = Window.partitionBy("shard")
+        final = emitted.withColumn("__mx", F.max("n_shard").over(w)).where(
+            F.col("n_shard") == F.col("__mx")
         )
+        survivors = final.where(F.col("value").isNotNull()).select(
+            "shard", "value", "count_lb"
+        )
+        # exact truth, replaying the operator's md5 shard routing
+        truth = (
+            spark.read.parquet(src)
+            .select(
+                "value",
+                (
+                    H.md5_int64(F.concat_ws("|", F.lit("mgs"), F.col("value")))
+                    % shards
+                )
+                .cast("int")
+                .alias("shard"),
+            )
+            .groupBy("shard", "value")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        )
+        n_shard = truth.groupBy("shard").agg(
+            F.sum("true_cnt").cast("bigint").alias("n_shard")
+        )
+        bound = F.col("n_shard") / (k + 1)
+        audited = (
+            truth.join(survivors, ["shard", "value"], "left")
+            .join(n_shard, "shard")
+            .groupBy("shard", "n_shard")
+            .agg(
+                F.min(
+                    F.when(F.col("true_cnt") > bound,
+                           F.col("count_lb").isNotNull()).otherwise(F.lit(True))
+                ).alias("heavy_covered"),
+                F.min(
+                    F.when(
+                        F.col("count_lb").isNotNull(),
+                        (F.col("count_lb") <= F.col("true_cnt"))
+                        & (F.col("count_lb") >= F.col("true_cnt") - bound),
+                    ).otherwise(F.lit(True))
+                ).alias("bounds_ok"),
+            )
+        )
+        rows = audited.select(
+            "shard", "n_shard", "heavy_covered", "bounds_ok"
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "shard int, n_shard bigint, heavy_covered boolean, bounds_ok boolean",
     )
-    return audited.select("shard", "n_shard", "heavy_covered", "bounds_ok")
 
 
 @query(
@@ -7808,15 +7828,22 @@ r AS (SELECT g, n_g,
       FROM grid
       WINDOW w AS (PARTITION BY g ORDER BY v
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-s AS (SELECT g, n_g, sum(rterm) AS rg FROM r GROUP BY 1, 2)
+s AS (SELECT g, n_g, sum(rterm) AS rg FROM r GROUP BY 1, 2),
+f AS (SELECT g, n_g, rg, n,
+        CAST(n_g AS DOUBLE) * (n - n_g) / 12.0
+          * ((n + 1) - tie_sum / (CAST(n AS DOUBLE) * (n - 1))) AS sigma2
+      FROM s CROSS JOIN nn CROSS JOIN tie)
 SELECT g AS event_type, CAST(n_g AS BIGINT) AS n_group,
   round(rg - CAST(n_g AS DOUBLE) * (n_g + 1) / 2.0, 1) AS u_stat,
-  round((rg - CAST(n_g AS DOUBLE) * (n_g + 1) / 2.0
-         - CAST(n_g AS DOUBLE) * (n - n_g) / 2.0)
-        / sqrt(CAST(n_g AS DOUBLE) * (n - n_g) / 12.0
-               * ((n + 1) - tie_sum / (CAST(n AS DOUBLE) * (n - 1)))), 6)
-    AS z_score
-FROM s CROSS JOIN nn CROSS JOIN tie
+  -- degenerate pools (all values tied, or a group = whole corpus)
+  -- give sigma2 <= 0: NULL z on BOTH engines (mirrors the Spark
+  -- F.when(sigma2 > 0, ...) guard — unguarded sqrt would emit
+  -- inf/NULL-by-div-zero here and split parity)
+  round(CASE WHEN sigma2 > 0
+        THEN (rg - CAST(n_g AS DOUBLE) * (n_g + 1) / 2.0
+              - CAST(n_g AS DOUBLE) * (n - n_g) / 2.0) / sqrt(sigma2)
+        END, 6) AS z_score
+FROM f
 """,
 )
 def event_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7838,7 +7865,8 @@ def event_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("ext-dedup",),
     oracle=r"""
 WITH tk AS (SELECT doc_id,
-    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+    list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                x -> x <> '') AS w
   FROM documents),
 g AS (SELECT doc_id, i AS pos,
     ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')),

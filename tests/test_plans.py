@@ -450,6 +450,12 @@ def test_registry_scan_budgets(spark):
 
     over = []
     for name, q in REGISTRY.items():
+        if q.side_effect:
+            # build() RUNS a streaming job into a temp dir — a plan-
+            # shape sweep must not pay (or leak) a real run per
+            # inspection; these queries' plans are the operator
+            # modules', covered by their own streaming tests
+            continue
         plan = _formatted_plan(q.build(spark, SF_DIR))
         total = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
         budget = _SCAN_TOTAL_EXCEPTIONS.get(name, _SCAN_TOTAL_DEFAULT)

@@ -1,0 +1,174 @@
+"""Round-9 regression tests.
+
+ADVICE r08 items: NULL-text parity through the span-dedup helper,
+the Mann-Whitney degenerate-pool oracle guard, and the mg-audit
+temp-dir cleanup; plus the round's task pins (minhash one-shot size
+gate, SemDeDup auto-k grading, amowhitelist job, streaming oracle
+rows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ----------------------------------------------------------------------
+# ADVICE r08 #1: NULL text must flow through the span-dedup pair as a
+# zero-token doc on BOTH engines (the helper coalesces tokens to an
+# empty array; the oracles coalesce text to '').
+# ----------------------------------------------------------------------
+
+def _span_fixture(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))
+    return spark.createDataFrame(
+        [
+            (1, boiler + " unique one tail"),
+            (2, boiler + " other words here"),
+            (3, None),
+            (4, "short doc"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_span_coverage_null_text(spark):
+    from python_mozetl_spark.ext.dedup import duplicated_span_coverage
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_span_coverage(
+            _span_fixture(spark), "doc_id", "text", n=8
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}  # NULL-text doc not dropped
+    assert rows[3] == {
+        "doc_id": 3,
+        "n_toks": 0,
+        "dup_grams": 0,
+        "covered_toks": 0,
+        "dup_frac": 0.0,
+    }
+    assert rows[1]["dup_grams"] > 0  # the shared boilerplate is seen
+
+
+def test_span_cut_null_text(spark):
+    from python_mozetl_spark.ext.dedup import cut_duplicated_spans
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in cut_duplicated_spans(
+            _span_fixture(spark), "doc_id", "text", n=8
+        ).collect()
+    }
+    assert rows[3] == {
+        "doc_id": 3,
+        "n_toks": 0,
+        "kept_toks": 0,
+        "kept_text": "",
+    }
+    # contract with the coverage operator holds for every doc
+    from python_mozetl_spark.ext.dedup import duplicated_span_coverage
+
+    cov = {
+        r["doc_id"]: r["covered_toks"]
+        for r in duplicated_span_coverage(
+            _span_fixture(spark), "doc_id", "text", n=8
+        ).collect()
+    }
+    for did, r in rows.items():
+        assert cov[did] == r["n_toks"] - r["kept_toks"]
+
+
+def test_span_oracles_null_text_parity():
+    """The doc_span_cut / doc_dup_span_coverage DuckDB oracles agree
+    with the Spark semantics on NULL text: a zero-token doc, never a
+    NULL-propagated row."""
+    import duckdb
+
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    con = duckdb.connect()
+    boiler = " ".join(f"b{i}" for i in range(10))
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        f"(1, '{boiler} unique one tail'), "
+        f"(2, '{boiler} other words here'), "
+        "(3, NULL), (4, 'short doc')) t(doc_id, text)"
+    )
+    cov = con.execute(REGISTRY["doc_dup_span_coverage"].oracle).fetchdf()
+    cut = con.execute(REGISTRY["doc_span_cut"].oracle).fetchdf()
+    crow = cov[cov.doc_id == 3].iloc[0]
+    assert (crow.n_toks, crow.dup_grams, crow.covered_toks) == (0, 0, 0)
+    krow = cut[cut.doc_id == 3].iloc[0]
+    assert (krow.n_toks, krow.kept_toks, krow.kept_text) == (0, 0, "")
+
+
+# ----------------------------------------------------------------------
+# ADVICE r08 #2: degenerate (all-tied) value pools give sigma2 <= 0 —
+# both the Spark operator and the DuckDB oracle must emit NULL z.
+# ----------------------------------------------------------------------
+
+def test_mannwhitney_degenerate_parity(spark):
+    import duckdb
+
+    from python_mozetl_spark.operators.metrics import mannwhitney_drift
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    df = spark.createDataFrame(
+        [("a", 7.0), ("a", 7.0), ("b", 7.0), ("b", 7.0)],
+        "event_type string, value double",
+    )
+    got = {
+        r["event_type"]: r.asDict()
+        for r in mannwhitney_drift(df, "event_type", "value").collect()
+    }
+    assert got["a"]["z_score"] is None
+    assert got["b"]["z_score"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "('a', 7.0), ('a', 7.0), ('b', 7.0), ('b', 7.0)"
+        ") t(event_type, value)"
+    )
+    odf = con.execute(REGISTRY["event_value_mannwhitney"].oracle).fetchdf()
+    assert odf["z_score"].isna().all()
+    # u_stat still defined and equal on both sides
+    ou = dict(zip(odf.event_type, odf.u_stat))
+    for g in ("a", "b"):
+        assert got[g]["u_stat"] == pytest.approx(ou[g])
+
+
+# ----------------------------------------------------------------------
+# ADVICE r08 #3: side-effectful builds are flagged, and the mg audit
+# cleans its pid-scoped temp root after materializing.
+# ----------------------------------------------------------------------
+
+def test_side_effect_queries_flagged():
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    flagged = {n for n, q in REGISTRY.items() if q.side_effect}
+    assert "stream_mg_bound_audit" in flagged
+    # every side-effect query is a streaming-run query by construction
+    for n in flagged:
+        assert n.startswith("stream_")
+
+
+def test_mg_audit_cleans_temp_root(spark):
+    import glob
+    import os
+    import tempfile
+
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    out = REGISTRY["stream_mg_bound_audit"].build(spark, sf_dir)
+    assert out.count() >= 1
+    leftovers = glob.glob(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"python_mozetl_spark_mg_audit_{os.getpid()}_*",
+        )
+    )
+    assert leftovers == []
