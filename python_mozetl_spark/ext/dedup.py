@@ -185,6 +185,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     max_bucket: int = 10_000,
     signatures: DataFrame | None = None,
+    one_shot_max_bytes: int = 32 << 30,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact word-shingle
     Jaccard ≥ ``threshold``, candidate-generated by MinHash LSH.
@@ -209,6 +210,30 @@ def minhash_lsh_pairs(
     if signatures is not None:
         sig = signatures.join(df.select(id_col), id_col, "left_semi")
     else:
+        # one-shot envelope gate: the lazy-localCheckpoint staging
+        # below materializes the signature table into executor-local
+        # block storage and is NOT fault-tolerant — acceptable for an
+        # interactive run over a corpus this machine can hold, wrong
+        # for a production-scale input.  Catalyst's planning-time size
+        # estimate (no job) decides; past the envelope the caller must
+        # hand in a persisted minhash_signature_table instead.
+        from python_mozetl_spark.session import plan_size_bytes
+
+        est = plan_size_bytes(df.select(id_col, text_col))
+        # Long.MaxValue is Catalyst's "no statistics" sentinel (local
+        # relations, post-shuffle subtrees) — the gate only acts on a
+        # REAL estimate; the at-scale input it protects against is a
+        # file scan, which always carries one.
+        if est != (1 << 63) - 1 and est > one_shot_max_bytes:
+            raise ValueError(
+                f"minhash_lsh_pairs one-shot path: input estimate "
+                f"{est} B exceeds one_shot_max_bytes="
+                f"{one_shot_max_bytes} B.  The localCheckpoint-staged "
+                f"signature table is executor-local and not fault-"
+                f"tolerant at this size — compute "
+                f"minhash_signature_table(...) once, persist it "
+                f"(parquet), and pass it as signatures=."
+            )
         sig = _staged_signatures(df, id_col, text_col, num_hashes, shingle_k)
         # The verify pipeline consumes the signature frame THREE times
         # (band explode + two shingle join-backs), each behind a

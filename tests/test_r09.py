@@ -172,3 +172,66 @@ def test_mg_audit_cleans_temp_root(spark):
         )
     )
     assert leftovers == []
+
+
+# ----------------------------------------------------------------------
+# Task 7: the minhash one-shot localCheckpoint path is size-gated —
+# past the envelope the caller must pass a persisted signature table.
+# ----------------------------------------------------------------------
+
+def _minhash_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),
+            (3, "completely different words in this document body"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_minhash_one_shot_gate_raises(spark, tmp_path):
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
+
+    # the gate consults Catalyst's scan-based size estimate, so the
+    # oversized input must be a file scan (in-memory relations carry
+    # the no-statistics sentinel and pass through ungated)
+    path = str(tmp_path / "docs.parquet")
+    _minhash_docs(spark).write.parquet(path)
+    df = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="persist"):
+        minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=16, bands=8,
+            one_shot_max_bytes=1,
+        ).collect()
+
+
+def test_minhash_persisted_signatures_bypass_gate_and_match(spark, tmp_path):
+    from python_mozetl_spark.ext.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature_table,
+    )
+
+    df = _minhash_docs(spark)
+    one_shot = sorted(
+        r.asDict()
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=16, bands=8
+        ).collect()
+    )
+    sig_path = str(tmp_path / "sigs.parquet")
+    minhash_signature_table(
+        df, "doc_id", "text", num_hashes=16
+    ).write.parquet(sig_path)
+    # a 1-byte budget would trip the one-shot path; the persisted
+    # signatures path never consults it
+    persisted = sorted(
+        r.asDict()
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=16, bands=8,
+            signatures=spark.read.parquet(sig_path),
+            one_shot_max_bytes=1,
+        ).collect()
+    )
+    assert persisted == one_shot and len(one_shot) >= 1
