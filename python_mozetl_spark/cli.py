@@ -310,6 +310,72 @@ def taar_similarity(input_path, output_path, date, master, clusters,
     write_partitioned_parquet(donors, f"{output_path}/donors")
 
 
+@entry_point.command("taar_amowhitelist")
+@click.option("--input", "input_path", required=True,
+              help="AMO extended_addons_database.json (path or http[s] URL)")
+@click.option("--output", "output_path", required=True)
+@click.option("--min-rating", default=3.0, type=float)
+@click.option("--min-age", default=60, type=int)
+@click.option("--as-of", "as_of", default=None,
+              help="YYYY-MM-DD age anchor (default: today; pin for "
+                   "reproducible runs)")
+@click.option("--master", default="local[*]")
+def taar_amowhitelist(input_path, output_path, min_rating, min_age, as_of,
+                      master):
+    """Filter the AMO dump into whitelist / featured /
+    featured-whitelist JSON artifacts (reference
+    taar_amowhitelist.py:40-167)."""
+    import datetime as _dt
+
+    from python_mozetl_spark.jobs.amo_whitelist import run_amo_whitelist
+    from python_mozetl_spark.sources.side_input import side_input_from_json
+
+    spark = get_session(app_name="taar_amowhitelist", master=master)
+    dump = side_input_from_json(input_path)
+    anchor = _dt.date.fromisoformat(as_of) if as_of else _dt.date.today()
+    whitelist, featured, featured_whitelist = run_amo_whitelist(
+        spark, dump, anchor, min_rating=min_rating, min_age=min_age
+    )
+    write_json_artifact(whitelist,
+                        f"{output_path}/whitelist_addons_database.json")
+    write_json_artifact(featured,
+                        f"{output_path}/featured_addons_database.json")
+    write_json_artifact(featured_whitelist,
+                        f"{output_path}/featured_whitelist_addons.json")
+
+
+@entry_point.command("taar_ensemble")
+@_common
+@click.option("--feature-col", "feature_cols", multiple=True, required=True,
+              help="recommender score column(s) in the training frame")
+@click.option("--label-col", default="label")
+@click.option("--weight-col", default=None)
+@click.option("--reg-param", default=0.1, type=float)
+@click.option("--elastic-net-param", default=0.01, type=float)
+@click.option("--k-folds", default=4, type=int)
+def taar_ensemble(input_path, output_path, date, master, feature_cols,
+                  label_col, weight_col, reg_param, elastic_net_param,
+                  k_folds):
+    """Fit ensemble blend weights over per-recommender score columns
+    and write the coefficient artifact (reference taar_ensemble.py:
+    417-499; scores are columns here, not executor-side recommender
+    calls — SURVEY §7.3)."""
+    from python_mozetl_spark.jobs.ensemble import fit_ensemble_weights
+
+    spark = get_session(app_name="taar_ensemble", master=master)
+    weights = fit_ensemble_weights(
+        _read(spark, input_path, date),
+        list(feature_cols),
+        label_col=label_col,
+        weight_col=weight_col,
+        reg_param=reg_param,
+        elastic_net_param=elastic_net_param,
+        k_folds=k_folds,
+    )
+    write_json_artifact({"ensemble_weights": weights},
+                        f"{output_path}/ensemble_weight_daily.json")
+
+
 @entry_point.command("shield_privacy_prefs")
 @_common
 def shield_privacy_prefs(input_path, output_path, date, master):

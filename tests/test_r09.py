@@ -235,3 +235,126 @@ def test_minhash_persisted_signatures_bypass_gate_and_match(spark, tmp_path):
         ).collect()
     )
     assert persisted == one_shot and len(one_shot) >= 1
+
+
+# ----------------------------------------------------------------------
+# Task 6: AMO whitelist accumulators as one DataFrame pass + the two
+# previously-missing CLI dispatches (taar_amowhitelist, taar_ensemble).
+# ----------------------------------------------------------------------
+
+def _amo_dump():
+    webext = {"files": [{"is_webextension": True}]}
+    legacy = {"files": [{"is_webextension": False}]}
+    return {
+        "good@a": {  # passes everything, also featured
+            "is_featured": True,
+            "ratings": {"average": 4.5},
+            "first_create_date": "2020-01-01",
+            "current_version": webext,
+        },
+        "lowrate@a": {  # rating below the bar
+            "is_featured": False,
+            "ratings": {"average": 2.0},
+            "first_create_date": "2020-01-01",
+            "current_version": webext,
+        },
+        "young@a": {  # created inside the min-age window
+            "is_featured": True,
+            "ratings": {"average": 5.0},
+            "first_create_date": "2024-05-20",
+            "current_version": webext,
+        },
+        "legacy@a": {  # not a webextension
+            "is_featured": False,
+            "ratings": {"average": 5.0},
+            "first_create_date": "2020-01-01",
+            "current_version": legacy,
+        },
+        "nofiles@a": {  # current version has no files
+            "is_featured": False,
+            "ratings": {"average": 5.0},
+            "first_create_date": "2020-01-01",
+            "current_version": {"files": []},
+        },
+        "pioneer-opt-in@mozilla.org": {  # explicitly excluded
+            "is_featured": False,
+            "ratings": {"average": 5.0},
+            "first_create_date": "2020-01-01",
+            "current_version": webext,
+        },
+        "nodate@a": {  # missing create date: dropped, not a crash
+            "is_featured": False,
+            "ratings": {"average": 5.0},
+            "first_create_date": None,
+            "current_version": webext,
+        },
+    }
+
+
+def test_amo_whitelist_accumulators(spark):
+    import datetime as dt
+
+    from python_mozetl_spark.jobs.amo_whitelist import run_amo_whitelist
+
+    wl, feat, featwl = run_amo_whitelist(
+        spark, _amo_dump(), as_of=dt.date(2024, 6, 1)
+    )
+    assert set(wl) == {"good@a"}
+    assert set(feat) == {"good@a", "young@a"}  # featured ignores criteria
+    assert set(featwl) == {"good@a"}
+    assert wl["good@a"]["ratings"]["average"] == 4.5  # full record kept
+
+
+def test_amo_whitelist_min_age_boundary(spark):
+    import datetime as dt
+
+    from python_mozetl_spark.jobs.amo_whitelist import run_amo_whitelist
+
+    dump = _amo_dump()
+    # exactly min_age days old on the anchor -> create_date == cutoff
+    # -> kept (reference: create_date <= latest_create_date)
+    dump["edge@a"] = {
+        "is_featured": False,
+        "ratings": {"average": 3.0},
+        "first_create_date": "2024-04-02",
+        "current_version": {"files": [{"is_webextension": True}]},
+    }
+    wl, _, _ = run_amo_whitelist(spark, dump, as_of=dt.date(2024, 6, 1))
+    assert "edge@a" in wl
+
+
+def test_cli_lists_taar_commands():
+    from click.testing import CliRunner
+
+    from python_mozetl_spark.cli import entry_point
+
+    out = CliRunner().invoke(entry_point, ["--help"]).output
+    assert "taar_amowhitelist" in out
+    assert "taar_ensemble" in out
+
+
+def test_cli_amowhitelist_roundtrip(spark, tmp_path):
+    import json
+
+    from click.testing import CliRunner
+
+    from python_mozetl_spark.cli import entry_point
+
+    dump_path = tmp_path / "extended_addons_database.json"
+    dump_path.write_text(json.dumps(_amo_dump()))
+    out_dir = tmp_path / "out"
+    res = CliRunner().invoke(
+        entry_point,
+        [
+            "taar_amowhitelist",
+            "--input", str(dump_path),
+            "--output", str(out_dir),
+            "--as-of", "2024-06-01",
+            "--master", "local[2]",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    wl = json.loads((out_dir / "whitelist_addons_database.json").read_text())
+    featwl = json.loads((out_dir / "featured_whitelist_addons.json").read_text())
+    assert set(wl) == {"good@a"} and set(featwl) == {"good@a"}
