@@ -4688,7 +4688,12 @@ def part_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_oracle(k: int = 4, iters: int = 2, tail: str | None = None) -> str:
+def _lloyd_oracle(
+    k: int = 4,
+    iters: int = 2,
+    tail: str | None = None,
+    auto_k_target: int | None = None,
+) -> str:
     """SQL that unrolls the deterministic Lloyd's spec (same init, same
     6dp-rounded distances and centroids, same tie-break) — proving the
     clustering itself, not just summary counts, is reproducible
@@ -4697,15 +4702,29 @@ def _lloyd_oracle(k: int = 4, iters: int = 2, tail: str | None = None) -> str:
     ``tail`` replaces the default final SELECT — callers composing on
     top of the assignments (semantic dedup) append their own CTEs that
     read ``fin`` (vec_id, cid, d2, rn; rn = 1 is the assignment) and
-    ``e`` (vec_id, v DOUBLE[])."""
+    ``e`` (vec_id, v DOUBLE[]).
+
+    ``auto_k_target`` mirrors semantic_dedup's ``k=None`` auto-sizing
+    (k = ceil(n / target_cluster_size)): the cluster count comes from
+    a 1-row COUNT over the corpus instead of the ``k`` literal, so the
+    SAME oracle text stays correct at every SF — the scale-safe
+    configuration is what gets graded."""
     d2 = (
         "round(list_sum(list_transform(list_zip(e.v, c.v), "
         "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
     )
+    if auto_k_target is None:
+        c0 = f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),"""
+    else:
+        c0 = f"""kk AS (SELECT CAST(ceil(count(*) / {auto_k_target}.0) AS BIGINT) AS k
+  FROM e),
+c0 AS (SELECT q.cid, q.v
+  FROM (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
+        FROM e) q CROSS JOIN kk WHERE q.cid < kk.k),"""
     parts = [
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
-        f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),""",
+        c0,
     ]
     prev = "c0"
     for it in range(1, iters + 1):
@@ -4804,20 +4823,25 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SemDeDup at the PAPER's operating point: epsilon-neighbor "
     "threshold 0.95 (Abbas et al. run 0.9+; the 0.4 row above stress-"
     "tests the pair plumbing with a dense duplicate graph, this row "
-    "grades the near-exact-duplicate regime production runs use) and "
-    "a finer clustering (k=8).  Same deterministic Lloyd + cluster-"
-    "bucketed pair stage + zero-norm-guarded rounded cosine; full "
-    "per-vector keep/drop decision hash-exact vs the unrolled-SQL "
-    "oracle.",
+    "grades the near-exact-duplicate regime production runs use) in "
+    "the SCALE-SAFE configuration: k=None auto-sizing "
+    "(k = ceil(n/250), ext/similarity.py:semantic_dedup), the rule "
+    "the x10 scale curve showed is load-bearing — the fixed-k shape "
+    "OOMs a decade up (BASELINE.md contrast row) and is demoted to "
+    "pytest.  The oracle derives the same k from a 1-row COUNT, so "
+    "one SQL text grades every SF.  Same deterministic Lloyd + "
+    "cluster-bucketed pair stage + zero-norm-guarded rounded cosine; "
+    "full per-vector keep/drop decision hash-exact.",
     ("ext-dedup", "ext-sim", "F7"),
-    oracle=_lloyd_oracle(k=8, iters=2, tail=_semdedup_tail(0.95)),
+    oracle=_lloyd_oracle(iters=2, tail=_semdedup_tail(0.95), auto_k_target=250),
 )
 def embedding_semantic_dedup_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.similarity import semantic_dedup
 
     e = t(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        e, "vec_id", "embedding", k=8, iters=2, threshold=0.95
+        e, "vec_id", "embedding", k=None, iters=2, threshold=0.95,
+        target_cluster_size=250,
     )
 
 

@@ -358,3 +358,47 @@ def test_cli_amowhitelist_roundtrip(spark, tmp_path):
     wl = json.loads((out_dir / "whitelist_addons_database.json").read_text())
     featwl = json.loads((out_dir / "featured_whitelist_addons.json").read_text())
     assert set(wl) == {"good@a"} and set(featwl) == {"good@a"}
+
+
+# ----------------------------------------------------------------------
+# Task 3: embedding_semantic_dedup_hi now grades the scale-safe auto-k
+# configuration; the fixed-k=8 operating point (scale-UNSAFE — the x10
+# curve's OOM contrast row) lives here as a pytest instead.
+# ----------------------------------------------------------------------
+
+def test_semantic_dedup_fixed_k8_matches_oracle(spark):
+    import os
+
+    import duckdb
+
+    from python_mozetl_spark.ext.similarity import semantic_dedup
+    from python_mozetl_spark.plans.queries import _lloyd_oracle, _semdedup_tail, t
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    got = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semantic_dedup(
+            t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            k=8, iters=2, threshold=0.95,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            _lloyd_oracle(k=8, iters=2, tail=_semdedup_tail(0.95))
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_semantic_dedup_hi_registry_row_is_auto_k():
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    q = REGISTRY["embedding_semantic_dedup_hi"]
+    assert "kk AS" in q.oracle  # k derived from COUNT, not a literal
+    assert "ceil(count(*) / 250.0)" in q.oracle
