@@ -214,20 +214,21 @@ def minhash_lsh_pairs(
         # below materializes the signature table into executor-local
         # block storage and is NOT fault-tolerant — acceptable for an
         # interactive run over a corpus this machine can hold, wrong
-        # for a production-scale input.  Catalyst's planning-time size
-        # estimate (no job) decides; past the envelope the caller must
-        # hand in a persisted minhash_signature_table instead.
-        from python_mozetl_spark.session import plan_size_bytes
+        # for a production-scale input.  The source-file byte total
+        # (metadata-only, no job) decides; past the envelope the
+        # caller must hand in a persisted minhash_signature_table.
+        from python_mozetl_spark.session import source_file_bytes
 
-        est = plan_size_bytes(df.select(id_col, text_col))
-        # Long.MaxValue is Catalyst's "no statistics" sentinel (local
-        # relations, post-shuffle subtrees) — the gate only acts on a
-        # REAL estimate; the at-scale input it protects against is a
-        # file scan, which always carries one.
-        if est != (1 << 63) - 1 and est > one_shot_max_bytes:
+        est = source_file_bytes(df)
+        # None = no file-backed source (local relations, generated
+        # frames) — the gate only acts on a REAL measurement; the
+        # at-scale input it protects against is always a file scan.
+        # (Catalyst's post-shuffle size estimates are useless here:
+        # a spread()-repartitioned 500-row table estimates in the TB.)
+        if est is not None and est > one_shot_max_bytes:
             raise ValueError(
-                f"minhash_lsh_pairs one-shot path: input estimate "
-                f"{est} B exceeds one_shot_max_bytes="
+                f"minhash_lsh_pairs one-shot path: source files total "
+                f"{est} B, exceeding one_shot_max_bytes="
                 f"{one_shot_max_bytes} B.  The localCheckpoint-staged "
                 f"signature table is executor-local and not fault-"
                 f"tolerant at this size — compute "

@@ -7677,6 +7677,68 @@ def doc_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drained_stream_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    feed: DataFrame,
+    schema_ddl: str,
+    make_stream,
+    output_mode: str,
+    finalize,
+    timeout_sec: int = 300,
+) -> list:
+    """Shared harness for the ORACLE-GRADED streaming rows: write the
+    batch ``feed`` as several parquet files into a pid-scoped temp
+    root, stream them through ``make_stream`` one file per micro-batch
+    (availableNow => several real state folds), then hand the
+    memory-sink emission plus a batch re-read of the feed to
+    ``finalize``.  The finalized frame is MATERIALIZED here (each of
+    these audits is a few rows) and the temp root (src parquet +
+    checkpoint) removed in a finally, so repeated builds never
+    accumulate temp dirs and the returned rows never lazily read a
+    deleted path.  Every caller registers with ``side_effect=True`` so
+    plan-shape sweeps skip the real run."""
+    import shutil
+    import tempfile
+
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = _os.path.join(
+        tempfile.gettempdir(),
+        f"python_mozetl_spark_{tag}_{_os.getpid()}_{sf_tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    try:
+        # several source files => several micro-batches under
+        # maxFilesPerTrigger=1 — the cross-batch state fold is the point
+        feed.repartition(4).write.parquet(src)
+        # memory-sink table names are session-global: scope by tag+SF
+        # (dots stripped — table names reject '.')
+        mem_name = f"{tag}_{sf_tag}"
+        q = (
+            make_stream(
+                spark.readStream.schema(schema_ddl)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName(mem_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"{tag}: drain exceeded {timeout_sec}s")
+        return finalize(
+            spark.table(mem_name), spark.read.parquet(src)
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @query(
     "stream_mg_bound_audit",
     "The streaming Misra-Gries guarantee graded as an oracle row "
@@ -7709,64 +7771,32 @@ FROM s GROUP BY shard
     side_effect=True,
 )
 def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from python_mozetl_spark.streaming import mg_heavy_hitters_stream
 
     k, shards = 3, 4
     # skewed feed: two heavy values (click/view, ~20% each) + a ~50-
-    # value tail, so survival AND eviction both actually happen
-    feed = t(spark, sf_dir, "events").select(
-        F.when(
-            F.col("event_type").isin("click", "view"), F.col("event_type")
-        )
-        .otherwise(F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")))
-        .alias("value")
-    )
-    root = _os.path.join(
-        tempfile.gettempdir(),
-        f"python_mozetl_spark_mg_audit_{_os.getpid()}_"
-        f"{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    src, ckpt = f"{root}/src", f"{root}/ckpt"
-    # the audit result is 4 tiny rows — materialize it, then remove
-    # the pid-scoped temp root (src parquet + checkpoint) so repeated
-    # builds across processes do not accumulate temp dirs (the
-    # returned frame must not lazily read the deleted src)
-    try:
-        # several source files => several micro-batches under
-        # maxFilesPerTrigger=1 — the cross-batch state fold is the point.
-        # NULL feed values are excluded HERE so the operator, the truth
-        # replay, and the oracle all see the same domain (the operator
-        # drops NULLs internally, but concat_ws-based routing in the
-        # replay would otherwise hash a NULL as 'mgs' while the oracle's
-        # '||' propagates it to a NULL shard — a latent parity split)
-        feed.where(F.col("value").isNotNull()).repartition(4).write.parquet(src)
-        mem_name = (
-            f"mg_audit_{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-        )
-        q = (
-            mg_heavy_hitters_stream(
-                spark.readStream.schema("value string")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src),
-                "value",
-                k=k,
-                num_shards=shards,
+    # value tail, so survival AND eviction both actually happen.
+    # NULL feed values are excluded HERE so the operator, the truth
+    # replay, and the oracle all see the same domain (the operator
+    # drops NULLs internally, but concat_ws-based routing in the
+    # replay would otherwise hash a NULL as 'mgs' while the oracle's
+    # '||' propagates it to a NULL shard — a latent parity split)
+    feed = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.when(
+                F.col("event_type").isin("click", "view"),
+                F.col("event_type"),
             )
-            .writeStream.format("memory")
-            .queryName(mem_name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .otherwise(
+                F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string"))
+            )
+            .alias("value")
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream_mg_bound_audit: drain exceeded 300s")
-        emitted = spark.table(mem_name)
+        .where(F.col("value").isNotNull())
+    )
+
+    def finalize(emitted: DataFrame, src_df: DataFrame) -> DataFrame:
         # final emission per shard = the rows carrying that shard's max
         # n_shard (n_shard strictly grows every time a shard is touched)
         w = Window.partitionBy("shard")
@@ -7778,11 +7808,12 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # exact truth, replaying the operator's md5 shard routing
         truth = (
-            spark.read.parquet(src)
-            .select(
+            src_df.select(
                 "value",
                 (
-                    H.md5_int64(F.concat_ws("|", F.lit("mgs"), F.col("value")))
+                    H.md5_int64(
+                        F.concat_ws("|", F.lit("mgs"), F.col("value"))
+                    )
                     % shards
                 )
                 .cast("int")
@@ -7795,14 +7826,16 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("true_cnt").cast("bigint").alias("n_shard")
         )
         bound = F.col("n_shard") / (k + 1)
-        audited = (
+        return (
             truth.join(survivors, ["shard", "value"], "left")
             .join(n_shard, "shard")
             .groupBy("shard", "n_shard")
             .agg(
                 F.min(
-                    F.when(F.col("true_cnt") > bound,
-                           F.col("count_lb").isNotNull()).otherwise(F.lit(True))
+                    F.when(
+                        F.col("true_cnt") > bound,
+                        F.col("count_lb").isNotNull(),
+                    ).otherwise(F.lit(True))
                 ).alias("heavy_covered"),
                 F.min(
                     F.when(
@@ -7812,16 +7845,153 @@ def stream_mg_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).otherwise(F.lit(True))
                 ).alias("bounds_ok"),
             )
+            .select("shard", "n_shard", "heavy_covered", "bounds_ok")
         )
-        rows = audited.select(
-            "shard", "n_shard", "heavy_covered", "bounds_ok"
-        ).collect()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+
+    rows = _drained_stream_rows(
+        spark,
+        sf_dir,
+        "mg_audit",
+        feed,
+        "value string",
+        lambda src: mg_heavy_hitters_stream(
+            src, "value", k=k, num_shards=shards
+        ),
+        "update",
+        finalize,
+    )
     return spark.createDataFrame(
         rows,
         "shard int, n_shard bigint, heavy_covered boolean, bounds_ok boolean",
     )
+
+
+@query(
+    "stream_histogram_quantiles",
+    "The streaming log-bucket quantile sketch graded as an oracle row "
+    "(streaming/sketch.py:histogram_quantiles_stream): per-event-type "
+    "cents values stream through the applyInPandasWithState histogram "
+    "fold over several micro-batches; each key's FINAL emission "
+    "(n, p50, p90, p99) is taken.  Gradeable because the state is "
+    "pure-integer bucket sums — merge-ORDER-INVARIANT, unlike "
+    "t-digest/KLL — so the final read-out equals the batch sketch "
+    "over the whole feed, which the oracle rebuilds bucket by bucket "
+    "(same bit-length+shift bucket function as price_quantile_sketch, "
+    "subbits=5).",
+    ("§2.12", "streaming", "sketches"),
+    oracle="""
+WITH c AS (SELECT event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+b AS (SELECT event_type,
+    (cents >> greatest(0, length(printf('%b', cents)) - 6))
+      << greatest(0, length(printf('%b', cents)) - 6) AS bucket_lo
+  FROM c),
+h AS (SELECT event_type, bucket_lo, COUNT(*) AS cnt
+      FROM b GROUP BY 1, 2),
+cum AS (SELECT event_type, bucket_lo,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h),
+qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (SELECT event_type, qv.q, min(bucket_lo) AS est, min(n) AS n
+  FROM cum CROSS JOIN qv WHERE cum >= ceil(qv.q * n) GROUP BY 1, 2)
+SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+  CAST(max(CASE WHEN q = 0.5 THEN est END) AS BIGINT) AS p50,
+  CAST(max(CASE WHEN q = 0.9 THEN est END) AS BIGINT) AS p90,
+  CAST(max(CASE WHEN q = 0.99 THEN est END) AS BIGINT) AS p99
+FROM hit GROUP BY event_type
+""",
+    side_effect=True,
+)
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.streaming.sketch import histogram_quantiles_stream
+
+    feed = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+
+    def finalize(emitted: DataFrame, src_df: DataFrame) -> DataFrame:
+        # final emission per key = the row carrying the key's max n
+        # (n strictly grows every micro-batch the key appears in)
+        w = Window.partitionBy("event_type")
+        return (
+            emitted.withColumn("__mx", F.max("n").over(w))
+            .where(F.col("n") == F.col("__mx"))
+            .select(
+                "event_type",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("p50").cast("bigint").alias("p50"),
+                F.col("p90").cast("bigint").alias("p90"),
+                F.col("p99").cast("bigint").alias("p99"),
+            )
+        )
+
+    rows = _drained_stream_rows(
+        spark,
+        sf_dir,
+        "hist_stream",
+        feed,
+        "event_type string, cents bigint",
+        lambda src: histogram_quantiles_stream(
+            src, "event_type", "cents", qs=(0.5, 0.9, 0.99), subbits=5
+        ),
+        "update",
+        finalize,
+    )
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, p50 bigint, p90 bigint, p99 bigint"
+    )
+
+
+@query(
+    "stream_cm_counters",
+    "The streaming Count-Min sketch graded as an oracle row "
+    "(streaming/sketch.py:cm_sketch_stream): per-user event keys fan "
+    "out to their depth=4 md5-addressed counters and fold through a "
+    "NATIVE complete-mode streaming aggregation over several "
+    "micro-batches — no custom state, the state store does the merge. "
+    "Counters are exact integer sums (merge-order-invariant), so the "
+    "drained 64x4 counter table hash-matches the oracle that rebuilds "
+    "EVERY counter with the same addressing (the batch cm_user_counts "
+    "oracle's sk CTE, promoted to the whole table).",
+    ("§2.12", "streaming", "sketches"),
+    oracle="""
+WITH f AS (
+  SELECT d,
+    ('0x' || substr(md5('cm' || d || '|' || CAST(user_id AS VARCHAR)), 1, 15)
+    )::BIGINT % 64 AS bucket
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
+SELECT CAST(d AS INT) AS d, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM f GROUP BY 1, 2
+""",
+    side_effect=True,
+)
+def stream_cm_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.streaming.sketch import cm_sketch_stream
+
+    feed = t(spark, sf_dir, "events").select("user_id")
+
+    def finalize(emitted: DataFrame, src_df: DataFrame) -> DataFrame:
+        # complete-mode memory sink: the table IS the final counter
+        # state after the drain — nothing to dedup
+        return emitted.select(
+            F.col("d").cast("int").alias("d"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+
+    rows = _drained_stream_rows(
+        spark,
+        sf_dir,
+        "cm_stream",
+        feed,
+        "user_id bigint",
+        lambda src: cm_sketch_stream(src, "user_id", width=64, depth=4),
+        "complete",
+        finalize,
+    )
+    return spark.createDataFrame(rows, "d int, bucket bigint, cnt bigint")
 
 
 @query(
@@ -7938,105 +8108,100 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the current window is STALE-FROM-A-PRIOR-COMMIT evidence, not a
 # current-code grade (see COVERAGE.md "Driver grading window").
 #
-# Rotation policy (round 8): front (a) queries ADDED this round
-# (never driver-graded: doc_domain_quota, stream_mg_bound_audit),
-# (b) queries whose IMPLEMENTATION changed this round — their old rows
-# no longer describe current code (doc_tfidf_cosine_pairs: prefix
-# bound widened to cover the rounding half-ulp; embedding_mmr_select:
-# id type derived from the input schema; customer_rfm_segments /
-# customer_revenue_deciles: quantile_bin NULL-bin guard) — then
-# (c) 40 of the 42-query r04-graded backlog (VERDICT r07 task 1
-# aimed at "no driver row older than round 5"; two r4 entries —
-# status_cube, priority_grouping_sets — were displaced by this
-# round's doc_span_cut / event_value_mannwhitney additions, adds
-# ranking first in the rotation policy, so those two keep r4 rows
-# plus this round's full-check evidence and LEAD the R09 queue),
-# then (d) the late impl-changed Lloyd-staging re-grades.
-# R09 QUEUE (all hold green rows + r08 full-check rows): status_cube
-# and priority_grouping_sets (r4 rows, displaced by doc_span_cut and
-# event_value_mannwhitney — adds-first), then the
-# remaining r05-graded displacements — price_quantile_sketch,
-# session_attribution_rollup, orders_incremental_state,
-# doc_dup_span_coverage, priority_status_chi2, orders_neyman_sample,
-# bloom_pruned_revenue, embedding_kcenter_coreset,
-# priority_conversion_ci, doc_negative_samples, bm25_search_docs,
-# bpe_merge_candidates, embedding_lloyd_clusters — then the rest of
-# the r05 cohort: search_engine_rollup, addon_aggregates_rollup,
-# addon_coinstall_graph, weekly_trend_merge, hardware_dimension_report,
-# profile_export_json, taar_locale_topn, graphics_device_shares,
-# missing_symbols_report, csv_dim_weighted_orders,
-# parquet_sink_roundtrip, doc_cross_decontaminate,
-# price_winsorized_revenue, event_gap_quantiles, doc_length_auc,
-# clients_daily_rollup, experiments_daily_rollup, token_pmi_pairs,
-# event_transition_probs, user_trailing_7d_value, orders_quality_report,
-# event_type_user_overlap, part_zorder_keys, event_type_daily_trend,
-# doc_ngram_jaccard_pairs, embedding_bucket_topk, embedding_near_dup,
-# embedding_topk.
-# Remaining r06/r07-graded: current evidence, roll forward.
+# Rotation policy (round 9): front (a) queries ADDED this round
+# (never driver-graded: the two new oracle-graded streaming rows),
+# (b) queries whose IMPLEMENTATION or ORACLE changed this round — the
+# old rows no longer describe current code
+# (embedding_semantic_dedup_hi: re-graded in the scale-safe auto-k
+# form; stream_mg_bound_audit: materialize+temp-cleanup refactor onto
+# _drained_stream_rows; doc_span_cut / doc_dup_span_coverage:
+# NULL-text coalesce in the shared gram helper + oracles;
+# event_value_mannwhitney: sigma2>0 oracle guard;
+# doc_minhash_pairs / doc_dup_components: one-shot size gate in
+# minhash_lsh_pairs, and minhash was the r8 perf-weak flag — fresh
+# rows are cheap insurance), then (c) the r05-graded backlog in the
+# order the r8 comment pinned: the two r4 displacements
+# (status_cube, priority_grouping_sets), the r05 displacement heads,
+# and the rest of the r05 cohort.  embedding_lloyd_clusters from the
+# pinned queue already holds a current r8 row and yields its slot.
+# R10 QUEUE (after this round the stalest rows are EXACTLY the
+# 43-query r06 cohort; all hold green r6 rows + r08/r09 full-check
+# rows):
+# asof_click_before_purchase, brand_collapse, cm_user_counts,
+# csv_export_roundtrip, customer_order_counts, customer_year_sets,
+# distinct_user_event_types, doc_clean_corpus, doc_exact_dedup,
+# doc_minhash_estimates, doc_pretrain_corpus, doc_simhash,
+# doc_simhash_pairs, doc_weighted_sample, foreach_sink_roundtrip,
+# json_sink_roundtrip, label_centroids, mod_sampled_agg,
+# multi_distinct, multimodal_audio_stats, nation_suppliers,
+# orders_bernoulli_sample, orders_snapshot_diff,
+# orders_upsert_merge, part_name_links, price_psi_drift,
+# priority_loo_encoding, priority_week_over_week,
+# schema_drift_rollup, segment_share, sessionized_events,
+# sliding_event_rollup, sql_surface_lateral, status_conditional_agg,
+# stratified_mod_sample, summary_stats, token_cooccurrence,
+# token_positions, top_orders_per_customer, top_part_types,
+# union_high_value, user_event_enrich, user_first_last
+# — 43 queries: 7 fit behind next round's adds/impl-changes in a
+# 50-slot window only if the round adds few queries; split across
+# r10/r11 as needed, adds-first as always.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
-    # (a) added in round 8 (never driver-graded => MUST hold a slot,
-    # pinned by tests/test_entry.py).  doc_span_cut's slot displaces
-    # status_cube from the r04 backlog (adds-first per the rotation
-    # policy; status_cube keeps its green r4 row + this round's
-    # full-check row and leads the R09 queue with the r05 heads)
-    "doc_domain_quota",
+    # (a) added in round 9 (never driver-graded => MUST hold a slot,
+    # pinned by tests/test_entry.py)
+    "stream_histogram_quantiles",
+    "stream_cm_counters",
+    # (b) impl/oracle changed round 9
+    "embedding_semantic_dedup_hi",
     "stream_mg_bound_audit",
     "doc_span_cut",
+    "doc_dup_span_coverage",
     "event_value_mannwhitney",
-    # (b) impl changed round 8
-    "doc_tfidf_cosine_pairs",
-    "embedding_mmr_select",
-    "customer_rfm_segments",
-    "customer_revenue_deciles",
-    # (c) backlog: every remaining r04-graded query (the stalest rows)
-    "bigram_lm_top",
-    "customer_status_scd2",
-    "customer_value_ranks",
-    "daily_new_users",
-    "doc_bpe_token_stats",
-    "doc_decontaminate",
-    "doc_length_batches",
-    "doc_overlap_chunks",
-    "doc_pack_chunks",
-    "doc_repetition_filter",
-    "doc_shuffle_shards",
-    "doc_source_mix",
-    "doc_split_assign",
-    "doc_stratified_exact_sample",
-    "doc_tfidf_keywords",
-    "doc_token_entropy",
-    "doc_unigram_logprob",
-    "embedding_ivf_topk",
-    "embedding_quantized_topk",
-    "event_funnel",
-    "event_multi_rollup",
-    "event_pii_scrub",
-    "event_value_anomalies",
-    "json_ping_rollup",
-    "kmv_distinct_users",
-    "multimodal_frame_sample",
-    "order_burst_interval_join",
-    "phrase_search_docs",
-    "price_outlier_stats",
-    "pricing_summary",
-    "quantity_percentiles",
-    "salted_segment_order_stats",
-    "source_length_corr",
-    "taar_donor_scores",
-    "taar_lr_curves",
-    "token_inverted_index",
-    "token_pagerank",
-    "user_daily_gapfill",
-    "vocab_heavy_hitters",
-    "weekly_retention_cohorts",
-    # (d) impl changed late round 8 (Lloyd vector-frame staging —
-    # §6b: one source scan instead of one per consumer); the two
-    # displaced r05 heads (price_quantile_sketch,
-    # session_attribution_rollup) lead the R09 queue
-    "embedding_semantic_dedup",
-    "embedding_lloyd_clusters",
+    "doc_minhash_pairs",
+    "doc_dup_components",
+    # (c) backlog: the r05-graded cohort (stalest remaining rows)
+    "status_cube",
+    "priority_grouping_sets",
+    "price_quantile_sketch",
+    "session_attribution_rollup",
+    "orders_incremental_state",
+    "priority_status_chi2",
+    "orders_neyman_sample",
+    "bloom_pruned_revenue",
+    "embedding_kcenter_coreset",
+    "priority_conversion_ci",
+    "doc_negative_samples",
+    "bm25_search_docs",
+    "bpe_merge_candidates",
+    "search_engine_rollup",
+    "addon_aggregates_rollup",
+    "addon_coinstall_graph",
+    "weekly_trend_merge",
+    "hardware_dimension_report",
+    "profile_export_json",
+    "taar_locale_topn",
+    "graphics_device_shares",
+    "missing_symbols_report",
+    "csv_dim_weighted_orders",
+    "parquet_sink_roundtrip",
+    "doc_cross_decontaminate",
+    "price_winsorized_revenue",
+    "event_gap_quantiles",
+    "doc_length_auc",
+    "clients_daily_rollup",
+    "experiments_daily_rollup",
+    "token_pmi_pairs",
+    "event_transition_probs",
+    "user_trailing_7d_value",
+    "orders_quality_report",
+    "event_type_user_overlap",
+    "part_zorder_keys",
+    "event_type_daily_trend",
+    "doc_ngram_jaccard_pairs",
+    "embedding_bucket_topk",
+    "embedding_near_dup",
+    "embedding_topk",
 ]
 
 

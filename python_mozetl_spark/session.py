@@ -162,6 +162,30 @@ def plan_size_bytes(df) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
+def source_file_bytes(df) -> int | None:
+    """Total on-disk size of the DataFrame's source files, or None when
+    the frame has no file-backed source (local relations, generated
+    data).  The robust size signal for envelope gates: Catalyst's
+    ``sizeInBytes`` turns into a default-row-size guess (or the
+    Long.MaxValue sentinel) as soon as a repartition/shuffle sits
+    between the gate and the scan, while the source file listing —
+    already computed for planning — is exact whatever the plan shape.
+    Metadata-only (one FileStatus per file via the Hadoop FS); no job
+    runs.  Ignores partition pruning, so it over-counts for heavily
+    filtered frames — the right direction for a safety gate."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        total += path.getFileSystem(conf).getFileStatus(path).getLen()
+    return total
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine defaults to an existing session.
 

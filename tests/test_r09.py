@@ -149,7 +149,11 @@ def test_side_effect_queries_flagged():
     from python_mozetl_spark.plans.queries import REGISTRY
 
     flagged = {n for n, q in REGISTRY.items() if q.side_effect}
-    assert "stream_mg_bound_audit" in flagged
+    assert {
+        "stream_mg_bound_audit",
+        "stream_histogram_quantiles",
+        "stream_cm_counters",
+    } <= flagged
     # every side-effect query is a streaming-run query by construction
     for n in flagged:
         assert n.startswith("stream_")
@@ -194,9 +198,9 @@ def _minhash_docs(spark):
 def test_minhash_one_shot_gate_raises(spark, tmp_path):
     from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
 
-    # the gate consults Catalyst's scan-based size estimate, so the
-    # oversized input must be a file scan (in-memory relations carry
-    # the no-statistics sentinel and pass through ungated)
+    # the gate measures source-file bytes, so the oversized input
+    # must be a file scan (in-memory relations have no files and pass
+    # through ungated)
     path = str(tmp_path / "docs.parquet")
     _minhash_docs(spark).write.parquet(path)
     df = spark.read.parquet(path)
