@@ -242,17 +242,22 @@ def rrf_fuse(
     return out.limit(topk) if topk else out
 
 
-def tfidf_cosine_pairs(
+def _tfidf_prefix_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.9,
-    *,
-    broadcast_df_table: bool = True,
-    stage: bool = True,
-    precision: int = 6,
-) -> DataFrame:
-    """All document pairs with TF-IDF **weighted cosine** similarity ≥
+    threshold: float,
+    broadcast_df_table: bool,
+    stage: bool,
+    precision: int,
+):
+    """Shared head of :func:`tfidf_cosine_pairs` and
+    :func:`tfidf_candidate_stats`: the staged unit-weight postings
+    table and the 100%-recall prefix-filter candidate pair frame —
+    one definition keeps the measured observable (candidate counts)
+    structurally identical to what the pair query actually joins.
+
+    The pair semantics: all document pairs with TF-IDF **weighted cosine** similarity ≥
     ``threshold`` — the weighted all-pairs similarity-search problem
     (Bayardo, Ma & Srikant, WWW'07), the cosine complement of the
     unweighted-Jaccard :func:`ext.dedup.ngram_jaccard_pairs`.
@@ -264,12 +269,14 @@ def tfidf_cosine_pairs(
     global rarest-first term order (df ASC, term): with unit vectors,
     if every shared term of a pair lies in the region of ``a`` where
     the remaining suffix norm is < t, then by Cauchy-Schwarz
-    ``dot ≤ ||a_suffix|| · ||b|| < t`` — so any qualifying pair shares
-    a term inside ``a``'s PREFIX (the minimal head whose exclusive
-    squared-mass cumsum ≤ 1 - t², plus a 1e-9 float-slack).  Joining
-    prefix postings against FULL postings with ``id_a < id_b``
-    therefore misses nothing; an exact per-term dot-product join
-    verifies candidates, and the output equals brute force.
+    ``dot ≤ ||a_suffix|| · ||b|| < t`` — so the globally-smallest
+    shared term of any qualifying pair lies inside ``a``'s PREFIX (the
+    minimal head whose exclusive squared-mass cumsum ≤ 1 - t², plus a
+    1e-9 float-slack), and by symmetry inside ``b``'s prefix too
+    (prefixes are heads of one global order).  Joining prefix postings
+    against PREFIX postings with ``id_a < id_b`` therefore misses
+    nothing; an exact per-term dot-product join verifies candidates,
+    and the output equals brute force.
 
     Plan shape, sized for 100 TB: one tokenize explode → (id, term)
     hash agg; an O(vocab) term-df agg (broadcast back when
@@ -345,10 +352,25 @@ def tfidf_cosine_pairs(
     prefix = postings.where(
         F.col("__cum_excl") <= F.lit(1.0 - t_eff * t_eff + 1e-9)
     )
+    # prefix x PREFIX join, not prefix x full postings — still 100%
+    # recall: for any pair with dot >= t, take the globally-SMALLEST
+    # shared term s*.  If s* fell outside a's prefix, every shared
+    # term would sit in a's suffix and dot <= ||a_suffix||*||b|| < t
+    # (Cauchy-Schwarz); symmetrically for b — so s* lies in BOTH
+    # prefixes (prefixes are heads of the same global order).  Common
+    # terms (long postings) now sit outside the join on BOTH sides,
+    # where the one-sided form paid |prefix posting| x |full posting|
+    # on every mid-df term.  Measured on the Heaps x10 fixture
+    # (SCALE_CURVE r09): candidates 5.49M -> 4.09M and x10/x1 wall
+    # ratio 6.8 -> 4.5; the candidate GROWTH exponent (~N^1.26 on a
+    # Heaps/Zipf df distribution, tracked per round via
+    # tfidf_candidate_stats) comes from prefix-term posting lengths
+    # themselves and would need PPJoin-style positional/length
+    # filters to reduce further.
     cand = (
         prefix.alias("a")
         .join(
-            postings.alias("b"),
+            prefix.alias("b"),
             (F.col("a.__tok") == F.col("b.__tok"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
@@ -356,6 +378,27 @@ def tfidf_cosine_pairs(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return postings, cand
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    *,
+    broadcast_df_table: bool = True,
+    stage: bool = True,
+    precision: int = 6,
+) -> DataFrame:
+    """All document pairs with TF-IDF weighted cosine similarity >=
+    ``threshold`` (Bayardo, Ma & Srikant, WWW'07) — candidate
+    construction and its recall argument in
+    :func:`_tfidf_prefix_candidates`; an exact per-term dot-product
+    join verifies candidates, so the output equals brute force."""
+    postings, cand = _tfidf_prefix_candidates(
+        df, id_col, text_col, threshold, broadcast_df_table, stage, precision
     )
     ua = postings.select(
         F.col("__id").alias("id_a"), "__tok", F.col("__u").alias("__ua")
@@ -370,3 +413,31 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("__ua") * F.col("__ub")), precision).alias("cosine"))
     )
     return dots.where(F.col("cosine") >= threshold)
+
+
+def tfidf_candidate_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    *,
+    broadcast_df_table: bool = True,
+    stage: bool = True,
+    precision: int = 6,
+) -> DataFrame:
+    """1-row observable over the prefix-filter candidate stage:
+    ``(n_docs, n_candidates)``.  The scale diagnostic for the
+    steepest curve in the dedup family (SCALE_CURVE r08: wall-time
+    x10 ratio 6.01): candidate volume is the quantity that decides
+    whether the operator bends quadratic on a given df distribution —
+    wall time only shows the symptom.  Counts the EXACT frame
+    :func:`tfidf_cosine_pairs` verifies (shared construction), at the
+    cost of the candidate join only — the verify joins never run."""
+    postings, cand = _tfidf_prefix_candidates(
+        df, id_col, text_col, threshold, broadcast_df_table, stage, precision
+    )
+    n_docs = postings.select("__id").distinct().count()
+    return cand.groupBy().agg(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )

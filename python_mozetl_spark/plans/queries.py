@@ -8119,14 +8119,16 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event_value_mannwhitney: sigma2>0 oracle guard;
 # doc_minhash_pairs / doc_dup_components: one-shot size gate in
 # minhash_lsh_pairs, and minhash was the r8 perf-weak flag — fresh
-# rows are cheap insurance), then (c) the r05-graded backlog in the
+# rows are cheap insurance; doc_tfidf_cosine_pairs: prefix x PREFIX
+# candidate join, displacing embedding_topk — r05 row + full-check —
+# to the R10 queue head), then (c) the r05-graded backlog in the
 # order the r8 comment pinned: the two r4 displacements
 # (status_cube, priority_grouping_sets), the r05 displacement heads,
 # and the rest of the r05 cohort.  embedding_lloyd_clusters from the
 # pinned queue already holds a current r8 row and yields its slot.
-# R10 QUEUE (after this round the stalest rows are EXACTLY the
-# 43-query r06 cohort; all hold green r6 rows + r08/r09 full-check
-# rows):
+# R10 QUEUE: first embedding_topk (r05 row, displaced above), then
+# the stalest rows — EXACTLY the 43-query r06 cohort (all hold green
+# r6 rows + r08/r09 full-check rows):
 # asof_click_before_purchase, brand_collapse, cm_user_counts,
 # csv_export_roundtrip, customer_order_counts, customer_year_sets,
 # distinct_user_event_types, doc_clean_corpus, doc_exact_dedup,
@@ -8160,6 +8162,7 @@ _DRIVER_WINDOW = [
     "event_value_mannwhitney",
     "doc_minhash_pairs",
     "doc_dup_components",
+    "doc_tfidf_cosine_pairs",
     # (c) backlog: the r05-graded cohort (stalest remaining rows)
     "status_cube",
     "priority_grouping_sets",
@@ -8201,7 +8204,6 @@ _DRIVER_WINDOW = [
     "doc_ngram_jaccard_pairs",
     "embedding_bucket_topk",
     "embedding_near_dup",
-    "embedding_topk",
 ]
 
 

@@ -406,3 +406,34 @@ def test_semantic_dedup_hi_registry_row_is_auto_k():
     q = REGISTRY["embedding_semantic_dedup_hi"]
     assert "kk AS" in q.oracle  # k derived from COUNT, not a literal
     assert "ceil(count(*) / 250.0)" in q.oracle
+
+
+# ----------------------------------------------------------------------
+# Task 4: the tfidf candidate-volume observable shares the pair
+# query's candidate construction, and prefix x prefix loses nothing.
+# ----------------------------------------------------------------------
+
+def test_tfidf_candidate_stats_bounds_output(spark):
+    from python_mozetl_spark.ext.search import (
+        tfidf_candidate_stats,
+        tfidf_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma epsilon"),
+            (4, "zeta eta theta iota"),
+            (5, "completely different words here"),
+        ],
+        "doc_id int, text string",
+    )
+    stats = tfidf_candidate_stats(df, "doc_id", "text", threshold=0.8).collect()[0]
+    pairs = tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert stats["n_docs"] == 5
+    # candidates are a superset of emitted pairs (100% recall) and a
+    # subset of all pairs (the filter prunes something on this corpus)
+    assert len(pairs) <= stats["n_candidates"] <= 10
+    # the exact duplicate pair must be found
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)

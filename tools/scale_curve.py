@@ -8,16 +8,29 @@ reports median-of-3 wall time plus the x10/x1 growth ratio.  A ratio
 near 10 is linear; near 100 is quadratic — the table lands in
 BASELINE.md "Scale-decade evidence" and SCALE.md cites it.
 
-Two SemDeDup rows on purpose: the graded ``embedding_semantic_dedup_hi``
-pins k=8 (a grading configuration — fixed k means cluster size grows
-with the corpus and within-cluster pair fanout grows quadratically),
-while ``semantic_dedup_auto`` is the enforced scale path
-(k = ceil(n / target_cluster_size), bounded per-cluster fanout).  The
-pair of rows is the measured argument for the auto-k rule.
+Two SemDeDup rows on purpose: ``semantic_dedup_auto`` is the enforced
+scale path (k = ceil(n / target_cluster_size), bounded per-cluster
+fanout) — since round 9 also exactly the graded
+``embedding_semantic_dedup_hi`` configuration — while
+``semantic_dedup_fixed_k8`` is the retired fixed-k grading shape kept
+as the measured CONTRAST row (fixed k means cluster size grows with
+the corpus and within-cluster pair fanout grows quadratically; it
+OOMs at x10).  The pair of rows is the measured argument for the
+auto-k rule.
 
-Also runs the isolated doc_winnow_copy_pairs microbench at sf0.1
-(median of 5) — the per-round regression signal BASELINE.md pins
-instead of the full-bench single reading (VERDICT r07 task 8).
+For ``doc_tfidf_cosine_pairs`` — the steepest wall-time curve in the
+family (x10 ratio 6.01 in r08) — the sweep also measures the
+CANDIDATE-PAIR count at both scales (ext/search.py:
+tfidf_candidate_stats, the exact frame the verify joins consume):
+wall time shows the symptom, candidate growth is the quantity that
+decides whether the prefix filter is bending quadratic on this df
+distribution.
+
+Also runs the isolated doc_winnow_copy_pairs AND doc_minhash_pairs
+microbenches at sf0.1 (median of 5) — the per-round regression
+signals BASELINE.md pins instead of full-bench single readings
+(VERDICT r07 task 8; r08 task 1 added minhash after its 2x artifact
+breach).
 
 Usage: ``python tools/scale_curve.py`` — prints one JSON line.
 """
@@ -45,6 +58,18 @@ def _semantic_dedup_auto(spark, sf_dir):
     )
 
 
+def _semantic_dedup_fixed_k8(spark, sf_dir):
+    # the retired fixed-k grading configuration (pre-r9
+    # embedding_semantic_dedup_hi), kept as the OOM contrast row
+    from python_mozetl_spark.ext.similarity import semantic_dedup
+    from python_mozetl_spark.plans.queries import t
+
+    e = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", k=8, iters=2, threshold=0.95
+    )
+
+
 def main() -> None:
     from python_mozetl_spark.plans.queries import REGISTRY
     from python_mozetl_spark.session import get_session
@@ -55,6 +80,8 @@ def main() -> None:
     def build(name, sf_dir):
         if name == "semantic_dedup_auto":
             return _semantic_dedup_auto(spark, sf_dir)
+        if name == "semantic_dedup_fixed_k8":
+            return _semantic_dedup_fixed_k8(spark, sf_dir)
         return REGISTRY[name].build(spark, sf_dir)
 
     def timed(name: str, sf_dir: str, reps: int) -> tuple[float, int]:
@@ -75,8 +102,10 @@ def main() -> None:
         "doc_minhash_pairs",
         "doc_tfidf_cosine_pairs",
         "doc_dup_components",
+        "doc_span_cut",
+        "doc_domain_quota",
         "semantic_dedup_auto",
-        "embedding_semantic_dedup_hi",
+        "semantic_dedup_fixed_k8",
     ]
     # measured once and pinned: fixed-k SemDeDup (the k=8 grading
     # configuration) OOMs the 128 GiB local box at x10 — 20k vectors /
@@ -87,10 +116,11 @@ def main() -> None:
     # ceil(n/250), measures ~2.7x for 10x data).  Skipped here so the
     # sweep doesn't spend 13 minutes re-deriving the OOM each run.
     skip_x10 = {
-        "embedding_semantic_dedup_hi":
+        "semantic_dedup_fixed_k8":
             "OOM (java heap) — fixed k=8 quadratic within-cluster "
             "fanout; the enforced scale path is auto-k "
-            "(semantic_dedup_auto row)",
+            "(semantic_dedup_auto row, = the graded "
+            "embedding_semantic_dedup_hi since round 9)",
     }
     out: dict[str, dict] = {}
     for name in queries:
@@ -125,11 +155,31 @@ def main() -> None:
         print(f"# {name}: {t1}s -> {t10}s  ratio {out[name]['ratio']}  "
               f"rows {r1} -> {r10}", file=sys.stderr, flush=True)
 
-    # isolated winnow microbench at driver sf0.1 (median of 5)
+    # tfidf candidate-volume observable at both scales
+    from python_mozetl_spark.plans.queries import t as _t
+    from python_mozetl_spark.ext.search import tfidf_candidate_stats
+
+    cand = {}
+    for tag in ("x1", "x10"):
+        d = _t(spark, os.path.join(ROOT, "scalefix", tag), "documents")
+        row = tfidf_candidate_stats(d, "doc_id", "text", threshold=0.9).collect()[0]
+        cand[tag] = {"n_docs": row["n_docs"],
+                     "n_candidates": row["n_candidates"]}
+        print(f"# tfidf candidates {tag}: {cand[tag]}",
+              file=sys.stderr, flush=True)
+    cand["ratio"] = round(
+        cand["x10"]["n_candidates"] / max(cand["x1"]["n_candidates"], 1), 2
+    )
+
+    # isolated winnow + minhash microbenches at driver sf0.1
+    # (median of 5) — the per-round regression pins
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     wt, _ = timed("doc_winnow_copy_pairs", sf01, 5)
+    mt, _ = timed("doc_minhash_pairs", sf01, 5)
     print(json.dumps({"scale_curve": out,
-                      "winnow_isolated_sf0.1_sec": wt}))
+                      "tfidf_candidates": cand,
+                      "winnow_isolated_sf0.1_sec": wt,
+                      "minhash_isolated_sf0.1_sec": mt}))
     spark.stop()
 
 
