@@ -186,8 +186,15 @@ def hardware_report(input_path, output_path, date, master, dimensions,
 @_common
 @click.option("--thread-filter", default="Gecko")
 @click.option("--sample-fraction", default=0.5, type=float)
+@click.option("--profile-output", default=None,
+              help="also assemble the interned Gecko hang profile "
+                   "(jobs/bhr_profile.py) and write it as JSON here")
+@click.option("--symbols-json", default=None,
+              help="optional {module: symbol} map for the profile")
+@click.option("--split-threads", is_flag=True, default=False)
 def bhr_collection(input_path, output_path, date, master, thread_filter,
-                   sample_fraction):
+                   sample_fraction, profile_output, symbols_json,
+                   split_threads):
     from python_mozetl_spark.jobs.bhr import run_bhr_collection
 
     spark = get_session(app_name="bhr_collection", master=master)
@@ -197,6 +204,21 @@ def bhr_collection(input_path, output_path, date, master, thread_filter,
         sample_fraction=sample_fraction,
     )
     write_partitioned_parquet(out, output_path)
+    if profile_output:
+        from python_mozetl_spark.jobs.bhr_profile import (
+            assemble_hang_profile,
+            profile_rows_from_aggregates,
+        )
+        from python_mozetl_spark.sources.side_input import side_input_from_json
+
+        sym = side_input_from_json(symbols_json) if symbols_json else None
+        profile = assemble_hang_profile(
+            profile_rows_from_aggregates(
+                spark.read.parquet(output_path), symbol_map=sym
+            ),
+            split_threads=split_threads,
+        )
+        write_json_artifact(profile, f"{profile_output}/hangs_main.json")
 
 
 @entry_point.command("graphics_dashboard")

@@ -8,9 +8,11 @@ leftOuterJoin (:839-886 — the file's own DF rewrite of its RDD
 version) is a plain left join on the exploded distinct module set.
 
 The sequential Gecko-profile assembly (UniqueKeyedTable interning,
-:43-185) is driver-side format conversion and stays out of the engine
-per SURVEY §7.3 — it consumes the SMALL aggregated frame this module
-produces, never raw pings.
+:43-185) is driver-side format conversion — it consumes the SMALL
+aggregated frame this module produces, never raw pings.  Since round
+9 it is implemented in ``jobs/bhr_profile.py`` (a fresh dictionary
+encoder rendering the same struct-of-arrays document), closing the
+last declared reference-logic gap.
 
 Default bounds mirror the reference: hang duration ∈ [128, 65536) ms,
 stack length 1..299 (:632-637, 772-775).

@@ -437,3 +437,126 @@ def test_tfidf_candidate_stats_bounds_output(spark):
     assert len(pairs) <= stats["n_candidates"] <= 10
     # the exact duplicate pair must be found
     assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+
+
+# ----------------------------------------------------------------------
+# BHR hang-profile assembly (jobs/bhr_profile.py): the last declared
+# reference-logic gap — interned struct-of-arrays output, prune
+# collapse, per-date accumulation — closed and pinned.
+# ----------------------------------------------------------------------
+
+def _hang_rows():
+    hot = [("main", "xul.pdb"), ("paint", "xul.pdb")]
+    cold = [("main", "xul.pdb"), ("rare_leaf", "ntdll.pdb")]
+    return [
+        {"thread": "Gecko", "build_date": "20240115", "platform": "Windows",
+         "stack": hot, "hang_ms": 990.0, "hang_count": 9.0},
+        {"thread": "Gecko", "build_date": "20240116", "platform": "Windows",
+         "stack": hot, "hang_ms": 500.0, "hang_count": 4.0},
+        {"thread": "Gecko", "build_date": "20240115", "platform": "Windows",
+         "stack": cold, "hang_ms": 5.0, "hang_count": 1.0},
+        {"thread": "Gecko_Child", "build_date": "20240115", "platform": "Windows",
+         "stack": hot, "hang_ms": 100.0, "hang_count": 1.0},
+        {"thread": "Gecko", "build_date": "20240115", "platform": "Windows",
+         "stack": hot, "hang_ms": 0.0, "hang_count": 1.0},  # dropped
+    ]
+
+
+def _walk_stack(thread, stack_id):
+    """Reconstruct (func, lib) pairs root-first from the rendered
+    prefix-chain tables."""
+    st, ft, sa = thread["stackTable"], thread["funcTable"], thread["stringArray"]
+    out = []
+    while stack_id not in (None, 0):
+        func = ft["name"][st["func"][stack_id]]
+        lib_id = ft["lib"][st["func"][stack_id]]
+        lib = None if lib_id is None else thread["libs"][lib_id]["debugName"]
+        out.append((sa[func], lib))
+        stack_id = st["prefix"][stack_id]
+    return out[::-1]
+
+
+def test_bhr_profile_interning_roundtrip():
+    from python_mozetl_spark.jobs.bhr_profile import assemble_hang_profile
+
+    prof = assemble_hang_profile(
+        _hang_rows(), usage_hours_by_date={"20240115": 12.5}, uuid="u-1"
+    )
+    assert prof["usageHoursByDate"] == {"20240115": 12.5}
+    assert prof["uuid"] == "u-1"
+    threads = {t["name"]: t for t in prof["threads"]}
+    assert set(threads) == {"Gecko", "Gecko_Child"}
+    assert threads["Gecko"]["processType"] == "default"
+    assert threads["Gecko_Child"]["processType"] == "tab"
+
+    g = threads["Gecko"]
+    # struct-of-arrays contract
+    for tbl in ("funcTable", "stackTable", "annotationsTable", "sampleTable"):
+        assert g[tbl]["length"] == len(next(iter(
+            v for k, v in g[tbl].items() if k != "length"
+        )))
+    # the hot stack reconstructs exactly; the cold subtree collapsed
+    # to "(other)" under its hot parent (5/1495 < 1% of root)
+    stacks = {
+        tuple(_walk_stack(g, g["sampleTable"]["stack"][i]))
+        for i in range(g["sampleTable"]["length"])
+    }
+    assert (("main", "xul.pdb"), ("paint", "xul.pdb")) in stacks
+    assert (("main", "xul.pdb"), ("(other)", "ntdll.pdb")) in stacks
+    assert not any("rare_leaf" in str(s) for s in stacks)
+    # per-date accumulation: two dates for the hot sample
+    dates = {d["date"]: d for d in g["dates"]}
+    assert set(dates) == {"20240115", "20240116"}
+    hot_i = g["sampleTable"]["stack"].index(
+        next(iter(
+            i for i in range(g["stackTable"]["length"])
+            if tuple(_walk_stack(g, i)) == (("main", "xul.pdb"), ("paint", "xul.pdb"))
+        ))
+    )
+    assert dates["20240115"]["sampleHangMs"][hot_i] == 990.0
+    assert dates["20240115"]["sampleHangCount"][hot_i] == 9.0
+    assert dates["20240116"]["sampleHangMs"][hot_i] == 500.0
+    # every string interned exactly once
+    assert len(set(g["stringArray"])) == len(g["stringArray"])
+
+
+def test_bhr_profile_minimal_and_split_modes():
+    from python_mozetl_spark.jobs.bhr_profile import assemble_hang_profile
+
+    split = assemble_hang_profile(_hang_rows(), split_threads=True)
+    assert isinstance(split, list)
+    assert {p["name"] for p in split} == {"Gecko", "Gecko_Child"}
+    assert all(len(p["threads"]) == 1 for p in split)
+
+    minimal = assemble_hang_profile(_hang_rows(), minimal_sample_table=True)
+    threads = {t["name"]: t for t in minimal["threads"]}
+    g = threads["Gecko"]
+    assert set(g["sampleTable"]) == {"stack", "platform", "length"}
+    # minimal mode emits the REAL platform column (reference renderer
+    # mislabels runnable indices as platform — documented divergence)
+    assert all(
+        g["stringArray"][sid] == "Windows" for sid in g["sampleTable"]["platform"]
+    )
+    assert all("sampleHangMs" not in d for d in g["dates"])
+    # Gecko_Child samples skipped in minimal mode
+    assert threads["Gecko_Child"]["sampleTable"]["length"] == 0
+
+
+def test_bhr_profile_from_spark_aggregates(spark):
+    from python_mozetl_spark.jobs.bhr import run_bhr_collection
+    from python_mozetl_spark.jobs.bhr_profile import (
+        assemble_hang_profile,
+        profile_rows_from_aggregates,
+    )
+    from tests.test_jobs3 import _pings
+
+    agg = run_bhr_collection(_pings(spark), sample_fraction=1.0)
+    rows = profile_rows_from_aggregates(
+        agg, symbol_map={"xul.pdb\\ABC": "XulMain"}
+    )
+    prof = assemble_hang_profile(rows, uuid="e2e")
+    g = next(t for t in prof["threads"] if t["name"] == "Gecko")
+    assert "XulMain" in g["stringArray"]       # symbolicated frame
+    assert "0x20" in g["stringArray"]          # unsymbolicated offset
+    assert any(lib["debugName"] == "xul.pdb" for lib in g["libs"])
+    assert g["sampleTable"]["length"] >= 2
