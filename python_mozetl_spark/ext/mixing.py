@@ -49,7 +49,15 @@ def weighted_mix(
     ``md5(salt‖epoch‖id)``.
     """
     w = _weight_expr(source_col, weights)
-    kept = df.withColumn("__w", w).where(F.col("__w") > 0)
+    return _materialize_epochs(df.withColumn("__w", w), id_col, salt)
+
+
+def _materialize_epochs(df: DataFrame, id_col: str, salt: str) -> DataFrame:
+    """Epoch materialization shared by :func:`weighted_mix` and
+    :func:`temperature_mix`: given a frame carrying a per-row epoch
+    weight ``__w``, emit one row per (input row, kept epoch) with the
+    md5-keyed fractional final epoch.  ``__w`` is consumed."""
+    kept = df.where(F.col("__w") > 0)
     epochs = kept.withColumn(
         "epoch",
         F.explode(F.sequence(F.lit(0), F.ceil(F.col("__w")).cast("int") - 1)),
@@ -63,6 +71,53 @@ def weighted_mix(
     return epochs.where(
         (~is_partial) | (keep_key < F.round(frac * _MOD, 0).cast("bigint"))
     ).drop("__w")
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    budget: float | None = None,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-smoothed multinomial source mixing — the mT5 §3.1 /
+    XLM-R recipe: sample sources with probability ``p_i ∝ n_i^α``
+    (α<1 upsamples rare sources, downsamples dominant ones), spending
+    ``budget`` doc-epochs in total (default: one average epoch,
+    ``budget = Σ n_i``).  Unlike :func:`weighted_mix` the per-source
+    epoch weight ``w_i = budget·p_i / n_i`` is derived from the DATA,
+    so the weight table is a tiny aggregate joined back by broadcast —
+    never a literal, never a driver collect.
+
+    Determinism across engines: ``w_i`` is rounded to 6 decimals
+    BEFORE the epoch/fraction split, so libm ``pow`` and sum-order
+    ulp differences between engines cannot flip a keep decision (the
+    md5 threshold ``round(frac·10⁶)`` is then exact); the row-level
+    keep itself is the same ``md5(salt‖epoch‖id)`` key as
+    :func:`weighted_mix`.
+
+    Shape: one k-row groupBy (k = |sources|) + a 1-row total, both
+    broadcast back; then the shared epoch explode + hash filter — the
+    corpus itself is never shuffled.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").cast("double").alias("__n"))
+    totals = counts.agg(
+        F.sum(F.pow(F.col("__n"), F.lit(float(alpha)))).alias("__z"),
+        F.sum("__n").alias("__tot"),
+    )
+    budget_expr = F.lit(float(budget)) if budget is not None else F.col("__tot")
+    w = counts.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        F.round(
+            budget_expr * F.pow(F.col("__n"), F.lit(float(alpha)))
+            / F.col("__z") / F.col("__n"),
+            6,
+        ).alias("__w"),
+    )
+    return _materialize_epochs(
+        df.join(F.broadcast(w), source_col), id_col, salt
+    )
 
 
 def split_assign(

@@ -2482,6 +2482,46 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_temperature_mix",
+    "Temperature-smoothed source mixing (mT5 §3.1 / XLM-R): sources "
+    "sampled with p_i ∝ n_i^0.5 at a one-average-epoch budget — rare "
+    "sources upsampled, dominant ones cut — with the per-source epoch "
+    "weight DERIVED from the data (k-row agg, broadcast back; the "
+    "corpus never shuffles) and materialized by the same md5-keyed "
+    "epoch explode as doc_source_mix.  Weights round to 6 decimals "
+    "before the epoch split so engine pow/sum ulps cannot flip a "
+    "keep decision.",
+    ("ext-mix", "A5", "J4", "E1"),
+    oracle="""
+WITH n AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i
+           FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n_i, 0.5)) AS z, sum(n_i) AS n_tot FROM n),
+w AS (SELECT source, round(n_tot * pow(n_i, 0.5) / z / n_i, 6) AS w
+      FROM n, tot),
+dw AS (SELECT d.doc_id, d.source, w.w
+       FROM documents d JOIN w USING (source)
+       WHERE w.w > 0),
+e AS (SELECT doc_id, source, w,
+        unnest(generate_series(0, CAST(ceil(w) AS BIGINT) - 1)) AS epoch
+      FROM dw)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM e
+WHERE epoch < floor(w)
+   OR ('0x' || substr(md5('tmix|' || CAST(epoch AS VARCHAR) || '|'
+        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < CAST(round((w - floor(w)) * 1000000, 0) AS BIGINT)
+""",
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import temperature_mix
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(d, "source", "doc_id", alpha=0.5).select(
+        "doc_id", "source", F.col("epoch").cast("bigint").alias("epoch")
+    )
+
+
+@query(
     "vocab_heavy_hitters",
     "Exact heavy hitters by two-pass Misra-Gries: per-partition k-"
     "counter candidate pruning (union is a provable superset of "
@@ -8126,7 +8166,10 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (status_cube, priority_grouping_sets), the r05 displacement heads,
 # and the rest of the r05 cohort.  embedding_lloyd_clusters from the
 # pinned queue already holds a current r8 row and yields its slot.
-# R10 QUEUE: first embedding_topk (r05 row, displaced above), then
+# R10 QUEUE: first embedding_topk (r05 row, displaced above) and
+# doc_cross_decontaminate (r06 row — yielded its slot to the new
+# doc_temperature_mix; the freshest prior row in the cohort, so the
+# staleness floor stays at r05's embedding_topk), then
 # the stalest rows — EXACTLY the 43-query r06 cohort (all hold green
 # r6 rows + r08/r09 full-check rows):
 # asof_click_before_purchase, brand_collapse, cm_user_counts,
@@ -8154,6 +8197,7 @@ _DRIVER_WINDOW = [
     # pinned by tests/test_entry.py)
     "stream_histogram_quantiles",
     "stream_cm_counters",
+    "doc_temperature_mix",
     # (b) impl/oracle changed round 9
     "embedding_semantic_dedup_hi",
     "stream_mg_bound_audit",
@@ -8188,7 +8232,6 @@ _DRIVER_WINDOW = [
     "missing_symbols_report",
     "csv_dim_weighted_orders",
     "parquet_sink_roundtrip",
-    "doc_cross_decontaminate",
     "price_winsorized_revenue",
     "event_gap_quantiles",
     "doc_length_auc",

@@ -560,3 +560,37 @@ def test_bhr_profile_from_spark_aggregates(spark):
     assert "0x20" in g["stringArray"]          # unsymbolicated offset
     assert any(lib["debugName"] == "xul.pdb" for lib in g["libs"])
     assert g["sampleTable"]["length"] >= 2
+
+
+def test_temperature_mix_budget_and_smoothing(spark):
+    """α<1 temperature mixing: rare sources upsampled, dominant ones
+    cut, total doc-epochs ≈ budget, and the materialized multiset is
+    retry-stable (md5-keyed, not rand())."""
+    from python_mozetl_spark.ext.mixing import temperature_mix
+
+    # 900 'big' docs vs 100 'small' — α=0.5 pushes the mix toward
+    # 3:1 (sqrt(9):sqrt(1)) from the raw 9:1
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix(df, "source", "doc_id", alpha=0.5)
+    got = [(r["doc_id"], r["epoch"]) for r in out.collect()]
+    n_big = sum(1 for i, _ in got if i < 900)
+    n_small = sum(1 for i, _ in got if i >= 900)
+    # exact expectations: w_big = 1000*(30/40)/900 = 0.833̄ (one
+    # fractional epoch), w_small = 1000*(10/40)/100 = 2.5 (two full
+    # epochs + half)
+    assert n_small >= 200  # the two full epochs
+    assert 200 + 20 <= n_small <= 200 + 80  # + ~50% fractional epoch
+    assert 900 * 0.75 <= n_big <= 900 * 0.92  # ~83% keep, hash spread
+    assert abs((n_big + n_small) - 1000) <= 60  # budget ≈ Σn_i
+    again = [(r["doc_id"], r["epoch"]) for r in
+             temperature_mix(df, "source", "doc_id", alpha=0.5).collect()]
+    assert sorted(got) == sorted(again)
+
+    # α=1 is a no-op mix: every weight exactly 1.0 — identity corpus
+    ident = temperature_mix(df, "source", "doc_id", alpha=1.0)
+    assert sorted(r["doc_id"] for r in ident.collect()) == list(range(1000))
+
+    # explicit budget halves the corpus
+    half = temperature_mix(df, "source", "doc_id", alpha=1.0, budget=500.0)
+    assert 400 <= half.count() <= 600
