@@ -395,22 +395,55 @@ def tfidf_cosine_pairs(
     """All document pairs with TF-IDF weighted cosine similarity >=
     ``threshold`` (Bayardo, Ma & Srikant, WWW'07) — candidate
     construction and its recall argument in
-    :func:`_tfidf_prefix_candidates`; an exact per-term dot-product
-    join verifies candidates, so the output equals brute force."""
+    :func:`_tfidf_prefix_candidates`; an exact per-doc-map dot product
+    verifies candidates, so the output equals brute force.
+
+    Verify shape (rewritten round 9 after the x30 decade point): the
+    old verify exploded every candidate against side-a's full posting
+    list before an equi-join on (id_b, term) — O(candidates x doc
+    length) shuffled rows, ~700M at 150k docs, and a measured
+    Py4JJavaError at x30.  Now each doc's unit weights fold ONCE into
+    a sorted token→weight map (one groupBy over postings), the two
+    id-keyed joins attach two ~doc-length maps per candidate pair, and
+    the dot product is a within-row fold over
+    ``map_zip_with(__ma, __mb, (k,x,y) -> x*y)`` — the engine's
+    key-union zip is O(|a|+|b|) per pair (a per-entry
+    ``try_element_at`` probe of the larger map measured 5x slower:
+    each lookup is a linear key scan, O(|a|·|b|) total).  No per-term
+    shuffle rows exist at all; same discipline as
+    ``_verify_jaccard_pairs``: arrays never ride the candidate
+    exchange, and the fold order is a pure function of the two maps
+    (sorted keys of ``a``, then ``b``-only keys), so the rounded
+    cosine is run-deterministic."""
     postings, cand = _tfidf_prefix_candidates(
         df, id_col, text_col, threshold, broadcast_df_table, stage, precision
     )
-    ua = postings.select(
-        F.col("__id").alias("id_a"), "__tok", F.col("__u").alias("__ua")
+    docvec = postings.groupBy("__id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__tok", "__u")))
+        ).alias("__m")
     )
-    ub = postings.select(
-        F.col("__id").alias("id_b"), "__tok", F.col("__u").alias("__ub")
+    if stage:
+        # two consumers (a side, b side) behind different exchanges
+        docvec = docvec.localCheckpoint(eager=False)
+    pairs = cand.join(
+        docvec.select(F.col("__id").alias("id_a"), F.col("__m").alias("__ma")),
+        "id_a",
+    ).join(
+        docvec.select(F.col("__id").alias("id_b"), F.col("__m").alias("__mb")),
+        "id_b",
     )
-    dots = (
-        cand.join(ua, "id_a")
-        .join(ub, ["id_b", "__tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.sum(F.col("__ua") * F.col("__ub")), precision).alias("cosine"))
+    dot = F.expr(
+        """
+        aggregate(
+          map_values(map_zip_with(__ma, __mb, (k, x, y) -> x * y)),
+          CAST(0.0 AS DOUBLE),
+          (acc, v) -> acc + coalesce(v, CAST(0.0 AS DOUBLE))
+        )
+        """
+    )
+    dots = pairs.select(
+        "id_a", "id_b", F.round(dot, precision).alias("cosine")
     )
     return dots.where(F.col("cosine") >= threshold)
 

@@ -116,7 +116,13 @@ def make_embeddings(m: int, rng: np.random.RandomState) -> pa.Table:
 
 
 def main() -> None:
-    for name, n_docs in [("x1", 5_000), ("x10", 50_000)]:
+    # x30 (150k docs / 60k vecs) is opt-in: ``--x30`` — the third
+    # decade point for the steepest curves (tfidf candidates), ~2 min
+    # to generate and several minutes per operator to run
+    scales = [("x1", 5_000), ("x10", 50_000)]
+    if "--x30" in sys.argv[1:]:
+        scales.append(("x30", 150_000))
+    for name, n_docs in scales:
         out = os.path.join(ROOT, "scalefix", name)
         os.makedirs(out, exist_ok=True)
         rng = np.random.RandomState(42)  # same stream per scale

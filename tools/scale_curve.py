@@ -155,12 +155,33 @@ def main() -> None:
         print(f"# {name}: {t1}s -> {t10}s  ratio {out[name]['ratio']}  "
               f"rows {r1} -> {r10}", file=sys.stderr, flush=True)
 
+    # optional third decade point (x30 = 150k docs; generate with
+    # ``make_scale_fixture.py --x30``): wall time for the three
+    # text-pair operators whose curves are steepest
+    if "--x30" in sys.argv[1:]:
+        for name in ("doc_winnow_copy_pairs", "doc_minhash_pairs",
+                     "doc_tfidf_cosine_pairs"):
+            try:
+                t30, r30 = timed(name, os.path.join(ROOT, "scalefix", "x30"), 3)
+            except Exception as e:
+                out[name]["x30_error"] = f"{type(e).__name__}"
+                print(f"# {name}: x30 FAILED {type(e).__name__}",
+                      file=sys.stderr, flush=True)
+                continue
+            out[name]["x30_sec"] = t30
+            out[name]["x30_rows"] = r30
+            out[name]["ratio_30_10"] = round(t30 / out[name]["x10_sec"], 2)
+            print(f"# {name}: x30 {t30}s  x30/x10 ratio "
+                  f"{out[name]['ratio_30_10']}  rows {r30}",
+                  file=sys.stderr, flush=True)
+
     # tfidf candidate-volume observable at both scales
     from python_mozetl_spark.plans.queries import t as _t
     from python_mozetl_spark.ext.search import tfidf_candidate_stats
 
     cand = {}
-    for tag in ("x1", "x10"):
+    cand_scales = ("x1", "x10", "x30") if "--x30" in sys.argv[1:] else ("x1", "x10")
+    for tag in cand_scales:
         d = _t(spark, os.path.join(ROOT, "scalefix", tag), "documents")
         row = tfidf_candidate_stats(d, "doc_id", "text", threshold=0.9).collect()[0]
         cand[tag] = {"n_docs": row["n_docs"],
@@ -170,6 +191,10 @@ def main() -> None:
     cand["ratio"] = round(
         cand["x10"]["n_candidates"] / max(cand["x1"]["n_candidates"], 1), 2
     )
+    if "x30" in cand:
+        cand["ratio_30_10"] = round(
+            cand["x30"]["n_candidates"] / max(cand["x10"]["n_candidates"], 1), 2
+        )
 
     # isolated winnow + minhash microbenches at driver sf0.1
     # (median of 5) — the per-round regression pins
