@@ -880,6 +880,108 @@ def winnow_fingerprints(
     )
 
 
+def winnow_copy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 50,
+    max_bucket: int = 500,
+    spread_pairs: int | None = None,
+    stage: bool = True,
+) -> DataFrame:
+    """All document pairs sharing ≥ ``min_shared`` winnowing
+    fingerprints (:func:`winnow_fingerprints`) — the local-copy
+    detector's pair stage, via OVERLAP-threshold prefix filtering
+    (Chaudhuri/Ganti/Kaushik ICDE'06) instead of enumerating every
+    shared-fingerprint bucket.
+
+    Why not bucket-per-fingerprint (the pre-round-9 shape): boilerplate
+    fingerprints collect members ∝ corpus size, so even with
+    :func:`bounded_bucket_pairs` chunk-gridding the enumerated pair
+    volume in hot buckets grows quadratically — measured x30/x10 wall
+    ratio ~5 for 3x docs on the Heaps fixture.  Prefix filtering makes
+    the hot fingerprints fall OUT of the join: under the global
+    rarest-first order (df ASC, fp), a pair with overlap ≥ T must
+    share its globally-smallest common fingerprint inside BOTH docs'
+    prefixes (the first ``m − T + 1`` fingerprints of each doc — if it
+    sat outside doc a's prefix, a's remaining ≤ T−1 tail could not
+    hold T shared elements; symmetrically for b).  Candidates come
+    from prefix×prefix buckets only — rare fingerprints with short
+    postings — still guarded by ``max_bucket`` chunk-gridding for
+    boilerplate-only prefixes; the exact shared count is then a
+    within-row ``array_intersect`` of the two docs' full fingerprint
+    sets (fingerprints are per-doc distinct, so intersect size == the
+    bucket-count the old shape aggregated), the same attach-and-fold
+    verify as the round-9 tfidf rewrite.
+
+    Docs with fewer than ``min_shared`` fingerprints can appear in no
+    qualifying pair and are pruned before any window work.  ``stage``
+    localCheckpoints the pruned fingerprint frame (two consumers:
+    prefix chain + verify arrays) and the per-doc arrays (two join
+    sides); at cluster scale persist both instead (SCALE.md §6b).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    w_doc = Window.partitionBy(id_col)
+    fps = (
+        fps.withColumn("__m", F.count(F.lit(1)).over(w_doc))
+        .where(F.col("__m") >= min_shared)
+    )
+    if stage:
+        fps = fps.localCheckpoint(eager=False)
+    # global rarest-first order: per-fingerprint df via a window on fp
+    # (NOT a broadcast df table — distinct fingerprints are
+    # corpus-sized); the fp exchange it needs is the same partitioning
+    # the candidate bucketing uses downstream
+    ranked = fps.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    order = Window.partitionBy(id_col).orderBy("__df", "fp")
+    prefix = (
+        ranked.withColumn("__rn", F.row_number().over(order))
+        .where(F.col("__rn") <= F.col("__m") - F.lit(min_shared) + 1)
+    )
+    cand = (
+        bounded_bucket_pairs(
+            prefix.select(
+                F.col("fp").alias("bucket"), F.struct(F.col(id_col)).alias("__p")
+            ),
+            "bucket",
+            "__p",
+            id_col,
+            max_bucket=max_bucket,
+            spread_pairs=spread_pairs,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    docfps = fps.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("fp")).alias("__f")
+    )
+    if stage:
+        docfps = docfps.localCheckpoint(eager=False)
+    return (
+        cand.join(
+            docfps.select(F.col(id_col).alias("id_a"), F.col("__f").alias("__fa")),
+            "id_a",
+        )
+        .join(
+            docfps.select(F.col(id_col).alias("id_b"), F.col("__f").alias("__fb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__fa", "__fb")).cast("bigint").alias(
+                "n_shared"
+            ),
+        )
+        .where(F.col("n_shared") >= F.lit(min_shared))
+    )
+
+
 def _cross_doc_dup_grams(
     df: DataFrame,
     id_col: str,

@@ -2158,10 +2158,12 @@ def taar_lr_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_winnow_copy_pairs",
     "Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken "
     "SIGMOD'03: k-gram md5 rolling hashes, sliding-window minima) + "
-    "shared-fingerprint pair counts via the bounded bucket pairing — "
-    "the position-robust local-copy detector complementing MinHash's "
-    "global resemblance.  Pure higher-order functions, one staged hash "
-    "pass, fingerprint buckets bounded like every LSH tier.",
+    "shared-fingerprint pair counts — the position-robust local-copy "
+    "detector complementing MinHash's global resemblance.  Since "
+    "round 9 the pair stage is OVERLAP-threshold prefix filtering "
+    "(Chaudhuri ICDE'06): candidates only from each doc's rarest "
+    "m-49 fingerprints (hot boilerplate buckets fall out of the join "
+    "entirely), exact shared counts by within-row array_intersect.",
     ("ext-dedup", "ext-text"),
     oracle="""
 WITH h AS (SELECT doc_id,
@@ -2184,41 +2186,28 @@ FROM p GROUP BY id_a, id_b HAVING count(*) >= 50
     bench=True,  # round 7: the heaviest ext query joins the headline set
 )
 def doc_winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_mozetl_spark.ext.dedup import bounded_bucket_pairs, winnow_fingerprints
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
 
     d = t(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
-    # pre-verify prune (the part_name_links lesson applied here): the
-    # output demands n_shared >= 50 DISTINCT shared fingerprints, so a
-    # doc with fewer than 50 fingerprints total can appear in NO
-    # qualifying pair — drop its rows before the quadratic bucket
-    # enumeration (824 of 5000 docs at sf0.1).  One cheap window pass
-    # over the ~554k fp rows buys a square-law cut in enumerated pairs.
-    w_doc = Window.partitionBy("doc_id")
-    fps = (
-        fps.withColumn("__m", F.count(F.lit(1)).over(w_doc))
-        .where(F.col("__m") >= 50)
-        .drop("__m")
-    )
-    # fingerprint buckets are EXTREMELY skewed (boilerplate 8-grams
-    # shared by thousands of docs -> ~95M pair enumerations at sf0.1
-    # from 554k fp rows): chunk the giants at 500 members and spread
-    # both bucket arrays and grid cells wide — the enumeration is
-    # compute-bound, so schedulable ≤max_bucket² units beat
-    # AQE's byte-based coalescing (40 s -> 11 s measured)
+    # prefix-filtered pair stage (winnow_copy_pairs docstring has the
+    # recall proof): the pre-r9 bucket-per-fingerprint enumeration hit
+    # ~95M pair expansions at sf0.1 (boilerplate buckets grow with the
+    # corpus — measured x30/x10 wall ratio ~5); prefixes keep only
+    # each doc's rarest m-49 fingerprints in the join and verify with
+    # one within-row array_intersect per candidate.  spread_pairs
+    # still pins enumeration parallelism for boilerplate-only
+    # prefixes (compute-bound ≤max_bucket² units beat AQE's
+    # byte-based coalescing).
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    shared = bounded_bucket_pairs(
-        fps.select(F.col("fp").alias("bucket"), F.struct("doc_id").alias("__p")),
-        "bucket",
-        "__p",
+    return winnow_copy_pairs(
+        d,
         "doc_id",
+        "text",
+        k=8,
+        window=4,
+        min_shared=50,
         max_bucket=500,
         spread_pairs=shuffle_parts * 8,
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    return (
-        shared.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-        .where(F.col("n_shared") >= 50)
     )
 
 

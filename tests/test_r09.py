@@ -594,3 +594,55 @@ def test_temperature_mix_budget_and_smoothing(spark):
     # explicit budget halves the corpus
     half = temperature_mix(df, "source", "doc_id", alpha=1.0, budget=500.0)
     assert 400 <= half.count() <= 600
+
+
+def test_winnow_prefix_pairs_match_brute_force(spark):
+    """Prefix-filtered winnow pairing == brute force on a corpus built
+    to stress the filter: a boilerplate 8-gram block shared by EVERY
+    doc (the hot bucket the prefix drops from the join), copy families
+    with overlap straddling the threshold, and sub-threshold docs."""
+    import hashlib
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 8
+    rows = []
+    # family A: 3 near-identical long docs (well over 50 shared fps)
+    base = boiler + "".join(f"alpha{i:04d} " for i in range(120))
+    rows += [(0, base), (1, base + "tail zero"), (2, "head one " + base)]
+    # family B: 2 docs sharing ONLY the boilerplate (+ distinct bodies)
+    rows += [
+        (3, boiler + "".join(f"beta{i:04d} " for i in range(120))),
+        (4, boiler + "".join(f"gam{i:05d} " for i in range(120))),
+    ]
+    # short doc under the 50-fingerprint floor
+    rows += [(5, "tiny doc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def fps(text, k=8, window=4):
+        hs = [
+            int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        if not hs:
+            return set()
+        if len(hs) < window:
+            return {min(hs)}
+        return {min(hs[j:j + window]) for j in range(len(hs) - window + 1)}
+
+    sets = {i: fps(t) for i, t in rows}
+    want = sorted(
+        (a, b, len(sets[a] & sets[b]))
+        for a in sets for b in sets
+        if a < b and len(sets[a]) >= 50 and len(sets[b]) >= 50
+        and len(sets[a] & sets[b]) >= 50
+    )
+    got = sorted(
+        map(tuple, winnow_copy_pairs(df, "doc_id", "text").collect())
+    )
+    assert got == want
+    assert {(a, b) for a, b, _ in want} >= {(0, 1), (0, 2), (1, 2)}
+    # the fixture really exercises the hot bucket: docs 3 and 4 share
+    # boilerplate fingerprints (a nonempty sub-threshold overlap) yet
+    # must not pair
+    assert 0 < len(sets[3] & sets[4]) < 50
+    assert (3, 4) not in {(a, b) for a, b, _ in got}
