@@ -120,6 +120,88 @@ def temperature_mix(
     )
 
 
+def unimax_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    epoch_cap: float = 4.0,
+    budget: float | None = None,
+    salt: str = "umix",
+) -> DataFrame:
+    """UniMax source mixing (Chung et al., "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR'23): spend ``budget`` doc-epochs as UNIFORMLY
+    across sources as possible, subject to no source repeating more
+    than ``epoch_cap`` epochs — the budget a capped (rare) source
+    cannot absorb is redistributed uniformly over the rest.  The
+    third standard mixing recipe beside :func:`weighted_mix` (explicit
+    weights) and :func:`temperature_mix` (p ∝ n^α).
+
+    The allocation is the waterfilling solution ``alloc_i =
+    min(cap_i, u)`` with ``cap_i = epoch_cap·n_i`` and the water level
+    ``u`` solving ``Σ min(cap_i, u) = budget`` — found in CLOSED FORM
+    on the k-row source table: sort sources by ``cap`` ascending, and
+    on the unique segment ``cap_{m} ≤ u ≤ cap_{m+1}`` the level is
+    ``u = (budget − Σ_{j≤m} cap_j) / (k − m)``.  All of it is window
+    arithmetic over k = |sources| rows (a deliberate single-partition
+    window — the frame is k rows by construction); if ``budget ≥
+    Σ cap_i`` no segment is feasible and every source is capped (the
+    spend falls short, exactly UniMax's behavior).  Identical sorted
+    order and expression tree on the oracle side make the level
+    bit-identical across engines; the per-source epoch weight
+    ``alloc_i / n_i`` is rounded to 6 decimals before the epoch split
+    (the :func:`temperature_mix` ulp rule), then materialized by the
+    shared md5-keyed epoch explode.  The corpus never shuffles: one
+    k-row agg out, one broadcast join back.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(
+        F.count("*").cast("double").alias("__n")
+    )
+    cap = (F.lit(float(epoch_cap)) * F.col("__n")).alias("__cap")
+    # k-row frame: single-partition windows are the point, not a bug
+    order = Window.orderBy("__cap", source_col)
+    allw = Window.partitionBy()
+    lev = counts.select(source_col, "__n", cap).select(
+        "*",
+        F.coalesce(
+            F.sum("__cap").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ).alias("__cum_excl"),
+        F.coalesce(
+            F.lag("__cap").over(order), F.lit(0.0)
+        ).alias("__cap_prev"),
+        F.row_number().over(order).alias("__rn"),
+        F.count(F.lit(1)).over(allw).alias("__k"),
+        (F.lit(float(budget)) if budget is not None
+         else F.sum("__n").over(allw)).alias("__b"),
+    )
+    u_cand = (F.col("__b") - F.col("__cum_excl")) / (
+        F.col("__k") - F.col("__rn") + 1
+    )
+    lev = lev.withColumn(
+        "__u",
+        F.min(
+            F.when(
+                (F.col("__cap_prev") <= u_cand) & (u_cand <= F.col("__cap")),
+                u_cand,
+            )
+        ).over(allw),
+    )
+    w = lev.select(
+        source_col,
+        F.round(
+            F.least(F.col("__cap"), F.coalesce(F.col("__u"), F.col("__cap")))
+            / F.col("__n"),
+            6,
+        ).alias("__w"),
+    )
+    return _materialize_epochs(
+        df.join(F.broadcast(w), source_col), id_col, salt
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

@@ -2511,6 +2511,61 @@ def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_unimax_mix",
+    "UniMax language sampling (Chung et al. ICLR'23): spend one "
+    "average epoch of doc-budget as uniformly across languages as "
+    "possible subject to a 1.5-epoch-per-language cap, surplus from "
+    "capped rare languages redistributed — the waterfilling level "
+    "solved in CLOSED FORM by window arithmetic over the k-row "
+    "language table (sort caps ascending; on the unique feasible "
+    "segment u = (B - cum)/(k - m)).  Every pre-round quantity is "
+    "exact integer double arithmetic plus one IEEE division, so the "
+    "level is bit-identical across engines; weights round to 6 dp "
+    "before the shared md5-keyed epoch materialization.",
+    ("ext-mix", "A5", "J4", "E1", "W3"),
+    oracle="""
+WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_i
+           FROM documents GROUP BY lang),
+c AS (SELECT lang, n_i, 1.5 * n_i AS cap FROM n),
+lv AS (SELECT lang, n_i, cap,
+         coalesce(sum(cap) OVER (ORDER BY cap, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_excl,
+         coalesce(lag(cap) OVER (ORDER BY cap, lang), 0) AS cap_prev,
+         row_number() OVER (ORDER BY cap, lang) AS rn,
+         count(*) OVER () AS k,
+         sum(n_i) OVER () AS b
+       FROM c),
+u AS (SELECT min(CASE WHEN cap_prev <= (b - cum_excl) / (k - rn + 1)
+                       AND (b - cum_excl) / (k - rn + 1) <= cap
+                      THEN (b - cum_excl) / (k - rn + 1) END) AS u
+      FROM lv),
+w AS (SELECT lang, round(least(cap, coalesce(u.u, cap)) / n_i, 6) AS w
+      FROM lv, u),
+dw AS (SELECT d.doc_id, d.lang, w.w
+       FROM documents d JOIN w USING (lang)
+       WHERE w.w > 0),
+e AS (SELECT doc_id, lang, w,
+        unnest(generate_series(0, CAST(ceil(w) AS BIGINT) - 1)) AS epoch
+      FROM dw)
+SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+FROM e
+WHERE epoch < floor(w)
+   OR ('0x' || substr(md5('umix|' || CAST(epoch AS VARCHAR) || '|'
+        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < CAST(round((w - floor(w)) * 1000000, 0) AS BIGINT)
+""",
+)
+def doc_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.mixing import unimax_mix
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return unimax_mix(d, "lang", "doc_id", epoch_cap=1.5).select(
+        "doc_id", "lang", F.col("epoch").cast("bigint").alias("epoch")
+    )
+
+
+@query(
     "vocab_heavy_hitters",
     "Exact heavy hitters by two-pass Misra-Gries: per-partition k-"
     "counter candidate pruning (union is a provable superset of "
@@ -8155,10 +8210,12 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (status_cube, priority_grouping_sets), the r05 displacement heads,
 # and the rest of the r05 cohort.  embedding_lloyd_clusters from the
 # pinned queue already holds a current r8 row and yields its slot.
-# R10 QUEUE: first embedding_topk (r05 row, displaced above) and
+# R10 QUEUE: first the r05-row holders displaced by round-9 adds —
+# embedding_topk, embedding_bucket_topk, embedding_near_dup (the last
+# two yielded their slots to doc_unimax_mix + the re-graded
+# doc_winnow_copy_pairs; staleness floor stays r05) — and
 # doc_cross_decontaminate (r06 row — yielded its slot to the new
-# doc_temperature_mix; the freshest prior row in the cohort, so the
-# staleness floor stays at r05's embedding_topk), then
+# doc_temperature_mix; the freshest prior row in the cohort), then
 # the stalest rows — EXACTLY the 43-query r06 cohort (all hold green
 # r6 rows + r08/r09 full-check rows):
 # asof_click_before_purchase, brand_collapse, cm_user_counts,
@@ -8187,7 +8244,9 @@ _DRIVER_WINDOW = [
     "stream_histogram_quantiles",
     "stream_cm_counters",
     "doc_temperature_mix",
+    "doc_unimax_mix",
     # (b) impl/oracle changed round 9
+    "doc_winnow_copy_pairs",
     "embedding_semantic_dedup_hi",
     "stream_mg_bound_audit",
     "doc_span_cut",
@@ -8234,8 +8293,6 @@ _DRIVER_WINDOW = [
     "part_zorder_keys",
     "event_type_daily_trend",
     "doc_ngram_jaccard_pairs",
-    "embedding_bucket_topk",
-    "embedding_near_dup",
 ]
 
 

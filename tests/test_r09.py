@@ -646,3 +646,40 @@ def test_winnow_prefix_pairs_match_brute_force(spark):
     # must not pair
     assert 0 < len(sets[3] & sets[4]) < 50
     assert (3, 4) not in {(a, b) for a, b, _ in got}
+
+
+def test_unimax_mix_waterfilling(spark):
+    """UniMax: uniform budget with per-source epoch cap — the
+    waterfilling level redistributes a capped source's surplus."""
+    from python_mozetl_spark.ext.mixing import unimax_mix
+
+    # a=600, b=300, c=100 docs; cap=2, budget=Σn=1000.
+    # caps asc: c=200, b=600, a=1200 → level u=(1000-200)/2=400:
+    # c capped at 2.0 epochs (exactly 200 rows), b gets w=400/300,
+    # a gets w=400/600.
+    rows = ([(i, "a") for i in range(600)]
+            + [(i + 600, "b") for i in range(300)]
+            + [(i + 900, "c") for i in range(100)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = [(r["doc_id"], r["epoch"]) for r in
+           unimax_mix(df, "source", "doc_id", epoch_cap=2.0).collect()]
+    n_a = sum(1 for i, _ in out if i < 600)
+    n_b = sum(1 for i, _ in out if 600 <= i < 900)
+    n_c = sum(1 for i, _ in out if i >= 900)
+    assert n_c == 200                      # exactly two full epochs
+    assert 300 + 60 <= n_b <= 300 + 140    # 1 full + ~1/3 fractional
+    assert 340 <= n_a <= 460               # ~2/3 fractional epoch
+    assert abs((n_a + n_b + n_c) - 1000) <= 60
+    # retry-stable (md5-keyed)
+    again = [(r["doc_id"], r["epoch"]) for r in
+             unimax_mix(df, "source", "doc_id", epoch_cap=2.0).collect()]
+    assert sorted(out) == sorted(again)
+
+    # budget beyond Σ caps: every source capped, spend falls short —
+    # deterministic full replication, no fractional epochs
+    full = unimax_mix(df, "source", "doc_id", epoch_cap=2.0, budget=5000.0)
+    assert full.count() == 2000
+
+    # cap=1, default budget: identity corpus (w == 1.0 exactly)
+    ident = unimax_mix(df, "source", "doc_id", epoch_cap=1.0)
+    assert sorted(r["doc_id"] for r in ident.collect()) == list(range(1000))
