@@ -156,6 +156,13 @@ def unimax_mix(
     """
     from pyspark.sql import Window
 
+    if epoch_cap <= 0:
+        raise ValueError(f"epoch_cap must be > 0, got {epoch_cap}")
+    if budget is not None and budget <= 0:
+        # without this, an empty budget finds no feasible waterfilling
+        # segment and the all-capped fallback would emit the FULL
+        # capped corpus instead of nothing
+        raise ValueError(f"budget must be > 0 (or None), got {budget}")
     counts = df.groupBy(source_col).agg(
         F.count("*").cast("double").alias("__n")
     )

@@ -683,3 +683,11 @@ def test_unimax_mix_waterfilling(spark):
     # cap=1, default budget: identity corpus (w == 1.0 exactly)
     ident = unimax_mix(df, "source", "doc_id", epoch_cap=1.0)
     assert sorted(r["doc_id"] for r in ident.collect()) == list(range(1000))
+
+    # degenerate inputs raise instead of silently emitting the full
+    # capped corpus (a negative budget finds no feasible segment and
+    # would otherwise fall into the all-capped branch)
+    with pytest.raises(ValueError, match="budget"):
+        unimax_mix(df, "source", "doc_id", epoch_cap=2.0, budget=-1.0)
+    with pytest.raises(ValueError, match="epoch_cap"):
+        unimax_mix(df, "source", "doc_id", epoch_cap=0.0)
