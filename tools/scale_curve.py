@@ -155,12 +155,14 @@ def main() -> None:
         print(f"# {name}: {t1}s -> {t10}s  ratio {out[name]['ratio']}  "
               f"rows {r1} -> {r10}", file=sys.stderr, flush=True)
 
-    # optional third decade point (x30 = 150k docs; generate with
-    # ``make_scale_fixture.py --x30``): wall time for the three
-    # text-pair operators whose curves are steepest
+    # optional third decade point (x30 = 150k docs / 60k vecs;
+    # generate with ``make_scale_fixture.py --x30``): the three
+    # text-pair operators whose curves are steepest, plus the
+    # flagship auto-k SemDeDup and the cheap linear rows for contrast
     if "--x30" in sys.argv[1:]:
         for name in ("doc_winnow_copy_pairs", "doc_minhash_pairs",
-                     "doc_tfidf_cosine_pairs"):
+                     "doc_tfidf_cosine_pairs", "semantic_dedup_auto",
+                     "doc_dup_components", "doc_span_cut"):
             try:
                 t30, r30 = timed(name, os.path.join(ROOT, "scalefix", "x30"), 3)
             except Exception as e:
