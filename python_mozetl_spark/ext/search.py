@@ -318,24 +318,42 @@ def _tfidf_prefix_candidates(
     )
     by_id = Window.partitionBy("__id")
     order = Window.partitionBy("__id").orderBy("__df", "__tok")
+    # per-doc maxweight and L1 norm of the UNIT vector ride the same
+    # by_id exchange as the L2 norm (one Window exec, three aggregates)
+    # — they feed the PPJoin-style length filter below: for any pair,
+    # dot = Σ u_a(t)·u_b(t) ≤ maxw(a)·Σ u_b(t) ≤ maxw(a)·l1(b)
+    # (Bayardo WWW'07 §3's minsize bound in unit-vector form).
+    norm = F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(by_id))
     u = w.select(
         "__id",
         "__tok",
         "__df",
-        (F.col("__w") / F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(by_id))
-         ).alias("__u"),
+        (F.col("__w") / norm).alias("__u"),
+        (F.max("__w").over(by_id) / norm).alias("__maxw"),
+        (F.sum("__w").over(by_id) / norm).alias("__l1"),
     )
     postings = u.select(
         "__id",
         "__tok",
         "__df",
         "__u",
+        "__maxw",
+        "__l1",
         F.coalesce(
             F.sum(F.col("__u") * F.col("__u")).over(
                 order.rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0.0),
         ).alias("__cum_excl"),
+        # exclusive L1 cumsum in the same order (the same Window exec
+        # as __cum_excl) — yields the suffix L1 mass after any term,
+        # feeding the maxw·suffix-L1 arm of the positional bound
+        F.coalesce(
+            F.sum(F.col("__u")).over(
+                order.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("__cum_l1_excl"),
     )
     # THREE consumers (prefix side, full join side, verify) — the
     # minhash staging discipline (SCALE.md §6b); at cluster scale
@@ -367,16 +385,34 @@ def _tfidf_prefix_candidates(
     # tfidf_candidate_stats) comes from prefix-term posting lengths
     # themselves and would need PPJoin-style positional/length
     # filters to reduce further.
-    # positional upper bound (Bayardo WWW'07 §4 flavor): a qualifying
-    # pair's GLOBALLY-SMALLEST shared term s* has every shared term in
-    # both suffixes from s*, so dot ≤ ||a_{≥s*}||·||b_{≥s*}|| =
-    # sqrt(1−cum_a(s*))·sqrt(1−cum_b(s*)) — any matched row with
-    # (1−ca)(1−cb) < t² cannot BE s* of a qualifying pair and is
-    # dropped before the dedup (the pair's s* row, if the pair
-    # qualifies, always survives the filter).  Prunes exactly the
-    # deep-prefix × deep-prefix matches that dominate candidate growth
-    # on Heaps/Zipf df distributions (measured: −41% candidates at the
-    # x10 fixture — 4.09M → 2.41M — threshold 0.9, output unchanged).
+    # positional upper bound (Bayardo WWW'07 §4 flavor, round-10
+    # TIGHTENED form): a qualifying pair's GLOBALLY-SMALLEST shared
+    # term s* contributes EXACTLY u_a(s*)·u_b(s*) to the dot, and
+    # every OTHER shared term lies strictly after s* in both suffixes,
+    # so dot ≤ u_a·u_b + ||a_{>s*}||·||b_{>s*}|| =
+    # u_a·u_b + sqrt(1−ca−u_a²)·sqrt(1−cb−u_b²) — strictly tighter
+    # than the round-9 sqrt((1−ca)(1−cb)) bound (2-D Cauchy-Schwarz:
+    # sqrt((u_a²+ra)(u_b²+rb)) ≥ u_a·u_b + sqrt(ra·rb)), which it
+    # therefore subsumes.  Any matched row where the bound < t cannot
+    # BE s* of a qualifying pair; the s* row of a qualifying pair
+    # always survives (bound ≥ dot ≥ t ≥ t_eff).
+    #
+    # PPJoin-style LENGTH filter (round 10): dot ≤ maxw(a)·l1(b) and
+    # ≤ maxw(b)·l1(a) unconditionally (no s* hypothesis needed), so
+    # BOTH inequalities must clear t_eff for ANY row of a qualifying
+    # pair — on unit vectors this is a genuine length filter: for
+    # near-uniform weights maxw≈1/√m, l1≈√m, so it demands
+    # m_b ≳ t²·m_a — pairs of very different effective lengths drop
+    # out before the dedup exchange.  Measured on the Heaps/Zipf
+    # fixtures at t=0.9 (SCALE_CURVE r10, both round-10 filters
+    # together): candidates x1 130k→103.6k (−20%), x10 2.41M→1.74M
+    # (−28%), x30 9.76M→6.78M (−30%), output unchanged — per-decade
+    # candidate ratio 18.6×→16.8×, growth exponent N^1.268→N^1.225.
+    # The residual exponent is the collision rate of rare prefix
+    # terms across unrelated salad docs — a property of the df
+    # distribution the 100%-recall prefix cannot shrink further
+    # without an exact-overlap count, which prefix matches alone
+    # cannot supply.
     cand = (
         prefix.alias("a")
         .join(
@@ -384,9 +420,51 @@ def _tfidf_prefix_candidates(
             (F.col("a.__tok") == F.col("b.__tok"))
             & (F.col("a.__id") < F.col("b.__id"))
             & (
-                (F.lit(1.0) - F.col("a.__cum_excl"))
-                * (F.lit(1.0) - F.col("b.__cum_excl"))
-                >= F.lit(t_eff * t_eff - 1e-9)
+                F.col("a.__maxw") * F.col("b.__l1")
+                >= F.lit(t_eff - 1e-9)
+            )
+            & (
+                F.col("b.__maxw") * F.col("a.__l1")
+                >= F.lit(t_eff - 1e-9)
+            )
+            & (
+                F.col("a.__u") * F.col("b.__u")
+                + F.least(
+                    # 2-D Cauchy-Schwarz on the post-s* suffixes
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(1.0)
+                            - F.col("a.__cum_excl")
+                            - F.col("a.__u") * F.col("a.__u"),
+                            F.lit(0.0),
+                        )
+                        * F.greatest(
+                            F.lit(1.0)
+                            - F.col("b.__cum_excl")
+                            - F.col("b.__u") * F.col("b.__u"),
+                            F.lit(0.0),
+                        )
+                    ),
+                    # maxw × the partner's post-s* suffix L1 (both
+                    # directions) — tighter than Cauchy-Schwarz when
+                    # the two suffix lengths differ, which is exactly
+                    # the deep-prefix × shallow-prefix match shape
+                    F.col("a.__maxw")
+                    * F.greatest(
+                        F.col("b.__l1")
+                        - F.col("b.__cum_l1_excl")
+                        - F.col("b.__u"),
+                        F.lit(0.0),
+                    ),
+                    F.col("b.__maxw")
+                    * F.greatest(
+                        F.col("a.__l1")
+                        - F.col("a.__cum_l1_excl")
+                        - F.col("a.__u"),
+                        F.lit(0.0),
+                    ),
+                )
+                >= F.lit(t_eff - 1e-9)
             ),
         )
         .select(
