@@ -8079,6 +8079,146 @@ def stream_cm_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_funnel_depths",
+    "The streaming ordered funnel graded as an oracle row "
+    "(streaming/funnel.py:funnel_depth_stream): per-user "
+    "view→click→purchase events stream through the capped-buffer "
+    "stateful walk over several micro-batches; each user's FINAL "
+    "emitted depth is taken (greedy depth is monotone in the event "
+    "set below the cap, so max emission = final state = the batch "
+    "walk over the whole feed).  Gradeable because greedy-earliest "
+    "matching is closed-form: depth d is reached iff the chained "
+    "strictly-increasing minima t1 < t2 < t3 exist — which the "
+    "oracle rebuilds as three chained min() CTEs on whole-second "
+    "epochs (the stream walks the same int64 seconds, same strict "
+    "tie handling: an equal-second next-step event does NOT match).",
+    ("§2.12", "streaming", "timeseries"),
+    oracle="""
+WITH e AS (SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+t1 AS (SELECT user_id, min(s) AS s1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.s) AS s2 FROM e
+       JOIN t1 ON t1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.s > t1.s1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.s) AS s3 FROM e
+       JOIN t2 ON t2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.s > t2.s2 GROUP BY 1)
+SELECT u.user_id,
+  CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+            WHEN t2.user_id IS NOT NULL THEN 2
+            WHEN t1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS INT) AS depth
+FROM u
+LEFT JOIN t1 ON t1.user_id = u.user_id
+LEFT JOIN t2 ON t2.user_id = u.user_id
+LEFT JOIN t3 ON t3.user_id = u.user_id
+""",
+    side_effect=True,
+)
+def stream_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.streaming.funnel import funnel_depth_stream
+
+    # whole-second int64 ticks BEFORE the stream (the decayed_sum
+    # epoch recipe) so the stateful walk, the final read-out, and the
+    # oracle all compare the same unit — and the ts column needs no
+    # nanos handling inside the stream's Arrow batches
+    feed = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("s"),
+    )
+
+    def finalize(emitted: DataFrame, src_df: DataFrame) -> DataFrame:
+        # depth only grows below the cap (greedy depth is monotone in
+        # the event set), so the final state = the max emission
+        return emitted.groupBy("user_id").agg(
+            F.max("depth").cast("int").alias("depth")
+        )
+
+    rows = _drained_stream_rows(
+        spark,
+        sf_dir,
+        "funnel_stream",
+        feed,
+        "user_id bigint, event_type string, s bigint",
+        lambda src: funnel_depth_stream(
+            src,
+            ["view", "click", "purchase"],
+            user_col="user_id",
+            ts_col="s",
+            type_col="event_type",
+        ),
+        "update",
+        finalize,
+    )
+    return spark.createDataFrame(rows, "user_id bigint, depth int")
+
+
+@query(
+    "stream_running_totals",
+    "The per-key running-totals state graded as an oracle row "
+    "(streaming/stateful.py:running_totals_stream — the streaming "
+    "form of the reference's incremental trends cache, "
+    "graphics_telemetry_trends.py:233-294): per-user event values "
+    "stream through the arbitrary-stateful accumulator over several "
+    "micro-batches; each user's FINAL emission (n_events strictly "
+    "grows) is the converged state.  Exactly rebuildable because the "
+    "feed carries half-cent-rounded integer cents — double sums of "
+    "integers are association-order-exact below 2^53, so the "
+    "arrival-order stream fold, the Spark batch agg, and the DuckDB "
+    "oracle agree bit-for-bit with no float-rounding truce.",
+    ("§2.12", "streaming", "§2.12c"),
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(coalesce(
+    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0) AS DOUBLE), 2)
+    AS sum_value
+FROM events GROUP BY user_id
+""",
+    side_effect=True,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.streaming.stateful import running_totals_stream
+
+    # integer cents as double: pandas' NaN-skipping sum matches SQL's
+    # NULL-skipping sum, and n_events counts ALL rows on both sides
+    feed = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS DOUBLE)").alias("cents"),
+    )
+
+    def finalize(emitted: DataFrame, src_df: DataFrame) -> DataFrame:
+        # final emission per key = the row carrying the key's max
+        # n_events (strictly grows every micro-batch the key appears in)
+        w = Window.partitionBy("user_id")
+        return (
+            emitted.withColumn("__mx", F.max("n_events").over(w))
+            .where(F.col("n_events") == F.col("__mx"))
+            .select(
+                "user_id",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("sum_value").cast("double").alias("sum_value"),
+            )
+        )
+
+    rows = _drained_stream_rows(
+        spark,
+        sf_dir,
+        "totals_stream",
+        feed,
+        "user_id bigint, cents double",
+        lambda src: running_totals_stream(src, "user_id", "cents"),
+        "update",
+        finalize,
+    )
+    return spark.createDataFrame(
+        rows, "user_id bigint, n_events bigint, sum_value double"
+    )
+
+
+@query(
     "event_value_mannwhitney",
     "Per-group Mann-Whitney U drift (operators/metrics.py:"
     "mannwhitney_drift): each event type's values rank-tested against "
@@ -8210,89 +8350,78 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (status_cube, priority_grouping_sets), the r05 displacement heads,
 # and the rest of the r05 cohort.  embedding_lloyd_clusters from the
 # pinned queue already holds a current r8 row and yields its slot.
-# R10 QUEUE: first the r05-row holders displaced by round-9 adds —
-# embedding_topk, embedding_bucket_topk, embedding_near_dup (the last
-# two yielded their slots to doc_unimax_mix + the re-graded
-# doc_winnow_copy_pairs; staleness floor stays r05) — and
-# doc_cross_decontaminate (r06 row — yielded its slot to the new
-# doc_temperature_mix; the freshest prior row in the cohort), then
-# the stalest rows — EXACTLY the 43-query r06 cohort (all hold green
-# r6 rows + r08/r09 full-check rows):
-# asof_click_before_purchase, brand_collapse, cm_user_counts,
-# csv_export_roundtrip, customer_order_counts, customer_year_sets,
-# distinct_user_event_types, doc_clean_corpus, doc_exact_dedup,
-# doc_minhash_estimates, doc_pretrain_corpus, doc_simhash,
-# doc_simhash_pairs, doc_weighted_sample, foreach_sink_roundtrip,
-# json_sink_roundtrip, label_centroids, mod_sampled_agg,
-# multi_distinct, multimodal_audio_stats, nation_suppliers,
-# orders_bernoulli_sample, orders_snapshot_diff,
-# orders_upsert_merge, part_name_links, price_psi_drift,
-# priority_loo_encoding, priority_week_over_week,
-# schema_drift_rollup, segment_share, sessionized_events,
-# sliding_event_rollup, sql_surface_lateral, status_conditional_agg,
-# stratified_mod_sample, summary_stats, token_cooccurrence,
-# token_positions, top_orders_per_customer, top_part_types,
-# union_high_value, user_event_enrich, user_first_last
-# — 43 queries: 7 fit behind next round's adds/impl-changes in a
-# 50-slot window only if the round adds few queries; split across
-# r10/r11 as needed, adds-first as always.
+# R10 ROTATION (this window): (a) the two round-10 adds
+# (stream_funnel_depths, stream_running_totals — the drained-stream
+# oracle pattern extended to the funnel walk and the running-totals
+# state), (b) doc_tfidf_cosine_pairs — impl changed round 10 (PPJoin
+# length filter + tightened positional bound in
+# _tfidf_prefix_candidates), (c) the four pinned queue heads
+# (embedding_topk, embedding_bucket_topk, embedding_near_dup — r05
+# rows — and doc_cross_decontaminate, r06), then (d) ALL 43 of the
+# r06 cohort — 2+1+4+43 = exactly 50, so the r06 staleness bucket
+# empties THIS round and the floor rises to r07.
+# R11 QUEUE: the stalest remaining rows are then the round-7 cohort
+# (every query whose newest driver row is CORRECTNESS_r07) — front
+# any r11 adds/impl-changes first as always, then r07 rows oldest
+# cohort first.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
-    # (a) added in round 9 (never driver-graded => MUST hold a slot,
+    # (a) added in round 10 (never driver-graded => MUST hold a slot,
     # pinned by tests/test_entry.py)
-    "stream_histogram_quantiles",
-    "stream_cm_counters",
-    "doc_temperature_mix",
-    "doc_unimax_mix",
-    # (b) impl/oracle changed round 9
-    "doc_winnow_copy_pairs",
-    "embedding_semantic_dedup_hi",
-    "stream_mg_bound_audit",
-    "doc_span_cut",
-    "doc_dup_span_coverage",
-    "event_value_mannwhitney",
-    "doc_minhash_pairs",
-    "doc_dup_components",
+    "stream_funnel_depths",
+    "stream_running_totals",
+    # (b) impl changed round 10 (candidate-join filters)
     "doc_tfidf_cosine_pairs",
-    # (c) backlog: the r05-graded cohort (stalest remaining rows)
-    "status_cube",
-    "priority_grouping_sets",
-    "price_quantile_sketch",
-    "session_attribution_rollup",
-    "orders_incremental_state",
-    "priority_status_chi2",
-    "orders_neyman_sample",
-    "bloom_pruned_revenue",
-    "embedding_kcenter_coreset",
-    "priority_conversion_ci",
-    "doc_negative_samples",
-    "bm25_search_docs",
-    "bpe_merge_candidates",
-    "search_engine_rollup",
-    "addon_aggregates_rollup",
-    "addon_coinstall_graph",
-    "weekly_trend_merge",
-    "hardware_dimension_report",
-    "profile_export_json",
-    "taar_locale_topn",
-    "graphics_device_shares",
-    "missing_symbols_report",
-    "csv_dim_weighted_orders",
-    "parquet_sink_roundtrip",
-    "price_winsorized_revenue",
-    "event_gap_quantiles",
-    "doc_length_auc",
-    "clients_daily_rollup",
-    "experiments_daily_rollup",
-    "token_pmi_pairs",
-    "event_transition_probs",
-    "user_trailing_7d_value",
-    "orders_quality_report",
-    "event_type_user_overlap",
-    "part_zorder_keys",
-    "event_type_daily_trend",
-    "doc_ngram_jaccard_pairs",
+    # (c) pinned queue heads (displaced r05/r06 rows)
+    "embedding_topk",
+    "embedding_bucket_topk",
+    "embedding_near_dup",
+    "doc_cross_decontaminate",
+    # (d) the full r06 cohort (stalest remaining driver rows)
+    "asof_click_before_purchase",
+    "brand_collapse",
+    "cm_user_counts",
+    "csv_export_roundtrip",
+    "customer_order_counts",
+    "customer_year_sets",
+    "distinct_user_event_types",
+    "doc_clean_corpus",
+    "doc_exact_dedup",
+    "doc_minhash_estimates",
+    "doc_pretrain_corpus",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_weighted_sample",
+    "foreach_sink_roundtrip",
+    "json_sink_roundtrip",
+    "label_centroids",
+    "mod_sampled_agg",
+    "multi_distinct",
+    "multimodal_audio_stats",
+    "nation_suppliers",
+    "orders_bernoulli_sample",
+    "orders_snapshot_diff",
+    "orders_upsert_merge",
+    "part_name_links",
+    "price_psi_drift",
+    "priority_loo_encoding",
+    "priority_week_over_week",
+    "schema_drift_rollup",
+    "segment_share",
+    "sessionized_events",
+    "sliding_event_rollup",
+    "sql_surface_lateral",
+    "status_conditional_agg",
+    "stratified_mod_sample",
+    "summary_stats",
+    "token_cooccurrence",
+    "token_positions",
+    "top_orders_per_customer",
+    "top_part_types",
+    "union_high_value",
+    "user_event_enrich",
+    "user_first_last",
 ]
 
 
