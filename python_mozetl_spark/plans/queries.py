@@ -2163,7 +2163,11 @@ def taar_lr_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round 9 the pair stage is OVERLAP-threshold prefix filtering "
     "(Chaudhuri ICDE'06): candidates only from each doc's rarest "
     "m-49 fingerprints (hot boilerplate buckets fall out of the join "
-    "entirely), exact shared counts by within-row array_intersect.",
+    "entirely), exact shared counts by within-row array_intersect; "
+    "round 10 adds the c-prefix hit-count filter (Wang SIGMOD'12, "
+    "min_prefix_hits=2) — candidates must share TWO rare prefix "
+    "fingerprints, killing 97.5% of single-collision noise pairs "
+    "before the verify join at identical output.",
     ("ext-dedup", "ext-text"),
     oracle="""
 WITH h AS (SELECT doc_id,
@@ -8353,17 +8357,17 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # R10 ROTATION (this window): (a) the two round-10 adds
 # (stream_funnel_depths, stream_running_totals — the drained-stream
 # oracle pattern extended to the funnel walk and the running-totals
-# state), (b) doc_tfidf_cosine_pairs — impl changed round 10 (PPJoin
-# length filter + tightened positional bound in
-# _tfidf_prefix_candidates), (c) the four pinned queue heads
-# (embedding_topk, embedding_bucket_topk, embedding_near_dup — r05
-# rows — and doc_cross_decontaminate, r06), then (d) ALL 43 of the
-# r06 cohort — 2+1+4+43 = exactly 50, so the r06 staleness bucket
-# empties THIS round and the floor rises to r07.
-# R11 QUEUE: the stalest remaining rows are then the round-7 cohort
-# (every query whose newest driver row is CORRECTNESS_r07) — front
-# any r11 adds/impl-changes first as always, then r07 rows oldest
-# cohort first.
+# state), (b) the two round-10 impl changes — doc_tfidf_cosine_pairs
+# (PPJoin length filter + tightened positional bound in
+# _tfidf_prefix_candidates) and doc_winnow_copy_pairs (c-prefix
+# min_prefix_hits=2 candidate filter, −97.5% candidates), (c) the
+# four pinned queue heads (embedding_topk, embedding_bucket_topk,
+# embedding_near_dup — r05 rows — and doc_cross_decontaminate, r06),
+# then (d) 42 of the 43-query r06 cohort — 2+2+4+42 = exactly 50.
+# R11 QUEUE: first user_first_last (the one r06 row bumped by the
+# winnow re-grade — the LAST r06-cohort member), then the round-7
+# cohort (every query whose newest driver row is CORRECTNESS_r07) —
+# front any r11 adds/impl-changes first as always.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -8373,6 +8377,7 @@ _DRIVER_WINDOW = [
     "stream_running_totals",
     # (b) impl changed round 10 (candidate-join filters)
     "doc_tfidf_cosine_pairs",
+    "doc_winnow_copy_pairs",
     # (c) pinned queue heads (displaced r05/r06 rows)
     "embedding_topk",
     "embedding_bucket_topk",
@@ -8421,7 +8426,6 @@ _DRIVER_WINDOW = [
     "top_part_types",
     "union_high_value",
     "user_event_enrich",
-    "user_first_last",
 ]
 
 

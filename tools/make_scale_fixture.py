@@ -118,10 +118,15 @@ def make_embeddings(m: int, rng: np.random.RandomState) -> pa.Table:
 def main() -> None:
     # x30 (150k docs / 60k vecs) is opt-in: ``--x30`` — the third
     # decade point for the steepest curves (tfidf candidates), ~2 min
-    # to generate and several minutes per operator to run
+    # to generate and several minutes per operator to run.  x100
+    # (500k docs / 200k vecs, ``--x100``) is the fourth point: ~7 min
+    # to generate, run ONLY the steepest operators on it
+    # (scale_curve.py --x100 does exactly that, single-rep).
     scales = [("x1", 5_000), ("x10", 50_000)]
     if "--x30" in sys.argv[1:]:
         scales.append(("x30", 150_000))
+    if "--x100" in sys.argv[1:]:
+        scales.append(("x100", 500_000))
     for name, n_docs in scales:
         out = os.path.join(ROOT, "scalefix", name)
         os.makedirs(out, exist_ok=True)

@@ -14,7 +14,7 @@ successive differences attribute the wall time to a stage:
 
 Each stage frame is built FRESH (no shared localCheckpoints), so a
 stage's wall time includes everything upstream of it and nothing
-cached — the S2..S4 chains mirror ext/dedup.py:929-975 line-for-line
+cached — the S2..S4 chains mirror the c-prefix chain in ext/dedup.py (winnow_copy_pairs)
 (kept in lockstep by tests/test_r10.py::test_profile_winnow_stage_
 chain_matches_impl, which pins S4's candidate count to the real
 pipeline's).  Parameters match the graded doc_winnow_copy_pairs row
@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-K, WINDOW, MIN_SHARED, MAX_BUCKET = 8, 4, 50, 500
+K, WINDOW, MIN_SHARED, MAX_BUCKET, C = 8, 4, 50, 500, 2
 
 
 def _stage_frames(spark, sf_dir):
@@ -65,7 +65,7 @@ def _stage_frames(spark, sf_dir):
         )
         order = Window.partitionBy("doc_id").orderBy("__df", "fp")
         return ranked.withColumn("__rn", F.row_number().over(order)).where(
-            F.col("__rn") <= F.col("__m") - F.lit(MIN_SHARED) + 1
+            F.col("__rn") <= F.col("__m") - F.lit(MIN_SHARED) + F.lit(C)
         )
 
     def cand():
@@ -84,7 +84,10 @@ def _stage_frames(spark, sf_dir):
                 F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"),
             )
-            .dropDuplicates(["id_a", "id_b"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .where(F.col("__hits") >= F.lit(C))
+            .select("id_a", "id_b")
         )
 
     d = t(spark, sf_dir, "documents")

@@ -177,12 +177,41 @@ def main() -> None:
                   f"{out[name]['ratio_30_10']}  rows {r30}",
                   file=sys.stderr, flush=True)
 
+    # optional FOURTH decade point (x100 = 500k docs / 200k vecs;
+    # generate with ``make_scale_fixture.py --x100``): the three
+    # steepest curves only, SINGLE rep (the point is the decade
+    # exponent, not a tight median — a full median-of-3 sweep at this
+    # size costs ~an hour of box time); the warm count pass still
+    # precedes the timed noop write, same as every other row
+    if "--x100" in sys.argv[1:]:
+        for name in ("doc_winnow_copy_pairs", "doc_tfidf_cosine_pairs",
+                     "semantic_dedup_auto"):
+            try:
+                t100, r100 = timed(
+                    name, os.path.join(ROOT, "scalefix", "x100"), 1
+                )
+            except Exception as e:
+                out[name]["x100_error"] = f"{type(e).__name__}"
+                print(f"# {name}: x100 FAILED {type(e).__name__}",
+                      file=sys.stderr, flush=True)
+                continue
+            out[name]["x100_sec"] = t100
+            out[name]["x100_rows"] = r100
+            if "x30_sec" in out[name]:
+                out[name]["ratio_100_30"] = round(
+                    t100 / out[name]["x30_sec"], 2
+                )
+            print(f"# {name}: x100 {t100}s  rows {r100}",
+                  file=sys.stderr, flush=True)
+
     # tfidf candidate-volume observable at both scales
     from python_mozetl_spark.plans.queries import t as _t
     from python_mozetl_spark.ext.search import tfidf_candidate_stats
 
     cand = {}
     cand_scales = ("x1", "x10", "x30") if "--x30" in sys.argv[1:] else ("x1", "x10")
+    if "--x100" in sys.argv[1:]:
+        cand_scales = cand_scales + ("x100",)
     for tag in cand_scales:
         d = _t(spark, os.path.join(ROOT, "scalefix", tag), "documents")
         row = tfidf_candidate_stats(d, "doc_id", "text", threshold=0.9).collect()[0]
@@ -196,6 +225,11 @@ def main() -> None:
     if "x30" in cand:
         cand["ratio_30_10"] = round(
             cand["x30"]["n_candidates"] / max(cand["x10"]["n_candidates"], 1), 2
+        )
+    if "x100" in cand and "x30" in cand:
+        cand["ratio_100_30"] = round(
+            cand["x100"]["n_candidates"] / max(cand["x30"]["n_candidates"], 1),
+            2,
         )
 
     # isolated winnow + minhash microbenches at driver sf0.1
