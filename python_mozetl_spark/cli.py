@@ -398,6 +398,52 @@ def taar_ensemble(input_path, output_path, date, master, feature_cols,
                         f"{output_path}/ensemble_weight_daily.json")
 
 
+@entry_point.command("report_check")
+@click.option("--input", "input_path", required=True,
+              help="dated weekly JSON artifact (list of "
+                   "{date: YYYY-MM-DD, metric: value, ...} records; "
+                   "path or http[s] URL)")
+@click.option("--min-change", default=0.3, type=float)
+@click.option("--min-value", default=0.01, type=float)
+@click.option("--from", "fromaddr", default="alerts@localhost")
+@click.option("--to", "recipient", default="report-feedback@localhost")
+@click.option("--subject", default="Report Validation Checks")
+@click.option("--spool", "spool_dir", required=True,
+              help="directory the alert email spools to as .eml "
+                   "(wire a real SES/SMTP transport via the "
+                   "sinks.alerts.deliver_alert API instead)")
+def report_check(input_path, min_change, min_value, fromaddr, recipient,
+                 subject, spool_dir):
+    """Validate the most recent report snapshot against the previous
+    one and spool an alert email when any metric moved more than
+    --min-change (reference hardware_report/check_output.py:7-74 +
+    utils.py:104-128; K7).  Driver-only — the artifact is kilobytes,
+    no SparkSession is started."""
+    from python_mozetl_spark.sinks.alerts import (
+        build_alert_email,
+        dated_values_from_artifact,
+        deliver_alert,
+        most_recent_change,
+        render_change_report,
+    )
+    from python_mozetl_spark.sources.side_input import side_input_from_json
+
+    data = dated_values_from_artifact(side_input_from_json(input_path))
+    changes = most_recent_change(
+        data, min_change=min_change, min_value=min_value
+    )
+    if not changes:
+        click.echo("no metric moved beyond the threshold; nothing sent")
+        return
+    path = deliver_alert(
+        build_alert_email(
+            fromaddr, subject, render_change_report(changes), recipient
+        ),
+        spool_dir=spool_dir,
+    )
+    click.echo(path)
+
+
 @entry_point.command("shield_privacy_prefs")
 @_common
 def shield_privacy_prefs(input_path, output_path, date, master):

@@ -10,3 +10,11 @@ from python_mozetl_spark.sinks.writers import (  # noqa: F401
     write_zorder_parquet,
     zorder_key,
 )
+from python_mozetl_spark.sinks.alerts import (  # noqa: F401
+    alert_on_change_flags,
+    build_alert_email,
+    dated_values_from_artifact,
+    deliver_alert,
+    most_recent_change,
+    render_change_report,
+)

@@ -143,3 +143,171 @@ def test_profile_winnow_stage_chain_matches_impl(spark):
     assert out_pairs <= cand_pairs
     # stage counts are sane: pruning never grows a frame
     assert frames["s2_pruned"]().count() <= frames["s1_fingerprints"]().count()
+
+
+# --------------------------------------------------------------------
+# K7 closure: the email alert sink (sinks/alerts.py) — reference
+# check_output.py semantics + send_ses MIME shape, delivery seam
+# injectable, spool-file artifact as the default.
+# --------------------------------------------------------------------
+
+
+def test_most_recent_change_reference_semantics():
+    from python_mozetl_spark.sinks.alerts import (
+        dated_values_from_artifact,
+        most_recent_change,
+    )
+
+    data = dated_values_from_artifact(
+        [
+            {"date": "2024-01-01", "big_move": 0.20, "steady": 0.50,
+             "tiny_base": 0.005, "vanishes": 0.30},
+            {"date": "2024-01-08", "big_move": 0.30, "steady": 0.51,
+             "tiny_base": 0.05, "appears": 0.40},
+        ]
+    )
+    assert set(data) == {20240101, 20240108}
+    ch = most_recent_change(data, min_change=0.3, min_value=0.01,
+                            missing_val=0.01)
+    # 0.20 -> 0.30 = +50%: flagged; steady +2%: not; tiny_base moved
+    # 10x but its base is below min_value: not; vanishes reads as
+    # missing_val on the new side (-96.7%): flagged; appears has base
+    # = missing_val (>= min_value) and +3900%: flagged
+    assert set(ch) == {"big_move", "vanishes", "appears"}
+    assert ch["big_move"]["change"] == pytest.approx(0.5)
+    assert ch["vanishes"]["new_value"] == 0.01
+    assert ch["appears"]["old_value"] == 0.01
+    # fewer than two snapshots -> nothing to compare
+    assert most_recent_change({20240101: {"a": 1.0}}) == {}
+    with pytest.raises(ValueError):
+        most_recent_change(data, missing_val=0.0)
+
+
+def test_render_change_report_format_and_order():
+    from python_mozetl_spark.sinks.alerts import render_change_report
+
+    body = render_change_report(
+        {
+            "up": {"change": 0.5, "old_value": 0.2, "new_value": 0.3},
+            "down": {"change": -0.4, "old_value": 0.5, "new_value": 0.3},
+        }
+    )
+    # sorted by SIGNED change: the drop renders first (reference
+    # _make_report sorts ascending); shares scale to percent
+    assert body.splitlines() == [
+        "down: Last week = 50.00%, This week = 30.00%",
+        "up: Last week = 20.00%, This week = 30.00%",
+    ]
+    counts = render_change_report(
+        {"P1": {"change": 0.5, "old_value": 120, "new_value": 180}},
+        scale=1.0,
+        unit="",
+    )
+    assert counts == "P1: Last week = 120.00, This week = 180.00"
+
+
+def test_alert_email_mime_shape_and_delivery_seam(tmp_path):
+    from email import message_from_string
+
+    from python_mozetl_spark.sinks.alerts import (
+        build_alert_email,
+        deliver_alert,
+    )
+
+    att = tmp_path / "report.json"
+    att.write_text('{"x": 1}')
+    msg = build_alert_email(
+        "alerts@localhost", "Checks", "body text", "ops@localhost",
+        attachment_path=str(att),
+    )
+    parsed = message_from_string(msg.as_string())
+    assert parsed["Subject"] == "Checks"
+    assert parsed["From"] == "alerts@localhost"
+    assert parsed["To"] == "ops@localhost"
+    parts = list(parsed.walk())
+    assert any(p.get_content_type() == "text/plain" for p in parts)
+    assert any(p.get_filename() == "report.json" for p in parts)
+
+    # spool path: .eml lands, idempotent for identical content
+    p1 = deliver_alert(msg, spool_dir=str(tmp_path / "spool"))
+    p2 = deliver_alert(msg, spool_dir=str(tmp_path / "spool"))
+    assert p1 == p2 and p1.endswith(".eml")
+    assert "body text" in open(p1).read()
+
+    # transport seam: raw string in, reference error contract honored
+    seen = []
+    out = deliver_alert(msg, transport=lambda raw: seen.append(raw) or "ok")
+    assert out == "ok" and "Subject: Checks" in seen[0]
+    with pytest.raises(RuntimeError, match="Error sending email"):
+        deliver_alert(msg, transport=lambda raw: {"ErrorResponse": 1})
+    with pytest.raises(ValueError):
+        deliver_alert(msg)
+
+
+def test_alert_on_change_flags_end_to_end(spark, tmp_path):
+    from python_mozetl_spark.operators.metrics import snapshot_change_flags
+    from python_mozetl_spark.sinks.alerts import alert_on_change_flags
+    from pyspark.sql import functions as F
+
+    rows = [("P1", 2024)] * 2 + [("P1", 2025)] * 5 + [("P2", 2024)] * 4 + [
+        ("P2", 2025)
+    ] * 4
+    df = spark.createDataFrame(rows, "prio string, yr int")
+    flags = snapshot_change_flags(
+        df, ["prio"], F.col("yr") == 2024, F.col("yr") == 2025, threshold=0.3
+    )
+    path = alert_on_change_flags(
+        flags, ["prio"], "alerts@localhost", "ops@localhost",
+        "priority drift", spool_dir=str(tmp_path),
+    )
+    body = open(path).read()
+    assert "P1: Last week = 2.00, This week = 5.00" in body
+    assert "P2" not in body  # unchanged priority never renders
+
+    # the reference gate: nothing flagged -> nothing sent
+    calm = snapshot_change_flags(
+        df.where("prio = 'P2'"), ["prio"],
+        F.col("yr") == 2024, F.col("yr") == 2025, threshold=0.3,
+    )
+    assert alert_on_change_flags(
+        calm, ["prio"], "a@localhost", "b@localhost", "calm",
+        spool_dir=str(tmp_path),
+    ) is None
+
+
+def test_cli_report_check_dispatch(tmp_path):
+    from click.testing import CliRunner
+
+    from python_mozetl_spark.cli import entry_point
+
+    artifact = tmp_path / "weekly.json"
+    artifact.write_text(json.dumps([
+        {"date": "2024-01-01", "intel": 0.60, "amd": 0.40},
+        {"date": "2024-01-08", "intel": 0.20, "amd": 0.80},
+    ]))
+    spool = tmp_path / "spool"
+    res = CliRunner().invoke(
+        entry_point,
+        ["report_check", "--input", str(artifact), "--spool", str(spool),
+         "--min-change", "0.3"],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    eml = res.output.strip().splitlines()[-1]
+    body = open(eml).read()
+    assert "intel: Last week = 60.00%, This week = 20.00%" in body
+    assert "amd: Last week = 40.00%, This week = 80.00%" in body
+
+    # below-threshold artifact: the gate holds, nothing spools
+    artifact.write_text(json.dumps([
+        {"date": "2024-01-01", "intel": 0.50},
+        {"date": "2024-01-08", "intel": 0.52},
+    ]))
+    res2 = CliRunner().invoke(
+        entry_point,
+        ["report_check", "--input", str(artifact), "--spool",
+         str(tmp_path / "spool2"), "--min-change", "0.3"],
+        catch_exceptions=False,
+    )
+    assert res2.exit_code == 0
+    assert "nothing sent" in res2.output
