@@ -398,6 +398,42 @@ def taar_ensemble(input_path, output_path, date, master, feature_cols,
                         f"{output_path}/ensemble_weight_daily.json")
 
 
+@entry_point.command("taar_amodump")
+@click.option("--output", "output_path", required=True)
+@click.option("--date", default=None,
+              help="datestamp suffix for the artifact copy (the "
+                   "reference's store_json_to_s3 date)")
+@click.option("--search-uri", default=None,
+              help="override the addons search endpoint (tests point "
+                   "this at a fixture transport)")
+@click.option("--versions-uri-fmt", default=None,
+              help="override the per-addon versions endpoint format "
+                   "({guid} placeholder)")
+def taar_amodump(output_path, date, search_uri, versions_uri_fmt):
+    """Assemble extended_addons_database.json from the AMO API
+    (reference taar_amodump.py:78-234): page the search endpoint,
+    resolve each addon's first-release date through its versions
+    pages, keep only dated addons.  Driver-only; the HTTP fetch is
+    sources.side_input.side_input_from_json (size-capped, http[s]
+    only) — inject any other transport through the
+    sources.amo_catalog.build_addon_catalog API."""
+    from python_mozetl_spark.sources import amo_catalog
+    from python_mozetl_spark.sources.side_input import side_input_from_json
+
+    kwargs = {}
+    if search_uri:
+        kwargs["search_uri"] = search_uri
+    if versions_uri_fmt:
+        kwargs["versions_uri_fmt"] = versions_uri_fmt
+    catalog = amo_catalog.build_addon_catalog(side_input_from_json, **kwargs)
+    write_json_artifact(
+        catalog,
+        f"{output_path}/extended_addons_database.json",
+        datestamp=date,
+    )
+    click.echo(f"{len(catalog)} addons")
+
+
 @entry_point.command("report_check")
 @click.option("--input", "input_path", required=True,
               help="dated weekly JSON artifact (list of "

@@ -311,3 +311,121 @@ def test_cli_report_check_dispatch(tmp_path):
     )
     assert res2.exit_code == 0
     assert "nothing sent" in res2.output
+
+
+# --------------------------------------------------------------------
+# AMO crawler closure: the catalog-assembly logic engine-side
+# (sources/amo_catalog.py), the wire call injectable.
+# --------------------------------------------------------------------
+
+
+def _amo_api(flaky_once=None):
+    """Dict-backed fake AMO API: 2 search pages (guids a@x, b@x, c@x),
+    versions for a (1 page), b (3 pages — last page carries the first
+    release), c always failing; optionally one URL that fails ONCE."""
+    s = "https://amo.test/search/?q=1"
+    vf = "https://amo.test/addons/{guid}/versions/"
+    payloads = {
+        s: {"page_count": 2, "results": []},
+        s + "&page=1": {"page_count": 2, "results": [
+            {"guid": "a@x", "name": {"en": "A"}},
+            {"guid": "b@x", "name": {"en": "B"}},
+        ]},
+        s + "&page=2": {"page_count": 2, "results": [
+            {"guid": "c@x", "name": {"en": "C"}},
+        ]},
+        vf.format(guid="a%40x"): {"page_count": 1, "results": [
+            {"files": [{"created": "2021-07-07"}]},
+            {"files": [{"created": "2020-01-01"}]},
+        ]},
+        vf.format(guid="b%40x"): {"page_count": 3, "results": []},
+        vf.format(guid="b%40x") + "?page=3": {"page_count": 3, "results": [
+            {"files": [{"created": "2019-05-05"}]},
+        ]},
+    }
+    calls = {"n": {}, "flaked": False}
+
+    def fetch(url):
+        calls["n"][url] = calls["n"].get(url, 0) + 1
+        if url == flaky_once and not calls["flaked"]:
+            calls["flaked"] = True
+            raise OSError("transient")
+        if "c%40x" in url:
+            raise OSError("always down")
+        return payloads[url]
+
+    return s, vf, fetch, calls
+
+
+def test_build_addon_catalog_crawl_semantics():
+    from python_mozetl_spark.sources.amo_catalog import build_addon_catalog
+
+    s, vf, fetch, calls = _amo_api(flaky_once="https://amo.test/search/?q=1&page=2")
+    catalog = build_addon_catalog(fetch, search_uri=s, versions_uri_fmt=vf)
+    # a: single version page, LAST entry is the first release
+    assert catalog["a@x"]["first_create_date"] == "2020-01-01"
+    # b: multi-page — the crawl walks to ?page=3 for the date
+    assert catalog["b@x"]["first_create_date"] == "2019-05-05"
+    # c: version lookup failed (even after the retry pass) -> dropped,
+    # the reference's keep-only-dated filter
+    assert "c@x" not in catalog
+    # the flaky page recovered on the retry-once pass
+    assert calls["n"]["https://amo.test/search/?q=1&page=2"] == 2
+    # raw search record fields ride through untouched
+    assert catalog["a@x"]["name"] == {"en": "A"}
+
+
+def test_marshal_addon_typed_subset():
+    from python_mozetl_spark.sources.amo_catalog import marshal_addon
+
+    rec = {
+        "guid": "a@x",
+        "weekly_downloads": "1200",
+        "ratings": {"average": "4.5", "count": 10},
+        "tags": [1, "two"],
+        "name": {"en": "A"},
+        "categories": {"firefox": ["x", 2]},
+        "current_version": {"files": [
+            {"id": "7", "is_webextension": True, "platform": "all"},
+        ]},
+        "first_create_date": "2020-01-01",
+        "unlisted_field": "dropped",
+    }
+    m = marshal_addon(rec)
+    assert m["weekly_downloads"] == 1200
+    assert m["ratings"] == {"average": 4.5, "count": 10.0}
+    assert m["tags"] == ["1", "two"]
+    assert m["categories"] == {"firefox": ["x", "2"]}
+    f = m["current_version"]["files"][0]
+    assert f == {"id": 7, "is_webextension": True, "platform": "all"}
+    assert "status" not in f          # absent stays absent (Undefined)
+    assert "unlisted_field" not in m  # only declared fields survive
+    assert "default_locale" not in m
+
+
+def test_cli_taar_amodump_dispatch(tmp_path, monkeypatch):
+    from click.testing import CliRunner
+
+    from python_mozetl_spark.cli import entry_point
+    from python_mozetl_spark.sources import side_input
+
+    s, vf, fetch, _ = _amo_api()
+    monkeypatch.setattr(side_input, "side_input_from_json", fetch)
+    out_dir = tmp_path / "amo"
+    res = CliRunner().invoke(
+        entry_point,
+        ["taar_amodump", "--output", str(out_dir), "--date", "20240101",
+         "--search-uri", s, "--versions-uri-fmt", vf],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert "2 addons" in res.output
+    current = json.loads(
+        (out_dir / "extended_addons_database.json").read_text()
+    )
+    dated = json.loads(
+        (out_dir / "extended_addons_database.20240101.json").read_text()
+    )
+    assert current == dated
+    assert set(current) == {"a@x", "b@x"}
+    assert current["b@x"]["first_create_date"] == "2019-05-05"
