@@ -8223,6 +8223,81 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_decayed_totals",
+    "The per-key exponentially-decayed running state graded as an "
+    "oracle row (streaming/stateful.py:decayed_totals_stream — the "
+    "recency-weighted form of the trends cache): values stream "
+    "through the re-decay fold over several micro-batches; each "
+    "user's FINAL emission is graded against the closed-form per-key "
+    "decayed sum.  Gradeable because decay(a+b) = decay(a)·decay(b) "
+    "makes the incremental fold MATHEMATICALLY exact (no cap, no "
+    "order dependence — late events fold in at their true age), the "
+    "batch split is deterministic (repartition of a static frame, "
+    "alphabetical file order), and the float path differs from the "
+    "one-shot formula by ~1 ulp against a 4-dp round — a fixed "
+    "fixture either always greens or never does.",
+    ("§2.12", "streaming", "timeseries"),
+    oracle="""
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (SELECT user_id, max(s) AS ref FROM e GROUP BY 1)
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(r.ref) AS BIGINT) AS ref_epoch,
+  round(sum(e.value * pow(0.5, (r.ref - e.s) / 86400.0 / 7.0)), 4)
+    AS decayed_value
+FROM e JOIN r ON r.user_id = e.user_id
+GROUP BY e.user_id
+""",
+    side_effect=True,
+)
+def stream_decayed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.streaming.stateful import decayed_totals_stream
+
+    # pre-filter the feed so the stream, its state, and the oracle see
+    # the same non-null domain (the operator filters too, but a user
+    # whose rows ALL filtered away would emit a zero-state row the
+    # oracle has no twin for)
+    feed = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    )
+
+    def finalize(emitted: DataFrame, src_df: DataFrame) -> DataFrame:
+        # final emission per key = the row carrying the key's max
+        # n_events (strictly grows every micro-batch the key appears in)
+        w = Window.partitionBy("user_id")
+        return (
+            emitted.withColumn("__mx", F.max("n_events").over(w))
+            .where(F.col("n_events") == F.col("__mx"))
+            .select(
+                "user_id",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("ref_epoch").cast("bigint").alias("ref_epoch"),
+                F.col("decayed_value").cast("double").alias("decayed_value"),
+            )
+        )
+
+    rows = _drained_stream_rows(
+        spark,
+        sf_dir,
+        "decay_stream",
+        feed,
+        "user_id bigint, ts timestamp_ntz, value double",
+        lambda src: decayed_totals_stream(
+            src, "user_id", "ts", "value", half_life_days=7.0
+        ),
+        "update",
+        finalize,
+    )
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, n_events bigint, ref_epoch bigint, "
+        "decayed_value double",
+    )
+
+
+@query(
     "event_value_mannwhitney",
     "Per-group Mann-Whitney U drift (operators/metrics.py:"
     "mannwhitney_drift): each event type's values rank-tested against "
@@ -8363,11 +8438,14 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min_prefix_hits=2 candidate filter, −97.5% candidates), (c) the
 # four pinned queue heads (embedding_topk, embedding_bucket_topk,
 # embedding_near_dup — r05 rows — and doc_cross_decontaminate, r06),
-# then (d) 42 of the 43-query r06 cohort — 2+2+4+42 = exactly 50.
-# R11 QUEUE: first user_first_last (the one r06 row bumped by the
-# winnow re-grade — the LAST r06-cohort member), then the round-7
-# cohort (every query whose newest driver row is CORRECTNESS_r07) —
-# front any r11 adds/impl-changes first as always.
+# then (d) 41 of the 43-query r06 cohort — 3+2+4+41 = exactly 50
+# (stream_decayed_totals, the late round-10 add, took the third
+# adds slot).
+# R11 QUEUE: first user_first_last and user_event_enrich (the two
+# r06 rows bumped by the winnow re-grade and the decayed-totals
+# add), then the round-7 cohort (every query whose newest driver
+# row is CORRECTNESS_r07) — front any r11 adds/impl-changes first
+# as always.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -8375,6 +8453,7 @@ _DRIVER_WINDOW = [
     # pinned by tests/test_entry.py)
     "stream_funnel_depths",
     "stream_running_totals",
+    "stream_decayed_totals",
     # (b) impl changed round 10 (candidate-join filters)
     "doc_tfidf_cosine_pairs",
     "doc_winnow_copy_pairs",
@@ -8425,7 +8504,6 @@ _DRIVER_WINDOW = [
     "top_orders_per_customer",
     "top_part_types",
     "union_high_value",
-    "user_event_enrich",
 ]
 
 
