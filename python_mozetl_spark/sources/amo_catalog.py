@@ -34,6 +34,9 @@ from __future__ import annotations
 from collections.abc import Callable, Iterable, Mapping
 from urllib.parse import quote, unquote
 
+# the reference's own PUBLIC API endpoint constants, verbatim
+# (taar_amodump.py:20-21, 128-129) — the only URLs in the package;
+# both are overridable per call and per CLI flag
 DEFAULT_SEARCH_URI = (
     "https://addons.mozilla.org/api/v3/addons/search/"
     "?app=firefox&sort=created&type=extension"
