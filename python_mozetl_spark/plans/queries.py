@@ -8099,7 +8099,8 @@ def stream_cm_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("§2.12", "streaming", "timeseries"),
     oracle="""
 WITH e AS (SELECT user_id, event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+             CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+           WHERE ts IS NOT NULL),
 u AS (SELECT DISTINCT user_id FROM e),
 t1 AS (SELECT user_id, min(s) AS s1 FROM e
        WHERE event_type = 'view' GROUP BY 1),
@@ -8127,11 +8128,19 @@ def stream_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole-second int64 ticks BEFORE the stream (the decayed_sum
     # epoch recipe) so the stateful walk, the final read-out, and the
     # oracle all compare the same unit — and the ts column needs no
-    # nanos handling inside the stream's Arrow batches
-    feed = t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.col("ts").cast("timestamp_ltz").cast("long").alias("s"),
+    # nanos handling inside the stream's Arrow batches.  NULL ts is
+    # filtered defensively (mirrored in the oracle's e CTE): a NULL
+    # would become NaN in the Arrow batch and crash the stateful
+    # walk's astype('int64') — fragile against fixture regeneration
+    # even though the current events fixture has none.
+    feed = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ltz").cast("long").alias("s"),
+        )
     )
 
     def finalize(emitted: DataFrame, src_df: DataFrame) -> DataFrame:

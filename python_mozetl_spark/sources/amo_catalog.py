@@ -32,7 +32,7 @@ by definition; no SparkSession is involved.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterable, Mapping
-from urllib.parse import quote, unquote
+from urllib.parse import quote
 
 # the reference's own PUBLIC API endpoint constants, verbatim
 # (taar_amodump.py:20-21, 128-129) — the only URLs in the package;
@@ -119,7 +119,11 @@ def build_addon_catalog(
         try:
             results = jdata["results"]
             created = results[-1]["files"][0]["created"]
-            guid = unquote(last_page_urls[url])
+            # last_page_urls maps url -> the RAW guid (quote() was only
+            # applied to the URL string), so no unquote here: decoding a
+            # raw guid containing a literal %XX sequence would corrupt it
+            # and silently drop the addon from the catalog
+            guid = last_page_urls[url]
             if guid in addon_map:
                 addon_map[guid]["first_create_date"] = created
         except Exception:

