@@ -7775,13 +7775,18 @@ def _drained_stream_rows(
     output_mode: str,
     finalize,
     timeout_sec: int = 300,
+    write_feed=None,
 ) -> list:
     """Shared harness for the ORACLE-GRADED streaming rows: write the
     batch ``feed`` as several parquet files into a pid-scoped temp
     root, stream them through ``make_stream`` one file per micro-batch
     (availableNow => several real state folds), then hand the
     memory-sink emission plus a batch re-read of the feed to
-    ``finalize``.  The finalized frame is MATERIALIZED here (each of
+    ``finalize``.  ``write_feed(feed, src)`` overrides the default
+    random repartition(4) split — for states whose final-emission
+    recovery needs a CONTROLLED micro-batch order (FileStreamSource
+    replays oldest-modification-time first, so a writer that appends
+    one file per chronological slice fixes the replay order).  The finalized frame is MATERIALIZED here (each of
     these audits is a few rows) and the temp root (src parquet +
     checkpoint) removed in a finally, so repeated builds never
     accumulate temp dirs and the returned rows never lazily read a
@@ -7800,7 +7805,10 @@ def _drained_stream_rows(
     try:
         # several source files => several micro-batches under
         # maxFilesPerTrigger=1 — the cross-batch state fold is the point
-        feed.repartition(4).write.parquet(src)
+        if write_feed is None:
+            feed.repartition(4).write.parquet(src)
+        else:
+            write_feed(feed, src)
         # memory-sink table names are session-global: scope by tag+SF
         # (dots stripped — table names reject '.')
         mem_name = f"{tag}_{sf_tag}"
@@ -8307,6 +8315,111 @@ def stream_decayed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_zscore_anomalies",
+    "The streaming rolling z-score anomaly monitor graded as an "
+    "oracle row (streaming/anomaly.py:zscore_anomalies_stream) — the "
+    "SEVENTH and last stateful streaming operator to get one.  The "
+    "state is order-DEPENDENT in general (a late early-day batch "
+    "rescored mid-days invalidate earlier emissions), so the feed is "
+    "replayed in a CONTROLLED order: whole-day chronological slices, "
+    "one file per micro-batch (FileStreamSource drains oldest "
+    "modification time first).  Under append-only chronological "
+    "arrival the trailing-window scores of already-seen days never "
+    "change, every emission is a superset of the previous one, and "
+    "the distinct union of emissions IS the final anomaly set — "
+    "which equals the batch operator over the whole feed and is what "
+    "the oracle rebuilds (7-observed-day trailing avg/stddev_samp, "
+    "n>=3, |z| rounded 6dp > 1.5).",
+    ("§2.12", "streaming", "timeseries"),
+    oracle="""
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+               GROUP BY 1, 2),
+s AS (SELECT event_type, day, v,
+        avg(v) OVER w AS mu, stddev_samp(v) OVER w AS sd, count(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  round(v, 6) AS day_value, round((v - mu) / sd, 6) AS zscore
+FROM s
+WHERE n >= 3 AND sd IS NOT NULL AND sd > 0
+  AND abs(round((v - mu) / sd, 6)) > 1.5
+""",
+    side_effect=True,
+)
+def stream_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.streaming.anomaly import zscore_anomalies_stream
+
+    feed = (
+        t(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    )
+
+    def write_chrono(feed_df: DataFrame, src: str) -> None:
+        # whole-day chronological slices, one parquet file each,
+        # written sequentially so replay order = day order and no
+        # day's total is ever split across micro-batches (both are
+        # preconditions of the union-of-emissions read-out above).
+        # The distinct-day collect is calendar-bounded (30 rows here).
+        import time as _time
+
+        days = [
+            r[0]
+            for r in feed_df.select(F.to_date("ts").alias("d"))
+            .distinct()
+            .orderBy("d")
+            .collect()
+        ]
+        step = max(1, (len(days) + 3) // 4)
+        for i in range(0, len(days), step):
+            chunk = days[i : i + step]
+            (
+                feed_df.where(F.to_date("ts").between(chunk[0], chunk[-1]))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            _time.sleep(0.1)  # distinct mtimes pin the replay order
+
+    def finalize(emitted: DataFrame, src_df: DataFrame) -> DataFrame:
+        # chronological whole-day batches => emissions grow
+        # monotonically and re-emitted rows are bit-identical (the
+        # per-day prefix of the series never changes), so the distinct
+        # union is exactly the final anomaly set
+        return emitted.dropDuplicates().select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("day_value").cast("double").alias("day_value"),
+            F.col("zscore").cast("double").alias("zscore"),
+        )
+
+    rows = _drained_stream_rows(
+        spark,
+        sf_dir,
+        "zanom_stream",
+        feed,
+        "event_type string, ts timestamp_ntz, value double",
+        lambda src: zscore_anomalies_stream(
+            src,
+            "event_type",
+            "ts",
+            "value",
+            window_days=7,
+            z_thresh=1.5,
+            min_periods=3,
+        ),
+        "update",
+        finalize,
+        write_feed=write_chrono,
+    )
+    return spark.createDataFrame(
+        rows, "event_type string, day string, day_value double, zscore double"
+    )
+
+
+@query(
     "event_value_mannwhitney",
     "Per-group Mann-Whitney U drift (operators/metrics.py:"
     "mannwhitney_drift): each event type's values rank-tested against "
@@ -8450,69 +8563,80 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then (d) 41 of the 43-query r06 cohort — 3+2+4+41 = exactly 50
 # (stream_decayed_totals, the late round-10 add, took the third
 # adds slot).
-# R11 QUEUE: first user_first_last and user_event_enrich (the two
-# r06 rows bumped by the winnow re-grade and the decayed-totals
-# add), then the round-7 cohort (every query whose newest driver
-# row is CORRECTNESS_r07) — front any r11 adds/impl-changes first
-# as always.
+# R11 ROTATION (this window): (a) the round-11 add
+# (stream_zscore_anomalies — the seventh and last streaming state to
+# get an oracle row, via the chronological whole-day replay), (b) the
+# three round-11 impl-touches — stream_funnel_depths (NULL-ts filter
+# in feed AND oracle), doc_winnow_copy_pairs (hash_fn seam +
+# min_prefix_hits clamp) and doc_minhash_pairs (hash_fn seam) — the
+# graded plans are default-md5-unchanged but fresh rows are cheap
+# insurance, (c) the two pinned queue heads (the r06 rows bumped in
+# round 10: user_first_last, user_event_enrich), then (d) the FULL
+# 43-query r07 cohort (every query whose newest driver row is
+# CORRECTNESS_r07) + the alphabetical head of the r08 cohort
+# (bigram_lm_top) in the one spare slot — 1+3+2+43+1 = exactly 50.
+# R12 QUEUE: the remaining r08 cohort (45 queries, alphabetical from
+# customer_revenue_deciles), then the r09 cohort — front any r12
+# adds/impl-changes first as always.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
-    # (a) added in round 10 (never driver-graded => MUST hold a slot,
+    # (a) added in round 11 (never driver-graded => MUST hold a slot,
     # pinned by tests/test_entry.py)
+    "stream_zscore_anomalies",
+    # (b) impl touched round 11 (funnel NULL filter; hash seam + clamp)
     "stream_funnel_depths",
-    "stream_running_totals",
-    "stream_decayed_totals",
-    # (b) impl changed round 10 (candidate-join filters)
-    "doc_tfidf_cosine_pairs",
     "doc_winnow_copy_pairs",
-    # (c) pinned queue heads (displaced r05/r06 rows)
-    "embedding_topk",
-    "embedding_bucket_topk",
-    "embedding_near_dup",
-    "doc_cross_decontaminate",
-    # (d) the full r06 cohort (stalest remaining driver rows)
-    "asof_click_before_purchase",
-    "brand_collapse",
-    "cm_user_counts",
-    "csv_export_roundtrip",
-    "customer_order_counts",
-    "customer_year_sets",
-    "distinct_user_event_types",
-    "doc_clean_corpus",
-    "doc_exact_dedup",
-    "doc_minhash_estimates",
-    "doc_pretrain_corpus",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "doc_weighted_sample",
-    "foreach_sink_roundtrip",
-    "json_sink_roundtrip",
-    "label_centroids",
-    "mod_sampled_agg",
-    "multi_distinct",
-    "multimodal_audio_stats",
-    "nation_suppliers",
-    "orders_bernoulli_sample",
-    "orders_snapshot_diff",
-    "orders_upsert_merge",
-    "part_name_links",
-    "price_psi_drift",
-    "priority_loo_encoding",
-    "priority_week_over_week",
-    "schema_drift_rollup",
-    "segment_share",
-    "sessionized_events",
-    "sliding_event_rollup",
-    "sql_surface_lateral",
-    "status_conditional_agg",
-    "stratified_mod_sample",
-    "summary_stats",
-    "token_cooccurrence",
-    "token_positions",
-    "top_orders_per_customer",
-    "top_part_types",
-    "union_high_value",
+    "doc_minhash_pairs",
+    # (c) pinned queue heads (the two r06 rows bumped in round 10)
+    "user_first_last",
+    "user_event_enrich",
+    # (d) the full r07 cohort (stalest remaining driver rows)
+    "capped_events_per_user",
+    "customers_without_orders",
+    "daily_event_rollup",
+    "doc_bigram_perplexity",
+    "doc_ccnet_buckets",
+    "doc_contamination_report",
+    "doc_dsir_selection",
+    "doc_gopher_filter",
+    "doc_incremental_lsh",
+    "doc_lang_id",
+    "doc_leakage_safe_split",
+    "doc_quality",
+    "doc_split_kl",
+    "doc_token_budget_corpus",
+    "doc_token_explode",
+    "doc_token_stats",
+    "dp_lang_source_counts",
+    "embedding_covariance",
+    "embedding_split_contamination",
+    "embedding_zscore_outliers",
+    "event_cusum_changepoint",
+    "event_theil_sen_trend",
+    "event_type_pivot",
+    "event_value_ks_drift",
+    "event_weekday_seasonality",
+    "filtered_scan",
+    "hybrid_search_rrf",
+    "json_artifact_roundtrip",
+    "latest_event_per_user",
+    "multimodal_decode_stats",
+    "multimodal_features",
+    "multimodal_image_headers",
+    "part_pair_lift",
+    "pricing_metrics_long",
+    "priority_join_agg",
+    "props_json_stats",
+    "region_nation_rollup",
+    "regional_revenue",
+    "running_revenue",
+    "segment_active_customers",
+    "stream_merge_sink_roundtrip",
+    "token_triangles",
+    "user_decayed_value",
+    # the r08-cohort head takes the spare slot
+    "bigram_lm_top",
 ]
 
 
