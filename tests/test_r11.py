@@ -225,3 +225,100 @@ def test_amo_guid_with_literal_percent_not_double_decoded():
         lambda url: payloads[url], search_uri=s, versions_uri_fmt=vf
     )
     assert catalog[guid]["first_create_date"] == "2022-02-02"
+
+
+# --------------------------------------------------------------------
+# Hardware dashboard end-to-end (VERDICT r10 task 6): the reference's
+# hardware_dashboard.py chain — report generation → weekly JSON
+# artifact append → check_output alert — driven through the repo's
+# three pieces in one test: hardware_report CLI, write_json_artifact,
+# report_check CLI spooling an .eml on a planted >30% share change.
+# --------------------------------------------------------------------
+
+
+def test_hardware_dashboard_end_to_end_alert(spark, tmp_path):
+    import email
+    import json
+
+    from click.testing import CliRunner
+
+    from python_mozetl_spark.cli import entry_point
+    from python_mozetl_spark.sinks.writers import write_json_artifact
+
+    runner = CliRunner()
+    artifact = tmp_path / "hwsurvey-weekly.json"
+    records = []
+    # week 1: 10 win / 10 mac; week 2: 16 win / 4 mac — win's share
+    # moves 0.5 -> 0.8 (+60%), mac 0.5 -> 0.2 (-60%): both clear the
+    # 30% check, and mac's n=4 clears the collapse threshold (3)
+    weeks = [
+        ("2024-01-07", ["win"] * 10 + ["mac"] * 10),
+        ("2024-01-14", ["win"] * 16 + ["mac"] * 4),
+    ]
+    for date, oses in weeks:
+        src = str(tmp_path / f"clients_{date}")
+        spark.createDataFrame(
+            [(f"c{i}", v) for i, v in enumerate(oses)],
+            "client_id string, os string",
+        ).write.parquet(src)
+        out = str(tmp_path / f"report_{date}")
+        res = runner.invoke(
+            entry_point,
+            ["hardware_report", "--input", src, "--output", out,
+             "--dimension", "os", "--master", "local[2]"],
+            catch_exceptions=False,
+        )
+        assert res.exit_code == 0, res.output
+        shares = {
+            f"os_{r['os']}": r["share"]
+            for r in spark.read.parquet(f"{out}/os").collect()
+        }
+        # artifact append — the reference publishes one record per week
+        records.append({"date": date, **shares})
+        write_json_artifact(records, str(artifact))
+
+    assert {r["date"] for r in json.loads(artifact.read_text())} == {
+        "2024-01-07", "2024-01-14",
+    }
+
+    spool = tmp_path / "spool"
+    res = runner.invoke(
+        entry_point,
+        ["report_check", "--input", str(artifact), "--spool", str(spool),
+         "--min-change", "0.3"],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    eml_path = res.output.strip().splitlines()[-1]
+    msg = email.message_from_string(open(eml_path).read())
+    body = msg.get_payload(0).get_payload()
+    # both planted movers render with the reference's share formatting
+    assert "os_win: Last week = 50.00%, This week = 80.00%" in body
+    assert "os_mac: Last week = 50.00%, This week = 20.00%" in body
+    assert msg["Subject"] == "Report Validation Checks"
+
+
+def test_hardware_dashboard_quiet_week_sends_nothing(spark, tmp_path):
+    # same chain, no planted change: the check stays silent (the
+    # reference only emails when a metric moves)
+    import json
+
+    from click.testing import CliRunner
+
+    from python_mozetl_spark.cli import entry_point
+
+    artifact = tmp_path / "hwsurvey-weekly.json"
+    artifact.write_text(json.dumps([
+        {"date": "2024-01-07", "os_win": 0.5, "os_mac": 0.5},
+        {"date": "2024-01-14", "os_win": 0.52, "os_mac": 0.48},
+    ]))
+    spool = tmp_path / "spool"
+    res = CliRunner().invoke(
+        entry_point,
+        ["report_check", "--input", str(artifact), "--spool", str(spool),
+         "--min-change", "0.3"],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert "nothing sent" in res.output
+    assert not spool.exists() or not list(spool.iterdir())
