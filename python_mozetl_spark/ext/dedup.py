@@ -16,8 +16,11 @@ Four tiers, all shuffle-architected for 100 TB:
   which is what makes it oracle-checkable.
 - **n-gram Jaccard verify**: exact set-overlap on candidate pairs only.
 
-Hashes are md5-based (functions/hashing.py) so every sketch is
-bit-identical in Spark, DuckDB and Python.
+Hashes default to md5 (functions/hashing.py) so every sketch is
+bit-identical in Spark, DuckDB and Python; the MinHash/winnow entry
+points also take ``hash_fn="xxhash64"`` — the JVM-native production
+seam for real corpora, where cross-engine checkability is not needed
+and the linear digest pass dominates the wall.
 """
 
 from __future__ import annotations
@@ -110,12 +113,13 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature columns ``mh_0..mh_{n-1}`` over
     distinct word-``shingle_k``-shingles."""
-    return _staged_signatures(df, id_col, text_col, num_hashes, shingle_k).drop(
-        "__sh"
-    )
+    return _staged_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, hash_fn
+    ).drop("__sh")
 
 
 def minhash_signature_table(
@@ -124,6 +128,7 @@ def minhash_signature_table(
     text_col: str,
     num_hashes: int = 32,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The full staged signature frame ``(id, __sh, mh_0..mh_{n-1})``
     INCLUDING the shingle arrays — the shareable intermediate for
@@ -133,8 +138,13 @@ def minhash_signature_table(
     :func:`minhash_lsh_pairs` / :func:`cross_corpus_lsh_filter` via
     their ``signatures=`` parameter — each reuse saves a full
     tokenize + shingle + md5 + permutation pass over the corpus.
+    Every consumer of a shared table must use the same ``hash_fn`` it
+    was built with (functions/hashing.gram_hash_int64 has the
+    md5-vs-xxhash64 contract).
     """
-    return _staged_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    return _staged_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, hash_fn
+    )
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -680,6 +690,7 @@ def cross_corpus_lsh_filter(
     shingle_k: int = 3,
     broadcast_bench: bool = True,
     train_signatures: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Cross-corpus near-duplicate contamination: training documents
     whose exact word-shingle Jaccard against ANY held-out/benchmark
@@ -716,7 +727,9 @@ def cross_corpus_lsh_filter(
         if sig is not None:  # precomputed superset table: restrict to df
             sig = sig.join(df.select(id_col), id_col, "left_semi")
         else:
-            sig = _staged_signatures(df, id_col, text_col, num_hashes, shingle_k)
+            sig = _staged_signatures(
+                df, id_col, text_col, num_hashes, shingle_k, hash_fn
+            )
         # each side's sig feeds band explode + verify join-back behind
         # different exchanges: materialize once (SCALE.md §6b) so the
         # docstring's "both sides run the pipeline once" actually holds;
@@ -1271,6 +1284,7 @@ def incremental_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 10_000,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup maintenance for a growing corpus — the
     daily-ingestion shape at 100 TB: dedup a batch of NEW documents
@@ -1303,7 +1317,7 @@ def incremental_lsh_pairs(
     # (the multi-consumer staging discipline of minhash_lsh_pairs /
     # SCALE.md §6b; base_signatures is the caller's persisted table)
     new_sigs = _staged_signatures(
-        new_docs, id_col, text_col, num_hashes, shingle_k
+        new_docs, id_col, text_col, num_hashes, shingle_k, hash_fn
     ).localCheckpoint(eager=False)
     combined = base_signatures.withColumn(
         "__new", F.lit(False)

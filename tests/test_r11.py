@@ -322,3 +322,58 @@ def test_hardware_dashboard_quiet_week_sends_nothing(spark, tmp_path):
     assert res.exit_code == 0, res.output
     assert "nothing sent" in res.output
     assert not spool.exists() or not list(spool.iterdir())
+
+
+# --------------------------------------------------------------------
+# the hash seam threads coherently through the whole MinHash family:
+# incremental ingestion and cross-corpus decontamination on xxhash64
+# produce the same verified pair sets as md5 (exact-Jaccard verify)
+# --------------------------------------------------------------------
+
+
+def test_incremental_and_cross_corpus_seam_consistency(spark):
+    from python_mozetl_spark.ext.dedup import (
+        cross_corpus_lsh_filter,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+        minhash_signature_table,
+    )
+
+    rng = random.Random(7331)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(words):
+        return " ".join(words)
+
+    base_words = [[rng.choice(vocab) for _ in range(30)] for _ in range(6)]
+    base_rows = [(i, doc(w)) for i, w in enumerate(base_words)]
+    # new batch: one near-dup of base doc 0, one unrelated
+    near = list(base_words[0])
+    near[-1] = rng.choice(vocab)
+    new_rows = [(100, doc(near)),
+                (101, doc([rng.choice(vocab) for _ in range(30)]))]
+
+    for fn in ("md5", "xxhash64"):
+        base_df = spark.createDataFrame(base_rows, "doc_id bigint, text string")
+        new_df = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+        sigs = minhash_signature_table(base_df, "doc_id", "text", hash_fn=fn)
+        pairs, _ = incremental_lsh_pairs(
+            sigs, new_df, "doc_id", "text", threshold=0.8, hash_fn=fn
+        )
+        got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+        # full-corpus truth restricted to pairs touching the increment
+        full = minhash_lsh_pairs(
+            base_df.unionByName(new_df), "doc_id", "text",
+            threshold=0.8, hash_fn=fn,
+        )
+        exp = sorted(
+            (r.id_a, r.id_b)
+            for r in full.collect()
+            if r.id_a >= 100 or r.id_b >= 100
+        )
+        assert got == exp and (0, 100) in got, fn
+
+        contaminated = cross_corpus_lsh_filter(
+            base_df, new_df, "doc_id", "text", threshold=0.8, hash_fn=fn
+        )
+        assert [r.doc_id for r in contaminated.collect()] == [0], fn
