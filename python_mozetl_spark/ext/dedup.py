@@ -1133,8 +1133,10 @@ def _cross_doc_dup_grams(
                 idx,
                 lambda i: F.struct(
                     i.alias("pos"),
+                    # i is 1-based here; T._join_k takes the 0-based
+                    # start (allocation-free shingle join, round 11)
                     H.md5_int64(
-                        F.concat_ws(" ", F.slice("__toks", i, n))
+                        T._join_k(F.col("__toks"), i - 1, n)
                     ).alias("gh"),
                 ),
             )
