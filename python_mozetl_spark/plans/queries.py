@@ -8566,16 +8566,28 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # R11 ROTATION (this window): (a) the round-11 add
 # (stream_zscore_anomalies — the seventh and last streaming state to
 # get an oracle row, via the chronological whole-day replay), (b) the
-# three round-11 impl-touches — stream_funnel_depths (NULL-ts filter
-# in feed AND oracle), doc_winnow_copy_pairs (hash_fn seam +
-# min_prefix_hits clamp) and doc_minhash_pairs (hash_fn seam) — the
-# graded plans are default-md5-unchanged but fresh rows are cheap
-# insurance, (c) the two pinned queue heads (the r06 rows bumped in
-# round 10: user_first_last, user_event_enrich), then (d) the FULL
-# 43-query r07 cohort (every query whose newest driver row is
-# CORRECTNESS_r07) + the alphabetical head of the r08 cohort
-# (bigram_lm_top) in the one spare slot — 1+3+2+43+1 = exactly 50.
-# R12 QUEUE: the remaining r08 cohort (45 queries, alphabetical from
+# round-11 impl-touches — stream_funnel_depths (NULL-ts filter in
+# feed AND oracle), doc_winnow_copy_pairs (hash_fn seam +
+# min_prefix_hits clamp + allocation-free window minima) and
+# doc_minhash_pairs (hash_fn seam + allocation-free shingle join),
+# PLUS the seven other queries whose plans transit the round-11
+# allocation-free shingle/span-gram builders (_join_k in
+# functions/text.py; code-only transitive closure over the package
+# call graph): doc_cross_decontaminate, doc_decontaminate,
+# doc_dup_components, doc_dup_span_coverage, doc_minhash_estimates,
+# doc_repetition_filter, doc_span_cut — all value-identical by
+# construction but fresh rows are cheap insurance, (c) the two
+# pinned queue heads (the r06 rows bumped in round 10:
+# user_first_last, user_event_enrich), then (d) the r07 cohort
+# MINUS the seven alphabetical-tail unaffected entries displaced by
+# the (b) closure (region_nation_rollup, regional_revenue,
+# running_revenue, segment_active_customers,
+# stream_merge_sink_roundtrip, token_triangles, user_decayed_value —
+# all hold green r07 rows and front the R12 queue) + the
+# alphabetical head of the r08 cohort (bigram_lm_top, itself in the
+# (b) closure) in the spare slot — 1+10+2+36+1 = exactly 50.
+# R12 QUEUE: the seven displaced r07 queries above, then the
+# remaining r08 cohort (45 queries, alphabetical from
 # customer_revenue_deciles), then the r09 cohort — front any r12
 # adds/impl-changes first as always.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
@@ -8584,10 +8596,19 @@ _DRIVER_WINDOW = [
     # (a) added in round 11 (never driver-graded => MUST hold a slot,
     # pinned by tests/test_entry.py)
     "stream_zscore_anomalies",
-    # (b) impl touched round 11 (funnel NULL filter; hash seam + clamp)
+    # (b) impl touched round 11 (funnel NULL filter; hash seam + clamp;
+    # allocation-free minima/shingle builders — the seven extra rows
+    # are the code-only call-graph closure of _join_k)
     "stream_funnel_depths",
     "doc_winnow_copy_pairs",
     "doc_minhash_pairs",
+    "doc_cross_decontaminate",
+    "doc_decontaminate",
+    "doc_dup_components",
+    "doc_dup_span_coverage",
+    "doc_minhash_estimates",
+    "doc_repetition_filter",
+    "doc_span_cut",
     # (c) pinned queue heads (the two r06 rows bumped in round 10)
     "user_first_last",
     "user_event_enrich",
@@ -8628,13 +8649,6 @@ _DRIVER_WINDOW = [
     "pricing_metrics_long",
     "priority_join_agg",
     "props_json_stats",
-    "region_nation_rollup",
-    "regional_revenue",
-    "running_revenue",
-    "segment_active_customers",
-    "stream_merge_sink_roundtrip",
-    "token_triangles",
-    "user_decayed_value",
     # the r08-cohort head takes the spare slot
     "bigram_lm_top",
 ]
