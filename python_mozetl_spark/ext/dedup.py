@@ -943,7 +943,7 @@ def winnow_copy_pairs(
     max_bucket: int = 500,
     spread_pairs: int | None = None,
     stage: bool = True,
-    min_prefix_hits: int = 2,
+    min_prefix_hits: int = 8,
     hash_fn: str = "md5",
 ) -> DataFrame:
     """All document pairs sharing ≥ ``min_shared`` winnowing
@@ -989,22 +989,27 @@ def winnow_copy_pairs(
     ``dropDuplicates`` already paid — keeps 100% recall while
     single-collision noise pairs (the bulk of the candidate set:
     3.59M candidates for 1745 output pairs at the x10 decade under
-    c=1) never reach the verify join.  c=2 measured (profile_winnow,
-    median-of-3): candidates −97.5% at both decades (x10 3.59M → 90k,
-    x30 27.4M → 678k), full-pipeline wall x10 12.2 → 9.8 s and x30
-    47.4 → 31.3 s, identical output — the x30/x10 wall ratio falls
-    3.55 → 3.18 against 3.04× output-row growth, leaving the LINEAR
-    md5 fingerprint pass as the dominant (and irreducible) stage at
-    ~51% of x30 wall.  Raising c further trades one extra prefix row
-    per doc for diminishing cuts on an already-2% candidate share.
+    c=1) never reach the verify join.  c=2 measured in round 10
+    (profile_winnow, median-of-3): candidates −97.5% at both decades
+    (x10 3.59M → 90k, x30 27.4M → 678k), wall x10 12.2 → 9.8 s and
+    x30 47.4 → 31.3 s, identical output.  Round 11 re-measured the
+    trade after the allocation-free minima pass shifted the cost
+    balance: c=8 makes the candidate set essentially EXACT on the
+    Heaps decades (x10 90k → 1794 vs 1745 true pairs, x30 678k →
+    5475 vs 5296; dense sf0.1 word salad 4.41M → 1.03M) for ~25%
+    more raw bucket rows — the heavy fingerprint-array verify join
+    shrinks ~100×, so c=8 is the default.  Each +1 of c adds one
+    prefix row per doc; past candidate-exactness the raw-row growth
+    buys nothing.
     The recall guarantee requires c ≤ T, so ``min_prefix_hits`` is
     clamped to ``min_shared`` (a min_shared=1 caller gets plain
     prefix filtering, not silent pair loss).
 
     ``hash_fn`` (round 11) selects the fingerprint digest
     (:func:`winnow_fingerprints`): ``"md5"`` for the graded/oracle
-    path, ``"xxhash64"`` for production — the digest pass is the
-    dominant linear stage at scale and XXH64 runs it codegen-native.
+    path, ``"xxhash64"`` for production — no 128-bit digest or hex
+    round-trip per gram on a corpus where cross-engine checkability
+    is not needed.
     The winnowing DETECTION guarantee is hash-agnostic; exact
     ``n_shared`` counts on borderline pairs can differ between hash
     functions because the selected window-minimum positions differ

@@ -2164,10 +2164,12 @@ def taar_lr_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Chaudhuri ICDE'06): candidates only from each doc's rarest "
     "m-49 fingerprints (hot boilerplate buckets fall out of the join "
     "entirely), exact shared counts by within-row array_intersect; "
-    "round 10 adds the c-prefix hit-count filter (Wang SIGMOD'12, "
-    "min_prefix_hits=2) — candidates must share TWO rare prefix "
-    "fingerprints, killing 97.5% of single-collision noise pairs "
-    "before the verify join at identical output.",
+    "round 10 adds the c-prefix hit-count filter (Wang SIGMOD'12); "
+    "round 11 re-tunes it to min_prefix_hits=8 — candidates must "
+    "share EIGHT rare prefix fingerprints, which makes the candidate "
+    "set essentially exact on the Heaps-law decades (x10: 1794 "
+    "candidates for 1745 true pairs) for ~25% more raw bucket rows, "
+    "at identical output (the theorem holds for any c <= T).",
     ("ext-dedup", "ext-text"),
     oracle="""
 WITH h AS (SELECT doc_id,

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-K, WINDOW, MIN_SHARED, MAX_BUCKET, C = 8, 4, 50, 500, 2
+K, WINDOW, MIN_SHARED, MAX_BUCKET, C = 8, 4, 50, 500, 8
 
 
 def _stage_frames(spark, sf_dir):
