@@ -744,3 +744,78 @@ def test_domain_quota_partitioning_invariant_and_capped(
         )
         want |= {(i, rk + 1) for rk, i in enumerate(members[:cap])}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    hashes=st.lists(
+        st.integers(-(2**62), 2**62), min_size=0, max_size=40
+    ),
+    window=st.integers(1, 6),
+)
+def test_least_chain_minima_equals_slice_array_min(sess, hashes, window):
+    """Round-11 equivalence pin: the allocation-free least(element_at)
+    window-minima chain (ext/dedup.py:winnow_fingerprints) is
+    bit-identical to array_min(slice(...)) for ANY bigint array
+    (negatives included — the xxhash64 path) and ANY window, across
+    all three size regimes (m >= window, 1 <= m < window, m == 0)."""
+    df = sess.createDataFrame([(hashes,)], "h array<bigint>")
+    m = F.size("h")
+    n_windows = m - window + 1
+
+    def _chain(j):
+        e = F.element_at(F.col("h"), j)
+        for off in range(1, window):
+            e = F.least(e, F.element_at(F.col("h"), j + off))
+        return e
+
+    def _sel(win_min):
+        return (
+            F.when(
+                n_windows >= 1,
+                F.transform(F.sequence(F.lit(1), n_windows), win_min),
+            )
+            .when(m >= 1, F.array(F.array_min("h")))
+            .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        )
+
+    row = df.select(
+        _sel(lambda j: F.array_min(F.slice("h", j, window))).alias("old"),
+        _sel(_chain).alias("new"),
+    ).collect()[0]
+    assert row["old"] == row["new"]
+
+
+@settings(**SETTINGS)
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=6,
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    k=st.integers(1, 5),
+)
+def test_join_k_equals_concat_ws_slice(sess, toks, k):
+    """Round-11 equivalence pin: _join_k (functions/text.py) is
+    bit-identical to concat_ws(" ", slice(toks, i+1, k)) for ANY
+    token array without NULLs — empty strings and multibyte unicode
+    included — whenever size(toks) >= k (the callers' guard)."""
+    from python_mozetl_spark.functions.text import _join_k
+
+    if len(toks) < k:
+        return
+    df = sess.createDataFrame([(toks,)], "t array<string>")
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), n - k)
+    row = df.select(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice("t", i + 1, k))
+        ).alias("old"),
+        F.transform(idx, lambda i: _join_k(F.col("t"), i, k)).alias("new"),
+    ).collect()[0]
+    assert row["old"] == row["new"]
