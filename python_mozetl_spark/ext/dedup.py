@@ -1064,29 +1064,8 @@ def winnow_copy_pairs(
         .where(F.col("__hits") >= F.lit(c))
         .select("id_a", "id_b")
     )
-    if stage:
-        # cand feeds two consumers below (the id semi-join domain and
-        # the final pair join); without the barrier the whole S4
-        # candidate chain would compute twice
-        cand = cand.localCheckpoint(eager=False)
-    # Build the verify arrays ONLY for docs that appear in a candidate
-    # pair (round 11): with c-prefix candidates near-exact, collecting
-    # a sorted fingerprint array for every corpus doc serves ~5k pairs
-    # from ~150k arrays at the x30 decade.  Locally this is a small
-    # win (interleaved A/B: ~4% at x30 — the collect_list CPU saved
-    # roughly offsets the extra fps pass), but structurally it keeps
-    # the verify join's build side CANDIDATE-sized instead of
-    # corpus-sized, which is what matters on a real corpus where dup
-    # density is low.  The semi-join keys on id_col, the same exchange
-    # the groupBy pays, so the shuffle count is unchanged (no
-    # broadcast hint: the id domain is corpus-bounded, AQE picks).
-    pair_ids = cand.select(
-        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
-    ).distinct()
-    docfps = (
-        fps.join(pair_ids, id_col, "semi")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("fp")).alias("__f"))
+    docfps = fps.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("fp")).alias("__f")
     )
     if stage:
         docfps = docfps.localCheckpoint(eager=False)
