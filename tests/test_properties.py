@@ -819,3 +819,45 @@ def test_join_k_equals_concat_ws_slice(sess, toks, k):
         F.transform(idx, lambda i: _join_k(F.col("t"), i, k)).alias("new"),
     ).collect()[0]
     assert row["old"] == row["new"]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 10**6),
+    min_shared=st.integers(1, 12),
+    c=st.integers(1, 16),
+)
+def test_winnow_c_prefix_output_invariant_in_c(sess, seed, min_shared, c):
+    """Round-11 retune safety net: winnow_copy_pairs output is
+    INVARIANT in min_prefix_hits (the c-prefix theorem: any c <= T
+    keeps 100% recall; the exact array_intersect verify kills any
+    extra candidates) — for random corpora with planted copies, any
+    (min_shared, c) pair must reproduce the c=1 pair set exactly,
+    including c > min_shared (the clamp path)."""
+    import random
+
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(12):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    # planted near-copies: shared long blocks guarantee shared grams
+    for j, (src, _) in enumerate(docs[:3]):
+        base = docs[src][1]
+        docs.append((100 + j, base[: len(base) // 2] + " zz " + base[len(base) // 2 :]))
+    df = sess.createDataFrame(docs, "doc_id bigint, text string")
+
+    def pairs(c_val):
+        return sorted(
+            (r.id_a, r.id_b, r.n_shared)
+            for r in winnow_copy_pairs(
+                df, "doc_id", "text", k=8, window=4,
+                min_shared=min_shared, max_bucket=500,
+                min_prefix_hits=c_val,
+            ).collect()
+        )
+
+    assert pairs(c) == pairs(1)
