@@ -484,12 +484,34 @@ def tfidf_cosine_pairs(
     broadcast_df_table: bool = True,
     stage: bool = True,
     precision: int = 6,
+    verify_keys: str = "xxhash64",
 ) -> DataFrame:
     """All document pairs with TF-IDF weighted cosine similarity >=
     ``threshold`` (Bayardo, Ma & Srikant, WWW'07) — candidate
     construction and its recall argument in
     :func:`_tfidf_prefix_candidates`; an exact per-doc-map dot product
     verifies candidates, so the output equals brute force.
+
+    ``verify_keys`` (round 11, the verify-tier counterpart of the
+    dedup ``hash_fn`` digest seam): the verify maps' key
+    representation.  ``"xxhash64"`` (default) keys the per-doc weight
+    map by ``xxhash64(term)`` — the ``map_zip_with`` key-union merge
+    then compares 8-byte longs instead of variable-length strings,
+    which is where the verify tier's wall actually lives once
+    candidates are map-attached (SCALE_CURVE_r11
+    ``tfidf_stage_profile`` attribution; the L2AP candidate-cut
+    attempt recorded alongside it measured the candidate COUNT
+    irreducible at t=0.9, so the constant is the lever — interleaved
+    x30 A/B in SCALE_CURVE_r11.json ``tfidf_verify_keys_ab``).
+    ``"token"`` keys by the term string (the pre-r11 shape, kept for
+    debuggability — keys stay readable).  Unlike winnow's md5, the
+    key never reaches the OUTPUT, so the hashed default is
+    oracle-safe: the dot product is exact unless two DISTINCT terms
+    of one candidate pair's vocab union collide in 64 bits
+    (P ≈ |union|²/2⁶⁵ ≈ 1e-15 per pair — and a within-doc collision
+    fails LOUDLY under Spark's default duplicate-map-key policy
+    rather than corrupting).  pytest pins the two paths equal
+    pair-set and cosine on a fixture with real weight variety.
 
     Verify shape (rewritten round 9 after the x30 decade point): the
     old verify exploded every candidate against side-a's full posting
@@ -508,12 +530,21 @@ def tfidf_cosine_pairs(
     exchange, and the fold order is a pure function of the two maps
     (sorted keys of ``a``, then ``b``-only keys), so the rounded
     cosine is run-deterministic."""
+    if verify_keys not in ("token", "xxhash64"):
+        raise ValueError(
+            f"verify_keys must be 'token' or 'xxhash64', got {verify_keys!r}"
+        )
     postings, cand = _tfidf_prefix_candidates(
         df, id_col, text_col, threshold, broadcast_df_table, stage, precision
     )
+    key = (
+        F.col("__tok")
+        if verify_keys == "token"
+        else F.xxhash64("__tok").alias("__tok")
+    )
     docvec = postings.groupBy("__id").agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("__tok", "__u")))
+            F.array_sort(F.collect_list(F.struct(key, "__u")))
         ).alias("__m")
     )
     if stage:

@@ -8585,13 +8585,13 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the (b) closure (region_nation_rollup, regional_revenue,
 # running_revenue, segment_active_customers,
 # stream_merge_sink_roundtrip, token_triangles, user_decayed_value —
-# all hold green r07 rows and front the R12 queue) + the
-# alphabetical head of the r08 cohort (bigram_lm_top, itself in the
-# (b) closure) in the spare slot — 1+10+2+36+1 = exactly 50.
-# R12 QUEUE: the seven displaced r07 queries above, then the
-# remaining r08 cohort (45 queries, alphabetical from
-# customer_revenue_deciles), then the r09 cohort — front any r12
-# adds/impl-changes first as always.
+# all hold green r07 rows and front the R12 queue); the late-r11
+# tfidf verify-key default flip (xxhash64 map keys) put
+# doc_tfidf_cosine_pairs into (b) and returned the briefly-held
+# spare slot's bigram_lm_top to its cohort — 1+11+2+36 = exactly 50.
+# R12 QUEUE: the seven displaced r07 queries above, then the full
+# r08 cohort (46 queries, alphabetical from bigram_lm_top), then the
+# r09 cohort — front any r12 adds/impl-changes first as always.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -8600,8 +8600,11 @@ _DRIVER_WINDOW = [
     "stream_zscore_anomalies",
     # (b) impl touched round 11 (funnel NULL filter; hash seam + clamp;
     # allocation-free minima/shingle builders — the seven extra rows
-    # are the code-only call-graph closure of _join_k)
+    # are the code-only call-graph closure of _join_k; tfidf verify
+    # maps keyed by xxhash64 — the key never reaches the output, but
+    # a changed expression tree earns a fresh row)
     "stream_funnel_depths",
+    "doc_tfidf_cosine_pairs",
     "doc_winnow_copy_pairs",
     "doc_minhash_pairs",
     "doc_cross_decontaminate",
@@ -8651,8 +8654,6 @@ _DRIVER_WINDOW = [
     "pricing_metrics_long",
     "priority_join_agg",
     "props_json_stats",
-    # the r08-cohort head takes the spare slot
-    "bigram_lm_top",
 ]
 
 

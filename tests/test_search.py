@@ -158,3 +158,35 @@ def test_tfidf_cosine_pairs_plan(spark):
     # visible)
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan
+
+
+def test_tfidf_verify_keys_seam_equal(spark):
+    """The xxhash64 verify-key path (round 11 seam) must emit the
+    identical pair set AND rounded cosines as the token-string path —
+    the key representation only changes what map_zip_with compares,
+    never which entries align (same corpus as the brute-force test, so
+    real weight variety rides the check)."""
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for d in range(40):
+        toks = [vocab[(d * 7 + i * i) % (3 + d % 17)] for i in range(5 + d % 9)]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(keys):
+        return {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_cosine_pairs(
+                df, "doc_id", "text", threshold=0.7, verify_keys=keys
+            ).collect()
+        }
+
+    tok, h64 = run("token"), run("xxhash64")
+    assert tok == h64 and len(tok) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="verify_keys"):
+        tfidf_cosine_pairs(df, "doc_id", "text", verify_keys="md5")

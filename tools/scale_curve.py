@@ -88,6 +88,24 @@ def _minhash_xxh64(spark, sf_dir):
                              hash_fn="xxhash64")
 
 
+def _tfidf_token(spark, sf_dir):
+    # the pre-r11 verify-key CONTRAST row: identical candidate
+    # construction and threshold to the graded doc_tfidf_cosine_pairs,
+    # but the verify maps keyed by the term STRING.  The graded query
+    # defaults to xxhash64 keys since round 11 (the key never reaches
+    # the output, so the hashed verify is oracle-safe — unlike
+    # winnow's md5); this row pins the per-round delta the long-key
+    # map_zip_with merge buys, per the attribution in SCALE_CURVE_r11
+    # tfidf_stage_profile / tfidf_l2ap_aggregate_probe.
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+    from python_mozetl_spark.plans.queries import t
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        d, "doc_id", "text", threshold=0.9, verify_keys="token"
+    )
+
+
 def _semantic_dedup_fixed_k8(spark, sf_dir):
     # the retired fixed-k grading configuration (pre-r9
     # embedding_semantic_dedup_hi), kept as the OOM contrast row
@@ -116,6 +134,8 @@ def main() -> None:
             return _winnow_xxh64(spark, sf_dir)
         if name == "minhash_xxh64":
             return _minhash_xxh64(spark, sf_dir)
+        if name == "tfidf_token":
+            return _tfidf_token(spark, sf_dir)
         return REGISTRY[name].build(spark, sf_dir)
 
     def timed(name: str, sf_dir: str, reps: int) -> tuple[float, int]:
@@ -136,6 +156,7 @@ def main() -> None:
         "winnow_xxh64",
         "doc_minhash_pairs",
         "doc_tfidf_cosine_pairs",
+        "tfidf_token",
         "doc_dup_components",
         "doc_span_cut",
         "doc_domain_quota",
@@ -197,7 +218,8 @@ def main() -> None:
     if "--x30" in sys.argv[1:]:
         for name in ("doc_winnow_copy_pairs", "winnow_xxh64",
                      "doc_minhash_pairs",
-                     "doc_tfidf_cosine_pairs", "semantic_dedup_auto",
+                     "doc_tfidf_cosine_pairs", "tfidf_token",
+                     "semantic_dedup_auto",
                      "doc_dup_components", "doc_span_cut"):
             try:
                 t30, r30 = timed(name, os.path.join(ROOT, "scalefix", "x30"), 3)
