@@ -114,14 +114,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "Single hash-agg shuffle with map-side partials.",
     ("A1", "A2", "A3", "S1"),
     oracle="""
+-- money sums ride DECIMAL (sf0.1 sweep finding, see
+-- pricing_metrics_long): prices are exact 2dp, the derived
+-- disc_price/charge products are exact 6dp/10dp rationals whose
+-- double evaluations are bit-identical cross-engine per row — only
+-- the SUMMATION ORDER differed, and decimal addition removes it.
+-- avgs divide the exact decimal sum (as double) by the count: one
+-- division of identical operands is bit-identical cross-engine.
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2)                                   AS sum_qty,
-  round(sum(l_extendedprice), 2)                              AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                              AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(24,6))) AS DOUBLE), 2)       AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(28,10))) AS DOUBLE), 2)      AS sum_charge,
   round(avg(l_quantity), 4)                                   AS avg_qty,
-  round(avg(l_extendedprice), 4)                              AS avg_price,
-  round(avg(l_discount), 6)                                   AS avg_disc,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        / count(*), 4)                                        AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        / count(*), 6)                                        AS avg_disc,
   count(*)                                                    AS count_order,
   count(DISTINCT l_orderkey)                                  AS distinct_orders
 FROM lineitem
@@ -133,17 +145,34 @@ GROUP BY l_returnflag, l_linestatus
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(
+                F.sum(disc_price.cast("decimal(24,6)")).cast("double"), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(charge.cast("decimal(28,10)")).cast("double"), 2
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / n,
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / n,
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
             F.count_distinct(F.col("l_orderkey")).alias("distinct_orders"),
         )
@@ -1038,37 +1067,78 @@ _DUCK_STOP = "['the','a','of','and','to','in','el','la','de','le','der','die']"
     oracle=f"""
 WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 m AS (SELECT doc_id,
-  CAST(len(toks) AS BIGINT) AS n_tokens,
-  CAST(len(list_filter(toks, t -> list_contains({_DUCK_STOP}, lower(t)))) AS DOUBLE)
-    / greatest(len(toks), 1) AS swr,
-  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-    / greatest(len(toks), 1) AS mtl
-  FROM tk)
-SELECT doc_id, n_tokens,
-  round(swr, 6) AS stopword_ratio,
-  round(mtl, 6) AS mean_token_len,
-  round(0.4 * (1 - swr) + 0.3 * least(n_tokens / 100.0, 1.0)
-        + 0.3 * least(mtl / 8.0, 1.0), 6) AS quality_score
-FROM m
+  CAST(len(toks) AS BIGINT) AS n,
+  CAST(len(list_filter(toks, t -> list_contains({_DUCK_STOP}, lower(t)))) AS BIGINT)
+    AS s,
+  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT)
+    AS chars
+  FROM tk),
+-- every output is a RATIONAL of integer counts rounded to 6dp, so the
+-- rounding is done in exact BIGINT arithmetic ((2*num + den) // (2*den)
+-- = round-half-up for non-negative operands) on BOTH engines: the
+-- sf0.1 full sweep caught a true decimal tie (score = 0.6771875) that
+-- double round() split between engines (Spark BigDecimal HALF_UP on
+-- the binary double vs DuckDB's scaled-double rounding)
+r AS (SELECT doc_id, n, greatest(n, 1) AS gn, s, chars,
+  400000 * (greatest(n, 1) - s) + 37500 * least(chars, 8 * greatest(n, 1))
+    AS score_num
+  FROM m)
+SELECT doc_id, n AS n_tokens,
+  CAST((2 * 1000000 * s + gn) // (2 * gn) AS DOUBLE) / 1000000.0
+    AS stopword_ratio,
+  CAST((2 * 1000000 * chars + gn) // (2 * gn) AS DOUBLE) / 1000000.0
+    AS mean_token_len,
+  CAST((2 * score_num + gn) // (2 * gn) + 3000 * least(n, 100) AS DOUBLE)
+    / 1000000.0 AS quality_score
+FROM r
 """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text", T.tokens("text").alias("__toks"))
     m = T.quality_metrics_from_tokens(F.col("__toks"), "text")
-    swr = m["stopword_ratio"]
-    mtl = m["mean_token_len"]
-    score = (
-        0.4 * (1 - swr)
-        + 0.3 * F.least(m["n_tokens"] / F.lit(100.0), F.lit(1.0))
-        + 0.3 * F.least(mtl / F.lit(8.0), F.lit(1.0))
+    # integer counts only — every output below is an exact rational
+    # (num/den of BIGINTs) rounded half-up IN INTEGER ARITHMETIC,
+    # mirrored verbatim in the oracle: round(double, 6) is engine-
+    # split-prone exactly when the true value is a decimal tie, which
+    # small-denominator count rationals structurally hit (the sf0.1
+    # sweep caught score = 0.6771875 splitting the engines)
+    n = m["n_tokens"]
+    gn = F.greatest(n, F.lit(1))
+    # swr = s/gn with s integer, so swr*gn is within one ulp of s —
+    # ROUND recovers the integer exactly (a bare cast truncates
+    # 12.999999999... to 12)
+    s = F.round(m["stopword_ratio"] * gn).cast("bigint")
+    chars = F.aggregate(
+        F.col("__toks"), F.lit(0).cast("bigint"), lambda a, tk: a + F.length(tk)
+    )
+
+    # Spark `div` is integral division (truncation = floor for the
+    # non-negative operands here), matching DuckDB's `//`
+    swr6 = F.expr(
+        "CAST((2 * 1000000 * __s + __gn) DIV (2 * __gn) AS DOUBLE) / 1000000.0"
+    )
+    mtl6 = F.expr(
+        "CAST((2 * 1000000 * __chars + __gn) DIV (2 * __gn) AS DOUBLE)"
+        " / 1000000.0"
+    )
+    score6 = F.expr(
+        "CAST((2 * (400000 * (__gn - __s) + 37500 * least(__chars, 8 * __gn))"
+        " + __gn) DIV (2 * __gn) + 3000 * least(__n, 100) AS DOUBLE)"
+        " / 1000000.0"
     )
     return staged.select(
         "doc_id",
-        m["n_tokens"].alias("n_tokens"),
-        F.round(swr, 6).alias("stopword_ratio"),
-        F.round(mtl, 6).alias("mean_token_len"),
-        F.round(score, 6).alias("quality_score"),
+        n.alias("__n"),
+        gn.alias("__gn"),
+        s.alias("__s"),
+        chars.alias("__chars"),
+    ).select(
+        "doc_id",
+        F.col("__n").alias("n_tokens"),
+        swr6.alias("stopword_ratio"),
+        mtl6.alias("mean_token_len"),
+        score6.alias("quality_score"),
     )
 
 
@@ -5413,7 +5483,11 @@ SELECT event_id, user_id,
   round(SUM(value) OVER w, 2) AS trail_7d_value,
   CAST(COUNT(*) OVER w AS BIGINT) AS trail_7d_events
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+-- floor(), not a bare BIGINT cast: DuckDB CAST(double AS BIGINT)
+-- ROUNDS, while Spark's unix_timestamp() TRUNCATES the fractional
+-- second — the sf0.1 sweep caught one event whose sub-second part
+-- rounded it across a frame boundary and split the engines by a row
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
 """,
 )
@@ -7295,8 +7369,16 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (SELECT l_returnflag, l_linestatus,
     CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-    CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
-    CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+    -- money sums ride DECIMAL so summation ORDER cannot drift them:
+    -- the sf0.1 full sweep measured the double-sum drift (~1e-4 at
+    -- 5.3e9, ~100 ulps of partition-order difference) crossing the
+    -- 4dp rounding boundary and splitting the engines; prices are
+    -- exact 2dp values, so the decimal sum is exact and both engines
+    -- cast the identical decimal to the identical double
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      AS sum_base_price,
+    CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      AS avg_disc,
     CAST(count(*) AS DOUBLE) AS n_rows
   FROM lineitem GROUP BY 1, 2)
 SELECT l_returnflag, l_linestatus, metric, round(value, 4) AS value
@@ -7315,10 +7397,19 @@ def pricing_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.operators.pivot import unpivot_metrics
 
     li = t(spark, sf_dir, "lineitem")
+    # money sum and discount average ride DECIMAL (exact, summation-
+    # order-free) — double sums drift with partition order and the
+    # sf0.1 sweep measured the drift crossing the rounding boundary;
+    # quantities are integers, so their double sum is already exact
     wide = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_base_price"),
-        F.avg("l_discount").alias("avg_disc"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     return unpivot_metrics(
@@ -8588,10 +8679,14 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all hold green r07 rows and front the R12 queue); the late-r11
 # tfidf verify-key default flip (xxhash64 map keys) put
 # doc_tfidf_cosine_pairs into (b) and returned the briefly-held
-# spare slot's bigram_lm_top to its cohort — 1+11+2+36 = exactly 50.
-# R12 QUEUE: the seven displaced r07 queries above, then the full
-# r08 cohort (46 queries, alphabetical from bigram_lm_top), then the
-# r09 cohort — front any r12 adds/impl-changes first as always.
+# spare slot's bigram_lm_top to its cohort; the sf0.1-sweep parity
+# fixes then put pricing_summary and user_trailing_7d_value into (b)
+# too, displacing the cohort's priority_join_agg and props_json_stats
+# (green r07 rows) to the R12 queue head — 1+13+2+34 = exactly 50.
+# R12 QUEUE: priority_join_agg and props_json_stats (displaced last),
+# the seven displaced r07 queries above, then the full r08 cohort
+# (46 queries, alphabetical from bigram_lm_top), then the r09 cohort
+# — front any r12 adds/impl-changes first as always.
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
@@ -8602,9 +8697,15 @@ _DRIVER_WINDOW = [
     # allocation-free minima/shingle builders — the seven extra rows
     # are the code-only call-graph closure of _join_k; tfidf verify
     # maps keyed by xxhash64 — the key never reaches the output, but
-    # a changed expression tree earns a fresh row)
+    # a changed expression tree earns a fresh row; pricing_summary's
+    # decimal money sums and user_trailing_7d_value's floor(epoch)
+    # oracle are the sf0.1-sweep cross-engine-parity fixes, ditto
+    # doc_quality's integer rounding and pricing_metrics_long's
+    # decimal sums — both already held (d)-cohort slots)
     "stream_funnel_depths",
     "doc_tfidf_cosine_pairs",
+    "pricing_summary",
+    "user_trailing_7d_value",
     "doc_winnow_copy_pairs",
     "doc_minhash_pairs",
     "doc_cross_decontaminate",
@@ -8652,8 +8753,6 @@ _DRIVER_WINDOW = [
     "multimodal_image_headers",
     "part_pair_lift",
     "pricing_metrics_long",
-    "priority_join_agg",
-    "props_json_stats",
 ]
 
 

@@ -377,3 +377,126 @@ def test_incremental_and_cross_corpus_seam_consistency(spark):
             base_df, new_df, "doc_id", "text", threshold=0.8, hash_fn=fn
         )
         assert [r.doc_id for r in contaminated.collect()] == [0], fn
+
+
+# ----------------------------------------------------------------------
+# sf0.1-sweep cross-engine-parity fixes: the full sweep at 10x the
+# certification SF caught three engine splits invisible at sf0.01 —
+# a decimal-tie rounding split (doc_quality), summation-order drift
+# crossing a rounding boundary (pricing_metrics_long/pricing_summary),
+# and DuckDB's rounding BIGINT cast vs Spark's truncating
+# unix_timestamp on a RANGE-frame bound (user_trailing_7d_value).
+# These pin the fixed behaviors on crafted boundary fixtures.
+# ----------------------------------------------------------------------
+
+def _run_oracle(sql: str, tables: dict[str, str]) -> "pd.DataFrame":
+    import duckdb
+
+    con = duckdb.connect()
+    for name, path in tables.items():
+        # Spark writes a part-file directory; glob it for DuckDB
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * "
+            f"FROM read_parquet('{path}/*.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def test_doc_quality_exact_tie_rounds_identically(spark, tmp_path):
+    """A doc engineered onto the 6dp rounding tie (score = 0.6771875
+    exactly: n=40 tokens, 2 stopwords, 189 token chars) must round the
+    same way on both engines — the integer half-up formulation gives
+    0.677188 on each, where double round() split them (the measured
+    sf0.1 failure, doc 3582)."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    toks = ["the", "and"] + ["abcde"] * 31 + ["wxyz"] * 7
+    assert len(toks) == 40 and sum(len(t) for t in toks) == 189
+    doc = [(1, " ".join(toks), "en", "web")]
+    df = spark.createDataFrame(doc, "doc_id int, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q = REGISTRY["doc_quality"]
+    got = q.build(spark, str(tmp_path)).collect()[0]
+    assert got["n_tokens"] == 40
+    assert got["stopword_ratio"] == 0.05
+    assert got["mean_token_len"] == 4.725
+    assert got["quality_score"] == 0.677188  # half-up at the exact tie
+
+    ora = _run_oracle(
+        q.oracle, {"documents": str(tmp_path / "documents.parquet")}
+    ).iloc[0]
+    assert float(ora["quality_score"]) == got["quality_score"]
+    assert float(ora["stopword_ratio"]) == got["stopword_ratio"]
+    assert float(ora["mean_token_len"]) == got["mean_token_len"]
+
+
+def test_trailing_7d_frame_bound_truncates_fractional_seconds(spark, tmp_path):
+    """An event 604800.6 s after another: Spark's unix_timestamp
+    TRUNCATES both to seconds (gap 604801 -> outside the frame); the
+    oracle must floor() epoch too — DuckDB's bare BIGINT cast ROUNDS
+    the .6 up and pulled the event into the frame (the measured sf0.1
+    failure, one row in 100k)."""
+    import datetime as dt
+
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 600000)
+    t1 = t0 + dt.timedelta(seconds=604800, microseconds=600000)
+    rows = [
+        (1, 7, "click", t0, 10.0),
+        (2, 7, "click", t1, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp_ntz, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    q = REGISTRY["user_trailing_7d_value"]
+    got = {r["event_id"]: r for r in q.build(spark, str(tmp_path)).collect()}
+    # truncation: floor(t0)=...00, floor(t1)=...01 -> gap 604801 > 604800
+    assert got[2]["trail_7d_events"] == 1 and got[2]["trail_7d_value"] == 5.0
+
+    ora = _run_oracle(q.oracle, {"events": str(tmp_path / "events.parquet")})
+    ora_by_id = {int(r["event_id"]): r for _, r in ora.iterrows()}
+    assert int(ora_by_id[2]["trail_7d_events"]) == 1
+    assert float(ora_by_id[2]["trail_7d_value"]) == 5.0
+
+
+def test_pricing_money_sums_are_order_free(spark, tmp_path):
+    """The decimal money sums must be exact regardless of partition
+    order: 0.01-granular prices that drift under double summation sum
+    to the exact cent total through the decimal path on BOTH engines."""
+    from python_mozetl_spark.plans.queries import REGISTRY
+
+    n = 10000
+    rows = [
+        (i, i % 3, 1, float(1 + (i % 7)), 100.01 + (i % 100) / 100.0,
+         0.01 * (i % 5), 0.02, "A" if i % 2 else "R", "F",
+         __import__("datetime").datetime(2000, 1, 1 + i % 28))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    )
+    # many small partitions = a summation order no single-threaded
+    # engine would use
+    df.repartition(37).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    q = REGISTRY["pricing_summary"]
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in q.build(spark, str(tmp_path)).collect()
+    }
+    ora = _run_oracle(q.oracle, {"lineitem": str(tmp_path / "lineitem.parquet")})
+    for _, r in ora.iterrows():
+        g = got[(r["l_returnflag"], r["l_linestatus"])]
+        for c in ("sum_base_price", "sum_disc_price", "sum_charge",
+                  "avg_price", "avg_disc"):
+            assert float(r[c]) == g[c], c
