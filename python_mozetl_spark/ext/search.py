@@ -508,10 +508,16 @@ def tfidf_cosine_pairs(
     key never reaches the OUTPUT, so the hashed default is
     oracle-safe: the dot product is exact unless two DISTINCT terms
     of one candidate pair's vocab union collide in 64 bits
-    (P ≈ |union|²/2⁶⁵ ≈ 1e-15 per pair — and a within-doc collision
-    fails LOUDLY under Spark's default duplicate-map-key policy
-    rather than corrupting).  pytest pins the two paths equal
-    pair-set and cosine on a fixture with real weight variety.
+    (P ≈ |union|²/2⁶⁵ ≈ 1e-15 per pair, silently INFLATING the dot —
+    a within-doc collision instead fails LOUDLY under Spark's default
+    duplicate-map-key policy rather than corrupting).  Two further
+    risk notes (round 12, ADVICE): switching key representation also
+    switches the dot-product FOLD ORDER (maps sort by hash, not
+    token), so a true cosine sitting exactly on a 6dp rounding
+    boundary can land one 6dp ulp apart between the two modes — the
+    seam pytest therefore pins pair-set equality exactly but cosines
+    only to one ulp.  Neither mode is run-to-run nondeterministic;
+    the fold order is a pure function of the maps in both.
 
     Verify shape (rewritten round 9 after the x30 decade point): the
     old verify exploded every candidate against side-a's full posting

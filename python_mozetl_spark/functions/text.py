@@ -120,6 +120,11 @@ def quality_metrics_from_tokens(
         "n_chars": n_chars.cast("bigint"),
         "n_tokens": n_tok.cast("bigint"),
         "n_unique_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+        # the integer count BEFORE the ratio division — exact-rational
+        # consumers (doc_quality's BIGINT half-up rounding) take this
+        # directly instead of re-deriving it by round(ratio * n), which
+        # is correct only within double-ulp margins (round-12 ADVICE)
+        "n_stopwords": n_stop.cast("bigint"),
         "stopword_ratio": n_stop.cast("double") / F.greatest(n_tok, F.lit(1)),
         "mean_token_len": mean_tok_len,
     }

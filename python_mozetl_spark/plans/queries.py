@@ -119,16 +119,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 -- disc_price/charge products are exact 6dp/10dp rationals whose
 -- double evaluations are bit-identical cross-engine per row — only
 -- the SUMMATION ORDER differed, and decimal addition removes it.
+-- The 2dp rounding ALSO happens in decimal space (round 12, ADVICE):
+-- round(DECIMAL, 2) is exact half-away-from-zero in DuckDB, matching
+-- Spark's HALF_UP decimal round, so an exact .xx5 tie in the sum
+-- cannot split the engines the way double-space round() could (the
+-- same tie class as the r11 doc_quality fix).  NOTE the construct:
+-- DuckDB's decimal->decimal CAST TRUNCATES (1.009::DEC(10,3)::
+-- DEC(10,2) = 1.00) — only round() rounds; Spark's decimal cast
+-- rounds HALF_UP — so both sides must spell round(), not cast.
 -- avgs divide the exact decimal sum (as double) by the count: one
 -- division of identical operands is bit-identical cross-engine.
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2)                                   AS sum_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                                                               AS sum_base_price,
-  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                      AS DECIMAL(24,6))) AS DOUBLE), 2)       AS sum_disc_price,
-  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                      AS DECIMAL(28,10))) AS DOUBLE), 2)      AS sum_charge,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(24,6))), 2) AS DOUBLE)       AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(28,10))), 2) AS DOUBLE)      AS sum_charge,
   round(avg(l_quantity), 4)                                   AS avg_qty,
   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         / count(*), 4)                                        AS avg_price,
@@ -155,12 +163,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("sum_base_price"),
-            F.round(
-                F.sum(disc_price.cast("decimal(24,6)")).cast("double"), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(charge.cast("decimal(28,10)")).cast("double"), 2
-            ).alias("sum_charge"),
+            # 2dp rounding in DECIMAL space (round 12): F.round on a
+            # decimal is exact HALF_UP — a .xx5 tie in the exact sum
+            # rounds identically in both engines, unlike the old
+            # round(double, 2) whose tie landed on each engine's own
+            # double-rounding (the r11 doc_quality tie class)
+            F.round(F.sum(disc_price.cast("decimal(24,6)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(
                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
@@ -1105,10 +1118,12 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep caught score = 0.6771875 splitting the engines)
     n = m["n_tokens"]
     gn = F.greatest(n, F.lit(1))
-    # swr = s/gn with s integer, so swr*gn is within one ulp of s —
-    # ROUND recovers the integer exactly (a bare cast truncates
-    # 12.999999999... to 12)
-    s = F.round(m["stopword_ratio"] * gn).cast("bigint")
+    # the integer stopword count straight from the metrics helper
+    # (round 12, ADVICE): the old round(stopword_ratio * gn) round-trip
+    # re-derived an integer the helper had already counted before its
+    # ratio division — correct within double-ulp margins, but the
+    # direct count never touches a double at all
+    s = m["n_stopwords"]
     chars = F.aggregate(
         F.col("__toks"), F.lit(0).cast("bigint"), lambda a, tk: a + F.length(tk)
     )
@@ -5484,9 +5499,11 @@ SELECT event_id, user_id,
   CAST(COUNT(*) OVER w AS BIGINT) AS trail_7d_events
 FROM events
 -- floor(), not a bare BIGINT cast: DuckDB CAST(double AS BIGINT)
--- ROUNDS, while Spark's unix_timestamp() TRUNCATES the fractional
--- second — the sf0.1 sweep caught one event whose sub-second part
--- rounded it across a frame boundary and split the engines by a row
+-- ROUNDS, while Spark's unix_timestamp() FLOOR-DIVIDES the micros
+-- count by 1e6 (floorDiv — floor, not truncate-toward-zero, so the
+-- match holds even for pre-epoch timestamps) — the sf0.1 sweep
+-- caught one event whose sub-second part rounded it across a frame
+-- boundary and split the engines by a row
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
 """,

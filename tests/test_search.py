@@ -184,7 +184,15 @@ def test_tfidf_verify_keys_seam_equal(spark):
         }
 
     tok, h64 = run("token"), run("xxhash64")
-    assert tok == h64 and len(tok) > 0
+    # same pair set; cosines compared to one 6dp ulp, NOT exactly —
+    # the key representation also changes the dot-product FOLD ORDER
+    # (maps sort by hash instead of token), so a true cosine sitting
+    # exactly on a 6dp rounding boundary may legitimately land one ulp
+    # apart between the paths (round-12 ADVICE; this fixture happens
+    # to agree exactly, but that is not an invariant worth pinning)
+    assert sorted(tok) == sorted(h64) and len(tok) > 0
+    for pair, c in tok.items():
+        assert abs(c - h64[pair]) <= 1e-6 + 1e-12
 
     import pytest
 
