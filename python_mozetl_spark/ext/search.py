@@ -485,6 +485,8 @@ def tfidf_cosine_pairs(
     stage: bool = True,
     precision: int = 6,
     verify_keys: str = "xxhash64",
+    verify_attach: str = "auto",
+    verify_broadcast_budget_bytes: int = 512 << 20,
 ) -> DataFrame:
     """All document pairs with TF-IDF weighted cosine similarity >=
     ``threshold`` (Bayardo, Ma & Srikant, WWW'07) — candidate
@@ -535,14 +537,54 @@ def tfidf_cosine_pairs(
     ``_verify_jaccard_pairs``: arrays never ride the candidate
     exchange, and the fold order is a pure function of the two maps
     (sorted keys of ``a``, then ``b``-only keys), so the rounded
-    cosine is run-deterministic."""
+    cosine is run-deterministic.
+
+    ``verify_attach`` (round 12, the verify-tier WALL fix): HOW the
+    two per-doc maps reach the candidate pairs.  The r11 stage profile
+    attributed ~70% of the x30 wall to this attach, and the L2AP
+    candidate-cut probe proved the candidate COUNT irreducible at
+    t=0.9 (SCALE.md §6g″) — but the cost was never the maps
+    themselves, it was MOVING them: two shuffled joins exchange the
+    candidate×map rows (each pair row carries a ~doc-sized map through
+    a sort/shuffle), while the docvec table itself is only
+    corpus-vocabulary-sized — |docs| rows ≈ the POSTING count in
+    entries, orders of magnitude smaller than candidates × doc-length.
+    ``"broadcast"`` ships docvec to every task once and streams the
+    candidate pairs through two broadcast hash joins — the whole
+    verify tier (attach + zip + threshold) runs shuffle-free in the
+    same stage that deduplicates the candidates.  ``"shuffle"`` keeps
+    the id-keyed sort-merge attach — the 100 TB shape when the per-doc
+    map table exceeds executor memory.  ``"auto"`` (default) measures
+    the staged postings count (the action shares the localCheckpoint
+    every later consumer reuses) and broadcasts iff
+    ``rows × 32 B ≤ verify_broadcast_budget_bytes`` — 32 B/entry is
+    deliberately pessimistic for an 8-byte-key/8-byte-double entry
+    plus array+offset overhead, so the gate flips to shuffle well
+    before the broadcast could pressure executor memory.  The mode is
+    pure physical strategy: the output is bit-identical across all
+    three (pytest-pinned)."""
     if verify_keys not in ("token", "xxhash64"):
         raise ValueError(
             f"verify_keys must be 'token' or 'xxhash64', got {verify_keys!r}"
         )
+    if verify_attach not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            "verify_attach must be 'auto', 'broadcast' or 'shuffle', "
+            f"got {verify_attach!r}"
+        )
     postings, cand = _tfidf_prefix_candidates(
         df, id_col, text_col, threshold, broadcast_df_table, stage, precision
     )
+    if verify_attach == "auto":
+        # one cheap count on the staged postings — it triggers the
+        # localCheckpoint materialization every downstream consumer
+        # (candidate join, docvec build) reuses, so the action costs
+        # the postings build ONCE rather than adding a run
+        verify_attach = (
+            "broadcast"
+            if postings.count() * 32 <= verify_broadcast_budget_bytes
+            else "shuffle"
+        )
     key = (
         F.col("__tok")
         if verify_keys == "token"
@@ -555,14 +597,17 @@ def tfidf_cosine_pairs(
     )
     if stage:
         # two consumers (a side, b side) behind different exchanges
+        # (shuffle mode) or two broadcast builds (broadcast mode)
         docvec = docvec.localCheckpoint(eager=False)
-    pairs = cand.join(
-        docvec.select(F.col("__id").alias("id_a"), F.col("__m").alias("__ma")),
-        "id_a",
-    ).join(
-        docvec.select(F.col("__id").alias("id_b"), F.col("__m").alias("__mb")),
-        "id_b",
+    side_a = docvec.select(
+        F.col("__id").alias("id_a"), F.col("__m").alias("__ma")
     )
+    side_b = docvec.select(
+        F.col("__id").alias("id_b"), F.col("__m").alias("__mb")
+    )
+    if verify_attach == "broadcast":
+        side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
+    pairs = cand.join(side_a, "id_a").join(side_b, "id_b")
     dot = F.expr(
         """
         aggregate(

@@ -127,12 +127,23 @@ def main() -> None:
         scales.append(("x30", 150_000))
     if "--x100" in sys.argv[1:]:
         scales.append(("x100", 500_000))
+    # x300 (1.5M docs, ``--x300``) is the FIFTH decade point (round
+    # 12): documents ONLY — it exists to extend the winnow/minhash
+    # curve on the xxhash64 production path past the r10 md5-spill
+    # wall, and the embedding operators have their own envelope at
+    # x100; skipping the 600k-vector table saves most of the
+    # generation and all of the disk it would never exercise.
+    if "--x300" in sys.argv[1:]:
+        scales.append(("x300", 1_500_000))
     for name, n_docs in scales:
         out = os.path.join(ROOT, "scalefix", name)
         os.makedirs(out, exist_ok=True)
         rng = np.random.RandomState(42)  # same stream per scale
         docs = make_documents(n_docs, rng)
         pq.write_table(docs, os.path.join(out, "documents.parquet"))
+        if name == "x300":
+            print(f"{name}: {docs.num_rows} docs (documents only) -> {out}")
+            continue
         emb = make_embeddings(int(n_docs * 0.4), rng)
         pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
         print(f"{name}: {docs.num_rows} docs, {emb.num_rows} vecs -> {out}")
