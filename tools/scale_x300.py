@@ -108,8 +108,19 @@ def _winnow_candidates(spark, sf_dir):
 def main() -> None:
     from python_mozetl_spark.session import get_session
 
-    tags = sys.argv[1:] or ["x300"]
-    spark = get_session(app_name="scale_x300")
+    args = sys.argv[1:]
+    # --shuffle=N: at 1.5M docs the ~100M-row fingerprint exchanges
+    # need more than the local default 32 post-shuffle partitions to
+    # keep per-task sort/agg state inside the heap (the first 48 g
+    # x300 attempt OOM'd mid-window at 32 partitions) — exactly the
+    # knob a real cluster turns with corpus size (SCALE.md §8)
+    shuffle = None
+    for a in list(args):
+        if a.startswith("--shuffle="):
+            shuffle = int(a.split("=", 1)[1])
+            args.remove(a)
+    tags = args or ["x300"]
+    spark = get_session(app_name="scale_x300", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     for tag in tags:
