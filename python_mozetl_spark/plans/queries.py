@@ -2368,8 +2368,12 @@ def doc_winnow_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_fn=hash_fn,
         )
 
-    md5p = pairs("md5")
-    xxp = pairs("xxhash64")
+    # each hash path's pair frame feeds THREE consumers (strict
+    # filter, loose anti-join side, count) — stage it or the whole
+    # winnow lineage re-expands per consumer (SCALE.md §6b; the scan
+    # budget pytest caught exactly this, 25 scans unstaged)
+    md5p = pairs("md5").localCheckpoint(eager=False)
+    xxp = pairs("xxhash64").localCheckpoint(eager=False)
     strict_md5 = md5p.where(F.col("n_shared") >= 50).select("id_a", "id_b")
     strict_xx = xxp.where(F.col("n_shared") >= 50).select("id_a", "id_b")
     loose_md5 = md5p.select("id_a", "id_b")
