@@ -555,14 +555,27 @@ def tfidf_cosine_pairs(
     same stage that deduplicates the candidates.  ``"shuffle"`` keeps
     the id-keyed sort-merge attach — the 100 TB shape when the per-doc
     map table exceeds executor memory.  ``"auto"`` (default) measures
-    the staged postings count (the action shares the localCheckpoint
-    every later consumer reuses) and broadcasts iff
-    ``rows × 32 B ≤ verify_broadcast_budget_bytes`` — 32 B/entry is
-    deliberately pessimistic for an 8-byte-key/8-byte-double entry
-    plus array+offset overhead, so the gate flips to shuffle well
-    before the broadcast could pressure executor memory.  The mode is
-    pure physical strategy: the output is bit-identical across all
-    three (pytest-pinned)."""
+    the staged postings frame (the action shares the localCheckpoint
+    every later consumer reuses) and broadcasts iff the estimated
+    serialized map size fits ``verify_broadcast_budget_bytes``: with
+    hashed keys that is ``rows × 32 B`` (deliberately pessimistic for
+    an 8-byte-key/8-byte-double entry plus array+offset overhead);
+    with ``verify_keys="token"`` the keys are variable-length strings
+    where a flat 32 B/entry could under-estimate — and ``F.broadcast``
+    is a hard hint — so the gate instead MEASURES total key length in
+    the same one-pass aggregate and charges
+    ``rows × 24 B + key_chars × 4 B`` (4 B/char is pessimistic vs
+    UTF-8; round-13 ADVICE closure).  Either way the gate flips to
+    shuffle well before the broadcast could pressure executor memory.
+    The measurement is only free when ``stage=True`` (the gate action
+    then triggers the one localCheckpoint materialization every later
+    consumer reuses); with ``stage=False`` there is no shared
+    materialization to piggyback on, so ``auto`` skips the measurement
+    and takes the scale-safe ``shuffle`` attach directly (round-13
+    ADVICE closure — the old comment claimed a lineage sharing that
+    unstaged plans cannot provide).  The mode is pure physical
+    strategy: the output is bit-identical across all three
+    (pytest-pinned)."""
     if verify_keys not in ("token", "xxhash64"):
         raise ValueError(
             f"verify_keys must be 'token' or 'xxhash64', got {verify_keys!r}"
@@ -576,15 +589,32 @@ def tfidf_cosine_pairs(
         df, id_col, text_col, threshold, broadcast_df_table, stage, precision
     )
     if verify_attach == "auto":
-        # one cheap count on the staged postings — it triggers the
-        # localCheckpoint materialization every downstream consumer
-        # (candidate join, docvec build) reuses, so the action costs
-        # the postings build ONCE rather than adding a run
-        verify_attach = (
-            "broadcast"
-            if postings.count() * 32 <= verify_broadcast_budget_bytes
-            else "shuffle"
-        )
+        if not stage:
+            # no localCheckpoint to share: any gate aggregate would
+            # re-run the tokenize/prefix subtree once extra on raw
+            # lineage, so unstaged callers get the scale-safe mode
+            # without measuring (docstring; round-13 ADVICE)
+            verify_attach = "shuffle"
+        else:
+            # one cheap aggregate on the staged postings — it triggers
+            # the localCheckpoint materialization every downstream
+            # consumer (candidate join, docvec build) reuses, so the
+            # action costs the postings build ONCE rather than adding
+            # a run.  Hashed keys: 32 B/entry flat.  Token keys:
+            # variable-length strings, so measure the actual key chars
+            # in the same pass (docstring has the calibration).
+            if verify_keys == "token":
+                n, key_chars = postings.agg(
+                    F.count(F.lit(1)), F.sum(F.length("__tok"))
+                ).first()
+                est = n * 24 + int(key_chars or 0) * 4
+            else:
+                est = postings.count() * 32
+            verify_attach = (
+                "broadcast"
+                if est <= verify_broadcast_budget_bytes
+                else "shuffle"
+            )
     key = (
         F.col("__tok")
         if verify_keys == "token"

@@ -184,15 +184,25 @@ def test_tfidf_verify_keys_seam_equal(spark):
         }
 
     tok, h64 = run("token"), run("xxhash64")
-    # same pair set; cosines compared to one 6dp ulp, NOT exactly —
-    # the key representation also changes the dot-product FOLD ORDER
-    # (maps sort by hash instead of token), so a true cosine sitting
-    # exactly on a 6dp rounding boundary may legitimately land one ulp
-    # apart between the paths (round-12 ADVICE; this fixture happens
-    # to agree exactly, but that is not an invariant worth pinning)
-    assert sorted(tok) == sorted(h64) and len(tok) > 0
-    for pair, c in tok.items():
-        assert abs(c - h64[pair]) <= 1e-6 + 1e-12
+    # cosines compared to one 6dp ulp, NOT exactly — the key
+    # representation also changes the dot-product FOLD ORDER (maps
+    # sort by hash instead of token), so a true cosine sitting exactly
+    # on a 6dp rounding boundary may legitimately land one ulp apart
+    # between the paths (round-12 ADVICE).  The SAME ulp shift on a
+    # boundary pair can flip its `rounded >= threshold` membership, so
+    # exact pair-SET equality is only an invariant AWAY from the
+    # threshold: a pair present in exactly one set must sit within one
+    # 6dp ulp of the threshold in the set that holds it (round-13
+    # ADVICE closure — this fixture happens to agree exactly, but that
+    # is not an invariant worth pinning as a hard assert)
+    ulp = 1e-6 + 1e-12
+    thr = 0.7
+    assert len(tok) > 0 and len(h64) > 0
+    for pair in set(tok) ^ set(h64):
+        c = tok.get(pair, h64.get(pair))
+        assert abs(c - thr) <= ulp, (pair, c)
+    for pair in set(tok) & set(h64):
+        assert abs(tok[pair] - h64[pair]) <= ulp
 
     import pytest
 
