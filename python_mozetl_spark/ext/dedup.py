@@ -945,7 +945,8 @@ def winnow_copy_pairs(
     stage: bool = True,
     min_prefix_hits: int = 8,
     hash_fn: str = "md5",
-    anchor_arity: int = 1,
+    anchor_arity: int | str = 1,
+    gate_report: dict | None = None,
 ) -> DataFrame:
     """All document pairs sharing ≥ ``min_shared`` winnowing
     fingerprints (:func:`winnow_fingerprints`) — the local-copy
@@ -1043,6 +1044,41 @@ def winnow_copy_pairs(
       share only one prefix fingerprint and zero composites — raises
       rather than silently losing recall).  Output is pinned equal to
       the arity-1 path by pytest; both are exact by the shared verify.
+    - ``"auto"`` (round 13): pick the arity from the two
+      PLANNING-TIME observables that decided the r12 regime
+      measurement (SCALE_CURVE_r12 ``winnow_bucket_histogram``; the
+      measured crossover sits near 3.2M docs on the Heaps fixture):
+
+      * arity-1 cost ≈ raw bucket enumerations
+        ``Σ_buckets s·(s−1)/2`` over the prefix frame grouped by
+        fingerprint — the term measured growing N^2.09 at the fifth
+        decade;
+      * arity-2 cost ≈ composite row volume ``Σ_docs p·(p−1)/2``
+        with ``p = m − T + c`` — the same prefix frame grouped by
+        doc (its bucket enumerations collapse toward
+        duplicate-family size, so the self-join rows dominate).
+
+      Each is one cheap count-shaped aggregate on the prefix frame;
+      with ``stage=True`` the frame is localCheckpointed first, so the
+      gate actions trigger the one materialization the downstream
+      candidate chain reuses (the ``verify_attach="auto"`` discipline
+      from :func:`~python_mozetl_spark.ext.search.tfidf_cosine_pairs`).
+      With ``stage=False`` there is no shared materialization, so
+      ``auto`` skips the measurement and keeps the graded arity-1
+      default; likewise when the effective c < 2 (composites would
+      break recall) it picks arity 1 instead of raising.  The gate is
+      pure physical strategy — both sides share the exact
+      array-intersect verify, so the output is identical whichever
+      side it picks (pytest-pinned, and driver-graded by the
+      ``doc_winnow_arity_parity`` registry query).
+
+    ``gate_report`` (optional): a caller-supplied dict filled with the
+    gate decision — ``anchor_arity`` (the arity actually used),
+    ``reason`` (``"measured"`` / ``"c<2"`` / ``"unstaged"`` /
+    ``"manual"``), and the two observables (``arity1_enumerations``,
+    ``arity2_rows``; None when the gate did not measure) — so scale
+    sweeps can record WHICH side the gate chose and why without
+    re-deriving the aggregates.
     """
     fps = winnow_fingerprints(
         df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
@@ -1066,8 +1102,10 @@ def winnow_copy_pairs(
     # min_shared=1 with the default c=2) would otherwise silently drop
     # true pairs whose exact overlap lies in [min_shared, c).
     c = max(1, min(int(min_prefix_hits), int(min_shared)))
-    if anchor_arity not in (1, 2):
-        raise ValueError(f"anchor_arity must be 1 or 2, got {anchor_arity!r}")
+    if anchor_arity not in (1, 2, "auto"):
+        raise ValueError(
+            f"anchor_arity must be 1, 2 or 'auto', got {anchor_arity!r}"
+        )
     if anchor_arity == 2 and c < 2:
         raise ValueError(
             "anchor_arity=2 requires an effective min_prefix_hits >= 2 "
@@ -1079,6 +1117,63 @@ def winnow_copy_pairs(
         ranked.withColumn("__rn", F.row_number().over(order))
         .where(F.col("__rn") <= F.col("__m") - F.lit(min_shared) + F.lit(c))
     )
+    if anchor_arity == "auto":
+        # planning-time regime gate (docstring has the two cost
+        # models); integers all the way — these sums reach 3.18e9 at
+        # the measured fifth decade and would overflow nothing but
+        # would lose precision as doubles
+        enum1 = rows2 = None
+        if c < 2:
+            anchor_arity, reason = 1, "c<2"  # composites can't hold recall
+        elif not stage:
+            # no localCheckpoint to share: each gate aggregate would
+            # re-expand the fingerprint/window lineage — unstaged
+            # callers keep the graded default without measuring
+            anchor_arity, reason = 1, "unstaged"
+        else:
+            # three consumers now (two gate aggregates + the candidate
+            # chain) — stage the prefix frame so the window subtree
+            # runs once, with the first gate action materializing it
+            prefix = prefix.localCheckpoint(eager=False)
+
+            def _pair_sum(keyed: Column) -> int:
+                # Σ s·(s−1) as exact bigints end to end; halve
+                # driver-side so no term ever rides a double (s·(s−1)
+                # passes 2^53 at ~95M-member buckets — plausible for
+                # boilerplate fingerprints at the 100 TB corpus size)
+                total = (
+                    prefix.groupBy(keyed.alias("__k"))
+                    .agg(F.count(F.lit(1)).alias("__s"))
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.col("__s") * (F.col("__s") - 1)),
+                            F.lit(0),
+                        )
+                    )
+                    .first()[0]
+                )
+                return int(total) // 2
+
+            enum1 = _pair_sum(F.col("fp"))
+            rows2 = _pair_sum(F.col(id_col))
+            anchor_arity, reason = (2, "measured") if rows2 < enum1 else (
+                1,
+                "measured",
+            )
+        if gate_report is not None:
+            gate_report.update(
+                anchor_arity=anchor_arity,
+                reason=reason,
+                arity1_enumerations=enum1,
+                arity2_rows=rows2,
+            )
+    elif gate_report is not None:
+        gate_report.update(
+            anchor_arity=anchor_arity,
+            reason="manual",
+            arity1_enumerations=None,
+            arity2_rows=None,
+        )
     if anchor_arity == 2:
         # composite (fp_i, fp_j) anchors: within-doc rank self-join
         # (co-partitioned on id — the exchange the prefix window

@@ -1,0 +1,236 @@
+"""Round-13 seams: the tfidf auto-gate calibration fixes (ADVICE r12)
+and the composite-anchor winnow auto gate (VERDICT r12 tasks 1-2).
+
+Seam contract mirrors test_r12: every gate here is pure physical
+strategy — outputs are pinned identical across gate decisions, and the
+gate's DECISION is pinned against hand-computed observables.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _tfidf_corpus(spark):
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for d in range(30):
+        toks = [vocab[(d * 5 + i * i) % (4 + d % 13)] for i in range(6 + d % 7)]
+        rows.append((d, " ".join(toks)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tfidf_auto_unstaged_takes_shuffle(spark):
+    """stage=False + verify_attach='auto' must NOT run a gate
+    aggregate on unstaged lineage (it would re-run the tokenize/prefix
+    subtree once extra) — it takes the scale-safe shuffle attach, so
+    the plan matches the explicit shuffle mode and building it
+    triggers no Spark job at all (round-13 ADVICE closure)."""
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+    from tests.test_plans import _formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")], ["doc_id", "text"]
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    auto_plan = _formatted_plan(
+        tfidf_cosine_pairs(df, "doc_id", "text", stage=False)
+    )
+    assert len(tracker.getJobIdsForGroup() or []) == jobs_before
+    sh_plan = _formatted_plan(
+        tfidf_cosine_pairs(
+            df, "doc_id", "text", stage=False, verify_attach="shuffle"
+        )
+    )
+
+    def norm(plan: str) -> str:
+        # erase per-build expression ids (#182, x_2, plan_id=7) — the
+        # invariant is plan STRUCTURE equality, not id equality
+        import re
+
+        return re.sub(r"#\d+|x_\d+|plan_id=\d+", "", plan)
+
+    assert norm(auto_plan) == norm(sh_plan)
+
+
+def test_tfidf_auto_token_keys_budget_measures_key_bytes(spark):
+    """With verify_keys='token' the auto gate charges measured key
+    chars (rows*24 + chars*4), not a flat 32 B/entry: a budget sized
+    between the two estimates must flip token-keyed auto to shuffle
+    while the same budget keeps hashed-keyed auto broadcasting —
+    output identical either way (round-13 ADVICE closure)."""
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+
+    # long tokens: flat 32 B/entry badly under-estimates string keys
+    vocab = [f"averyveryverylongtokenname{i:04d}" for i in range(12)]
+    rows = []
+    for d in range(24):
+        toks = [vocab[(d + i * i) % (3 + d % 9)] for i in range(5 + d % 5)]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from python_mozetl_spark.ext.search import _tfidf_prefix_candidates
+
+    postings, _ = _tfidf_prefix_candidates(
+        df, "doc_id", "text", 0.7, True, True, 6
+    )
+    n, chars = postings.agg(
+        F.count(F.lit(1)), F.sum(F.length("__tok"))
+    ).first()
+    flat, measured = n * 32, n * 24 + int(chars) * 4
+    assert measured > flat  # the fixture exercises the gap
+    budget = (flat + measured) // 2
+
+    def run(keys, **kw):
+        return sorted(
+            map(
+                tuple,
+                tfidf_cosine_pairs(
+                    df, "doc_id", "text", threshold=0.7,
+                    verify_keys=keys, **kw,
+                ).collect(),
+            )
+        )
+
+    base = run("xxhash64")
+    assert (
+        run("token", verify_broadcast_budget_bytes=budget)
+        == run("token")
+        == base
+    ) and len(base) > 0
+
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+
+def _winnow_fixture(spark, n_dup: int = 5, n_salad: int = 6):
+    rng = random.Random(31)
+    rows, did = [], 0
+    for _ in range(n_dup):
+        b = _rand_text(rng, 600)
+        rows.append((did, _rand_text(rng, 150) + b))
+        rows.append((did + 1, b + _rand_text(rng, 150)))
+        did += 2
+    for _ in range(n_salad):
+        rows.append((did, _rand_text(rng, 700)))
+        did += 1
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_winnow_anchor_arity_auto_equals_manual(spark):
+    """anchor_arity='auto' output == both manual arities on the
+    duplicate-family fixture (the gate is physical only), on BOTH hash
+    paths, and the gate_report records a decision consistent with its
+    own two observables."""
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    df = _winnow_fixture(spark)
+
+    def run(arity, hash_fn="md5", report=None):
+        return sorted(
+            (r.id_a, r.id_b, r.n_shared)
+            for r in winnow_copy_pairs(
+                df, "doc_id", "text", k=8, window=4, min_shared=50,
+                hash_fn=hash_fn, anchor_arity=arity, gate_report=report,
+            ).collect()
+        )
+
+    for hash_fn in ("md5", "xxhash64"):
+        rep: dict = {}
+        auto = run("auto", hash_fn, rep)
+        assert auto == run(1, hash_fn) == run(2, hash_fn)
+        assert len(auto) == 5
+        assert rep["anchor_arity"] in (1, 2)
+        assert rep["arity1_enumerations"] >= 0
+        assert rep["arity2_rows"] >= 0
+        expected = (
+            2 if rep["arity2_rows"] < rep["arity1_enumerations"] else 1
+        )
+        assert rep["anchor_arity"] == expected
+
+
+def test_winnow_anchor_arity_auto_gate_observables(spark):
+    """The gate's two observables equal hand-computed values on a tiny
+    deterministic corpus: arity-1 enumerations = sum over prefix
+    buckets of s(s-1)/2; arity-2 rows = sum over docs of p(p-1)/2 with
+    p = m - T + c (every doc's prefix length after the m >= T prune)."""
+    from python_mozetl_spark.ext.dedup import (
+        winnow_copy_pairs,
+        winnow_fingerprints,
+    )
+
+    df = _winnow_fixture(spark, n_dup=3, n_salad=3)
+    T, c = 50, 8
+    fps = winnow_fingerprints(df, "doc_id", "text", k=8, window=4)
+    per_doc = {
+        r.doc_id: r.m
+        for r in fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m")).collect()
+        if r.m >= T
+    }
+    exp_rows2 = sum(
+        (m - T + c) * (m - T + c - 1) // 2 for m in per_doc.values()
+    )
+    # arity-1 enumerations need the actual prefix membership: rarest
+    # (df, fp)-ordered first m-T+c fingerprints per doc
+    import collections
+
+    rows = fps.where(
+        F.col("doc_id").isin(*per_doc)
+    ).collect()
+    dfreq = collections.Counter(r.fp for r in rows)
+    by_doc: dict = collections.defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r.fp)
+    bucket = collections.Counter()
+    for did, fs in by_doc.items():
+        fs.sort(key=lambda f: (dfreq[f], f))
+        for f in fs[: per_doc[did] - T + c]:
+            bucket[f] += 1
+    exp_enum1 = sum(s * (s - 1) // 2 for s in bucket.values())
+
+    rep: dict = {}
+    winnow_copy_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=T,
+        anchor_arity="auto", gate_report=rep,
+    ).collect()
+    assert rep["arity1_enumerations"] == exp_enum1
+    assert rep["arity2_rows"] == exp_rows2
+    assert rep["anchor_arity"] == (2 if exp_rows2 < exp_enum1 else 1)
+
+
+def test_winnow_anchor_arity_auto_c1_falls_back_to_arity1(spark):
+    """auto with an effective c < 2 (min_shared=1 clamps c) cannot use
+    composites (recall would break) — it must silently pick arity 1,
+    not raise like an explicit anchor_arity=2 request does."""
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    df = spark.createDataFrame(
+        [(0, "abcdefghijklmno"), (1, "abcdefghijklmno")],
+        "doc_id bigint, text string",
+    )
+    rep: dict = {}
+    out = sorted(
+        (r.id_a, r.id_b)
+        for r in winnow_copy_pairs(
+            df, "doc_id", "text", k=8, window=4, min_shared=1,
+            anchor_arity="auto", gate_report=rep,
+        ).collect()
+    )
+    assert rep["anchor_arity"] == 1 and rep["reason"] == "c<2"
+    assert out == [(0, 1)]
+
+
+def test_winnow_anchor_arity_rejects_bad_values(spark):
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    df = spark.createDataFrame([(0, "abcdefghijkl")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="anchor_arity"):
+        winnow_copy_pairs(df, "doc_id", "text", anchor_arity="AUTO")
+    with pytest.raises(ValueError, match="anchor_arity"):
+        winnow_copy_pairs(df, "doc_id", "text", anchor_arity=0)
