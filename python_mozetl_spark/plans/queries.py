@@ -2393,6 +2393,85 @@ def doc_winnow_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_winnow_arity_parity",
+    "Differential grading of the composite-anchor winnow path "
+    "(round 13, VERDICT task 2 — the anchor_arity seam gets the same "
+    "driver-visible treatment doc_winnow_hash_parity gave hash_fn): "
+    "arity-1 (per-fingerprint buckets, the graded default) and "
+    "arity-2 (composite (fp_i, fp_j) buckets, the sixth-decade scale "
+    "path selected by anchor_arity='auto' past the ~3.2M-doc "
+    "crossover) are EXACT by the same array_intersect verify, so "
+    "unlike the hash seam's hysteresis the invariant is full-row "
+    "set EQUALITY including n_shared.  Output: the arity-1 pair "
+    "count computed exactly by the DuckDB oracle (anchoring the row "
+    "to a real oracle computation — arity never changes the output, "
+    "so the plain >=50-shared-fingerprints count IS both sides' "
+    "expected count) plus the two symmetric-difference counts, which "
+    "the oracle pins at zero.",
+    ("ext-dedup", "seam"),
+    oracle="""
+WITH h AS (SELECT doc_id,
+    CASE WHEN length(text) >= 8 THEN
+      list_transform(generate_series(1, length(text) - 7),
+                     i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT)
+    ELSE [] END AS hs
+  FROM documents),
+sel AS (SELECT doc_id,
+    CASE WHEN len(hs) >= 4 THEN
+      list_transform(generate_series(1, len(hs) - 3), j -> list_min(hs[j:j+3]))
+    WHEN len(hs) >= 1 THEN [list_min(hs)] ELSE [] END AS fps
+  FROM h),
+f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+strict AS (SELECT id_a, id_b FROM p GROUP BY id_a, id_b
+           HAVING count(*) >= 50)
+-- the symmetric-difference counts are STRUCTURAL zeros (both arities
+-- share the exact verify); DuckDB grades the pair count exactly and
+-- pins the differences at 0
+SELECT CAST(count(*) AS BIGINT) AS n_pairs_arity1,
+       CAST(0 AS BIGINT) AS n_only_arity1,
+       CAST(0 AS BIGINT) AS n_only_arity2
+FROM strict
+""",
+)
+def doc_winnow_arity_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    d = t(spark, sf_dir, "documents")
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def pairs(arity: int) -> DataFrame:
+        # the graded doc_winnow_copy_pairs configuration, md5 digest
+        # (the DuckDB-anchorable path) with only the anchor arity
+        # varying — the seam under grade
+        return winnow_copy_pairs(
+            d,
+            "doc_id",
+            "text",
+            k=8,
+            window=4,
+            min_shared=50,
+            max_bucket=500,
+            spread_pairs=shuffle_parts * 8,
+            anchor_arity=arity,
+        )
+
+    # each arity's pair frame feeds three consumers (count / anti-join
+    # probe / anti-join build) — stage both or the winnow lineage
+    # re-expands per consumer (SCALE.md §6b, the hash-parity lesson)
+    p1 = pairs(1).localCheckpoint(eager=False)
+    p2 = pairs(2).localCheckpoint(eager=False)
+    cols = ["id_a", "id_b", "n_shared"]
+    only1 = p1.join(p2, cols, "left_anti")
+    only2 = p2.join(p1, cols, "left_anti")
+    n = p1.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_arity1"))
+    d1 = only1.agg(F.count(F.lit(1)).cast("bigint").alias("n_only_arity1"))
+    d2 = only2.agg(F.count(F.lit(1)).cast("bigint").alias("n_only_arity2"))
+    return n.crossJoin(d1).crossJoin(d2)
+
+
+@query(
     "kmv_distinct_users",
     "KMV (k-minimum-values) distinct-count sketch per event type: the "
     "k smallest distinct md5 hashes give estimate (k-1)/h_(k) — "
@@ -8801,72 +8880,80 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
-    # Round-12 rotation (VERDICT r11 task 2).  Ordering contract: the
-    # driver grades list(REGISTRY)[:50]; changed/new queries front the
-    # window, then the stalest cohorts.  After this rotation the
-    # stalest live driver rows are the six r8-cohort queries deferred
-    # below (the r7+r8 cohorts total 52 and the window holds 50 minus
-    # four r12 slots) — they head the r13 queue:
-    #   taar_lr_curves, token_inverted_index, token_pagerank,
-    #   user_daily_gapfill, vocab_heavy_hitters, weekly_retention_cohorts
-    # (a) NEW in round 12 (never driver-graded => MUST hold a slot)
+    # Round-13 rotation (VERDICT r12 task 4 clears the r8 rotation
+    # debt).  Ordering contract: the driver grades
+    # list(REGISTRY)[:50]; changed/new queries front the window, then
+    # the stalest cohorts.  Live staleness entering r13 (computed from
+    # CORRECTNESS_r01..r12 newest-row rounds; embedding_clusters'
+    # r3 row is retired, not live): the six r8-cohort queries, then
+    # the 43-query r9 cohort.  1 new + 3 impl-touched + 6 + 40 = 50;
+    # the r9 cohort's alphabetical tail (taar_locale_topn,
+    # token_pmi_pairs, weekly_trend_merge) heads the R14 QUEUE,
+    # followed by the r10 cohort.
+    # (a) NEW in round 13 (never driver-graded => MUST hold a slot)
+    "doc_winnow_arity_parity",
+    # (b) impl touched in round 13: winnow_copy_pairs gains the
+    # anchor_arity='auto' planning-time gate (default arity-1 output
+    # and plan unchanged, but the restructured entry path earns fresh
+    # rows for both its graded consumers — the r10/r11/r12 precedent
+    # for output-identical expression-tree/call-graph changes, and the
+    # r12 ADVICE asked for exactly this row); the tfidf verify
+    # auto-gate recalibrates its token-key estimate and unstaged
+    # behavior (the graded defaults ride the unchanged hashed/staged
+    # path — same precedent)
+    "doc_winnow_copy_pairs",
     "doc_winnow_hash_parity",
-    # (b) impl touched in round 12: tfidf verify tier gains the
-    # size-gated broadcast attach (output-identical, but a changed
-    # physical strategy earns a fresh row); pricing_summary's 2dp
-    # money rounding moved into decimal space; doc_quality takes the
-    # integer stopword count directly (ADVICE items)
     "doc_tfidf_cosine_pairs",
-    "pricing_summary",
-    "doc_quality",
-    # (c) the full r07 cohort (stalest remaining driver rows)
-    "priority_join_agg",
-    "props_json_stats",
-    "region_nation_rollup",
-    "regional_revenue",
-    "running_revenue",
-    "segment_active_customers",
-    "stream_merge_sink_roundtrip",
-    "token_triangles",
-    "user_decayed_value",
-    # (d) the r08 cohort minus the six deferred above
-    "bigram_lm_top",
-    "customer_revenue_deciles",
-    "customer_rfm_segments",
-    "customer_status_scd2",
-    "customer_value_ranks",
-    "daily_new_users",
-    "doc_bpe_token_stats",
-    "doc_domain_quota",
-    "doc_length_batches",
-    "doc_overlap_chunks",
-    "doc_pack_chunks",
-    "doc_shuffle_shards",
-    "doc_source_mix",
-    "doc_split_assign",
-    "doc_stratified_exact_sample",
-    "doc_tfidf_keywords",
-    "doc_token_entropy",
-    "doc_unigram_logprob",
-    "embedding_ivf_topk",
-    "embedding_lloyd_clusters",
-    "embedding_mmr_select",
-    "embedding_quantized_topk",
-    "embedding_semantic_dedup",
-    "event_funnel",
-    "event_multi_rollup",
-    "event_pii_scrub",
-    "event_value_anomalies",
-    "json_ping_rollup",
-    "kmv_distinct_users",
-    "multimodal_frame_sample",
-    "order_burst_interval_join",
-    "phrase_search_docs",
-    "price_outlier_stats",
-    "quantity_percentiles",
-    "salted_segment_order_stats",
-    "source_length_corr",
-    "taar_donor_scores",
+    # (c) the six r8-cohort queries (stalest live driver rows — the
+    # rotation debt VERDICT r12 named)
+    "taar_lr_curves",
+    "token_inverted_index",
+    "token_pagerank",
+    "user_daily_gapfill",
+    "vocab_heavy_hitters",
+    "weekly_retention_cohorts",
+    # (d) the r09 cohort, alphabetical, minus the three-query tail
+    # deferred to r14 (named above)
+    "addon_aggregates_rollup",
+    "addon_coinstall_graph",
+    "bloom_pruned_revenue",
+    "bm25_search_docs",
+    "bpe_merge_candidates",
+    "clients_daily_rollup",
+    "csv_dim_weighted_orders",
+    "doc_length_auc",
+    "doc_negative_samples",
+    "doc_ngram_jaccard_pairs",
+    "doc_temperature_mix",
+    "doc_unimax_mix",
+    "embedding_kcenter_coreset",
+    "embedding_semantic_dedup_hi",
+    "event_gap_quantiles",
+    "event_transition_probs",
+    "event_type_daily_trend",
+    "event_type_user_overlap",
+    "event_value_mannwhitney",
+    "experiments_daily_rollup",
+    "graphics_device_shares",
+    "hardware_dimension_report",
+    "missing_symbols_report",
+    "orders_incremental_state",
+    "orders_neyman_sample",
+    "orders_quality_report",
+    "parquet_sink_roundtrip",
+    "part_zorder_keys",
+    "price_quantile_sketch",
+    "price_winsorized_revenue",
+    "priority_conversion_ci",
+    "priority_grouping_sets",
+    "priority_status_chi2",
+    "profile_export_json",
+    "search_engine_rollup",
+    "session_attribution_rollup",
+    "status_cube",
+    "stream_cm_counters",
+    "stream_histogram_quantiles",
+    "stream_mg_bound_audit",
 ]
 
 
