@@ -51,8 +51,18 @@ def run() -> None:
         ).save()
 
     names = [name for name, q in REGISTRY.items() if q.bench]
+    t_warm = time.time()
     for name in names:  # global warm pass — see module docstring
         materialize(name)
+    # box canary (round 13): the warm pass is the one cross-round
+    # constant-shape workload every bench invocation already pays, so
+    # its wall doubles as a BOX-STATE reading — three rounds running,
+    # the driver's BENCH artifact needed same-tree repo-side re-runs
+    # to decide "regression or loaded box" (r8 minhash, r12 total).
+    # BASELINE.md "canary rule": compare a round's canary to the
+    # anchor round's before comparing walls; a high canary means the
+    # box was busy — compare per-query RATIOS to the canary instead.
+    box_canary = round(time.time() - t_warm, 3)
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name in names:
@@ -81,6 +91,7 @@ def run() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "box_canary": box_canary,
                 "sf": sf,
             }
         )

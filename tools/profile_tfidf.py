@@ -147,8 +147,64 @@ def _ab_sweep(spark, tags, rounds: int = 3) -> None:
         )
 
 
+def _attach_sweep(spark, tags, rounds: int = 3) -> None:
+    """Round-13 (VERDICT r12 task 3): measure the OVER-BUDGET attach
+    regime.  The verify_attach='auto' gate flips to the shuffled
+    attach exactly where the docvec table outgrows the broadcast
+    budget — i.e. exactly the 100 TB shape — but r12 measured only the
+    broadcast side past x10.  Order-balanced broadcast/shuffle A/B
+    (same discipline as --ab: alternating AB/BA so box-load decay
+    cannot favour one side) gives the cost curve the big-corpus path
+    actually rides, per decade."""
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+    from python_mozetl_spark.plans.queries import t
+
+    for tag in tags:
+        sf_dir = os.path.join(ROOT, "scalefix", tag)
+
+        def run(mode: str) -> float:
+            spark._jvm.System.gc()
+            t0 = time.time()
+            tfidf_cosine_pairs(
+                t(spark, sf_dir, "documents"),
+                "doc_id",
+                "text",
+                threshold=THRESHOLD,
+                verify_attach=mode,
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.time() - t0, 2)
+
+        run("broadcast")  # warm both paths before any timed run
+        run("shuffle")
+        res: dict[str, list[float]] = {"broadcast": [], "shuffle": []}
+        for i in range(rounds):
+            order = (
+                ("broadcast", "shuffle")
+                if i % 2 == 0
+                else ("shuffle", "broadcast")
+            )
+            for mode in order:
+                res[mode].append(run(mode))
+        print(
+            json.dumps(
+                {
+                    "tag": tag,
+                    "broadcast": {
+                        "runs": res["broadcast"],
+                        "med": round(statistics.median(res["broadcast"]), 2),
+                    },
+                    "shuffle": {
+                        "runs": res["shuffle"],
+                        "med": round(statistics.median(res["shuffle"]), 2),
+                    },
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--ab"]
+    args = [a for a in sys.argv[1:] if a not in ("--ab", "--attach")]
     tags = args or ["x10", "x30"]
     from python_mozetl_spark.session import get_session
 
@@ -156,6 +212,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--ab" in sys.argv[1:]:
         _ab_sweep(spark, tags)
+    elif "--attach" in sys.argv[1:]:
+        _attach_sweep(spark, tags)
     else:
         _stage_sweep(spark, tags)
 
