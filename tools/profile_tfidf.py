@@ -205,15 +205,22 @@ def _attach_sweep(spark, tags, rounds: int = 3) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if a not in ("--ab", "--attach")]
+    rounds = 3
+    for a in list(args):
+        # --rounds=1: the scale_x300 single-rep convention for decade
+        # exponents where a median-of-3 costs an hour
+        if a.startswith("--rounds="):
+            rounds = int(a.split("=", 1)[1])
+            args.remove(a)
     tags = args or ["x10", "x30"]
     from python_mozetl_spark.session import get_session
 
     spark = get_session(app_name="profile_tfidf")
     spark.sparkContext.setLogLevel("ERROR")
     if "--ab" in sys.argv[1:]:
-        _ab_sweep(spark, tags)
+        _ab_sweep(spark, tags, rounds=rounds)
     elif "--attach" in sys.argv[1:]:
-        _attach_sweep(spark, tags)
+        _attach_sweep(spark, tags, rounds=rounds)
     else:
         _stage_sweep(spark, tags)
 
