@@ -226,6 +226,43 @@ def test_winnow_anchor_arity_auto_c1_falls_back_to_arity1(spark):
     assert out == [(0, 1)]
 
 
+def test_winnow_anchor_arity_auto_picks_composite_in_its_regime(spark):
+    """A boilerplate-heavy corpus (every doc shares one hot block, so
+    per-fingerprint buckets hold ~all docs while prefixes stay short
+    because m barely clears T) must flip the gate to arity 2 — the
+    regime §6k proved composite anchors win — and the output must
+    still equal the forced arity-1 run."""
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    rng = random.Random(7)
+    # 140-char shared block => m barely clears T=50, so prefixes are
+    # SHORT (p = m-T+c ~ 13, composite rows ~ C(13,2)*N) while every
+    # shared fingerprint's bucket holds all N docs (enumerations
+    # ~ #shared_prefix_buckets * C(N,2)) — composite wins with N
+    block = _rand_text(rng, 140)
+    rows = [(i, block + _rand_text(rng, 8)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    rep: dict = {}
+    auto = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_copy_pairs(
+            df, "doc_id", "text", k=8, window=4, min_shared=50,
+            anchor_arity="auto", gate_report=rep,
+        ).collect()
+    )
+    assert rep["anchor_arity"] == 2 and rep["reason"] == "measured"
+    assert rep["arity2_rows"] < rep["arity1_enumerations"]
+    manual = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_copy_pairs(
+            df, "doc_id", "text", k=8, window=4, min_shared=50,
+            anchor_arity=1,
+        ).collect()
+    )
+    assert auto == manual and len(auto) > 0
+
+
 def test_winnow_anchor_arity_rejects_bad_values(spark):
     from python_mozetl_spark.ext.dedup import winnow_copy_pairs
 
