@@ -135,13 +135,23 @@ def main() -> None:
     # generation and all of the disk it would never exercise.
     if "--x300" in sys.argv[1:]:
         scales.append(("x300", 1_500_000))
+    # x1000 (5M docs, ``--x1000``) is the SIXTH decade PROBE point
+    # (round 13): documents only.  It exists for the anchor-arity
+    # gate decision — the r13 observable curves cross at ~4.0M docs
+    # (SCALE_CURVE_r13 ``winnow_gate_probe``), so 5M is the first
+    # generatable decade where the gate should flip to composite
+    # anchors.  A full arity-2 winnow RUN at this size (~24B composite
+    # rows) is out of single-box scope; the gate decision is the
+    # measurable.
+    if "--x1000" in sys.argv[1:]:
+        scales.append(("x1000", 5_000_000))
     for name, n_docs in scales:
         out = os.path.join(ROOT, "scalefix", name)
         os.makedirs(out, exist_ok=True)
         rng = np.random.RandomState(42)  # same stream per scale
         docs = make_documents(n_docs, rng)
         pq.write_table(docs, os.path.join(out, "documents.parquet"))
-        if name == "x300":
+        if name in ("x300", "x1000"):
             print(f"{name}: {docs.num_rows} docs (documents only) -> {out}")
             continue
         emb = make_embeddings(int(n_docs * 0.4), rng)
