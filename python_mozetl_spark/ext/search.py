@@ -487,6 +487,8 @@ def tfidf_cosine_pairs(
     verify_keys: str = "xxhash64",
     verify_attach: str = "auto",
     verify_broadcast_budget_bytes: int = 512 << 20,
+    verify_slabs: int = 2,
+    verify_max_slabs: int = 8,
 ) -> DataFrame:
     """All document pairs with TF-IDF weighted cosine similarity >=
     ``threshold`` (Bayardo, Ma & Srikant, WWW'07) — candidate
@@ -552,38 +554,57 @@ def tfidf_cosine_pairs(
     ``"broadcast"`` ships docvec to every task once and streams the
     candidate pairs through two broadcast hash joins — the whole
     verify tier (attach + zip + threshold) runs shuffle-free in the
-    same stage that deduplicates the candidates.  ``"shuffle"`` keeps
-    the id-keyed sort-merge attach — the 100 TB shape when the per-doc
-    map table exceeds executor memory.  ``"auto"`` (default) measures
+    same stage that deduplicates the candidates.  ``"slab"`` (round 13, the MIDDLE
+    regime): hash-partition docvec into ``verify_slabs`` budget-sized
+    slabs and attach via B² lazy union branches, each joining one
+    (a-slab, b-slab) pair of broadcasts — per-task hash-join build
+    memory stays bounded at two slabs regardless of docvec size (the
+    under-budget broadcast mode's own bound) while the verify tier
+    still runs shuffle-free; Catalyst's ReuseExchange collapses the
+    B² branch references to 2B distinct broadcast builds, and the
+    slim candidate frame (staged) absorbs the B² scans.  Why it
+    exists: the measured over-budget penalty is ~2× (order-balanced
+    x100 medians: shuffled attach 219.2 s vs forced-broadcast
+    108.3 s; an earlier load-confounded single-rep read parity and
+    was overturned — the r12 x30 ABBA read the same 2×, SCALE.md
+    §6j).  ``"shuffle"`` keeps
+    the id-keyed sort-merge attach — the truly-massive shape where
+    even ``verify_max_slabs × budget`` cannot hold the map table.
+    ``"auto"`` (default) measures
     the staged postings frame (the action shares the localCheckpoint
-    every later consumer reuses) and broadcasts iff the estimated
-    serialized map size fits ``verify_broadcast_budget_bytes``: with
-    hashed keys that is ``rows × 32 B`` (deliberately pessimistic for
+    every later consumer reuses) and picks the first regime that
+    fits: broadcast iff the estimated serialized map size fits
+    ``verify_broadcast_budget_bytes``, else slab with
+    ``B = ceil(est / budget)`` while ``B ≤ verify_max_slabs``, else
+    shuffle.  The size estimate: with
+    hashed keys ``rows × 32 B`` (deliberately pessimistic for
     an 8-byte-key/8-byte-double entry plus array+offset overhead);
     with ``verify_keys="token"`` the keys are variable-length strings
     where a flat 32 B/entry could under-estimate — and ``F.broadcast``
     is a hard hint — so the gate instead MEASURES total key length in
     the same one-pass aggregate and charges
     ``rows × 24 B + key_chars × 4 B`` (4 B/char is pessimistic vs
-    UTF-8; round-13 ADVICE closure).  Either way the gate flips to
-    shuffle well before the broadcast could pressure executor memory.
-    The measurement is only free when ``stage=True`` (the gate action
+    UTF-8; round-13 ADVICE closure).  The measurement is only free when ``stage=True`` (the gate action
     then triggers the one localCheckpoint materialization every later
     consumer reuses); with ``stage=False`` there is no shared
     materialization to piggyback on, so ``auto`` skips the measurement
     and takes the scale-safe ``shuffle`` attach directly (round-13
     ADVICE closure — the old comment claimed a lineage sharing that
     unstaged plans cannot provide).  The mode is pure physical
-    strategy: the output is bit-identical across all three
+    strategy: the output is bit-identical across all four
     (pytest-pinned)."""
     if verify_keys not in ("token", "xxhash64"):
         raise ValueError(
             f"verify_keys must be 'token' or 'xxhash64', got {verify_keys!r}"
         )
-    if verify_attach not in ("auto", "broadcast", "shuffle"):
+    if verify_attach not in ("auto", "broadcast", "slab", "shuffle"):
         raise ValueError(
-            "verify_attach must be 'auto', 'broadcast' or 'shuffle', "
-            f"got {verify_attach!r}"
+            "verify_attach must be 'auto', 'broadcast', 'slab' or "
+            f"'shuffle', got {verify_attach!r}"
+        )
+    if verify_attach == "slab" and int(verify_slabs) < 2:
+        raise ValueError(
+            f"verify_slabs must be >= 2 for 'slab', got {verify_slabs!r}"
         )
     postings, cand = _tfidf_prefix_candidates(
         df, id_col, text_col, threshold, broadcast_df_table, stage, precision
@@ -610,11 +631,18 @@ def tfidf_cosine_pairs(
                 est = n * 24 + int(key_chars or 0) * 4
             else:
                 est = postings.count() * 32
-            verify_attach = (
-                "broadcast"
-                if est <= verify_broadcast_budget_bytes
-                else "shuffle"
-            )
+            if est <= verify_broadcast_budget_bytes:
+                verify_attach = "broadcast"
+            else:
+                # middle regime (round 13): docvec over budget but
+                # within verify_max_slabs budget-sized slabs — slab
+                # the attach (measured ~2x over the shuffled attach
+                # at the first post-flip decade, SCALE.md §6j)
+                n_slabs = -(-est // verify_broadcast_budget_bytes)
+                if n_slabs <= int(verify_max_slabs):
+                    verify_attach, verify_slabs = "slab", n_slabs
+                else:
+                    verify_attach = "shuffle"
     key = (
         F.col("__tok")
         if verify_keys == "token"
@@ -637,7 +665,47 @@ def tfidf_cosine_pairs(
     )
     if verify_attach == "broadcast":
         side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
-    pairs = cand.join(side_a, "id_a").join(side_b, "id_b")
+        pairs = cand.join(side_a, "id_a").join(side_b, "id_b")
+    elif verify_attach == "slab":
+        # middle regime: B budget-sized docvec slabs, B² lazy union
+        # branches each joining ONE (a-slab, b-slab) pair of
+        # broadcasts.  Per-task hash-join build memory is bounded at
+        # two slabs (≈ the under-budget broadcast mode's bound) no
+        # matter how large docvec grows; Catalyst's ReuseExchange
+        # collapses the B² branch references to 2B distinct broadcast
+        # builds.  The candidate frame is scanned B² times, so stage
+        # it — it is slim (two ids per row), unlike the attached
+        # frames the shuffled mode sorts.
+        B = int(verify_slabs)
+        if stage:
+            cand = cand.localCheckpoint(eager=False)
+        sa = F.pmod(F.xxhash64(F.col("id_a")), F.lit(B))
+        sb = F.pmod(F.xxhash64(F.col("id_b")), F.lit(B))
+        slab_id = F.pmod(F.xxhash64(F.col("__id")), F.lit(B))
+        branches = []
+        for i in range(B):
+            slab_a = F.broadcast(
+                docvec.where(slab_id == i).select(
+                    F.col("__id").alias("id_a"), F.col("__m").alias("__ma")
+                )
+            )
+            for j in range(B):
+                slab_b = F.broadcast(
+                    docvec.where(slab_id == j).select(
+                        F.col("__id").alias("id_b"),
+                        F.col("__m").alias("__mb"),
+                    )
+                )
+                branches.append(
+                    cand.where((sa == i) & (sb == j))
+                    .join(slab_a, "id_a")
+                    .join(slab_b, "id_b")
+                )
+        pairs = branches[0]
+        for br in branches[1:]:
+            pairs = pairs.unionByName(br)
+    else:
+        pairs = cand.join(side_a, "id_a").join(side_b, "id_b")
     dot = F.expr(
         """
         aggregate(

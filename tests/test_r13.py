@@ -105,6 +105,90 @@ def test_tfidf_auto_token_keys_budget_measures_key_bytes(spark):
     ) and len(base) > 0
 
 
+def test_tfidf_slab_attach_output_identical(spark):
+    """The slab attach (B² branch broadcast joins over budget-sized
+    docvec slabs — the round-13 middle regime) must emit the
+    bit-identical output of the broadcast and shuffle modes, at
+    several slab counts and on both verify-key paths."""
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+
+    df = _tfidf_corpus(spark)
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                tfidf_cosine_pairs(
+                    df, "doc_id", "text", threshold=0.7, **kw
+                ).collect(),
+            )
+        )
+
+    base = run(verify_attach="broadcast")
+    assert base == run(verify_attach="shuffle") and len(base) > 0
+    for b in (2, 3, 5):
+        assert run(verify_attach="slab", verify_slabs=b) == base
+    assert run(verify_attach="slab", verify_slabs=2,
+               verify_keys="token") == base
+
+
+def test_tfidf_auto_picks_slab_in_middle_regime(spark):
+    """auto with a budget between est/verify_max_slabs and est must
+    take the slab attach with B = ceil(est/budget) — plan-pinned
+    against the explicit slab mode — and fall back to shuffle when
+    even verify_max_slabs slabs cannot hold the estimate."""
+    from python_mozetl_spark.ext.search import (
+        _tfidf_prefix_candidates,
+        tfidf_cosine_pairs,
+    )
+    from tests.test_plans import _formatted_plan
+    import re
+
+    df = _tfidf_corpus(spark)
+    postings, _ = _tfidf_prefix_candidates(
+        df, "doc_id", "text", 0.7, True, True, 6
+    )
+    est = postings.count() * 32
+    budget = est // 3 + 1  # => B = 3 <= max_slabs
+
+    def norm(plan):
+        # strip expression ids AND checkpoint RDD ids — structure,
+        # not identity, is the invariant
+        return re.sub(r"#\d+|x_\d+|plan_id=\d+|RDD\[\d+\]", "", plan)
+
+    auto_plan = norm(_formatted_plan(tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.7,
+        verify_broadcast_budget_bytes=budget,
+    )))
+    slab_plan = norm(_formatted_plan(tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.7,
+        verify_attach="slab", verify_slabs=3,
+    )))
+    assert auto_plan == slab_plan and "Union" in auto_plan
+    # beyond max_slabs the gate must refuse to slab
+    sh_plan = norm(_formatted_plan(tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.7,
+        verify_broadcast_budget_bytes=budget, verify_max_slabs=2,
+    )))
+    shuffle_plan = norm(_formatted_plan(tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.7, verify_attach="shuffle",
+    )))
+    assert sh_plan == shuffle_plan
+    # output equality under the middle-regime budget
+    a = sorted(map(tuple, tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.7,
+        verify_broadcast_budget_bytes=budget,
+    ).collect()))
+    b = sorted(map(tuple, tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.7,
+    ).collect()))
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError, match="verify_slabs"):
+        tfidf_cosine_pairs(df, "doc_id", "text",
+                           verify_attach="slab", verify_slabs=1)
+
+
 def _rand_text(rng: random.Random, n: int) -> str:
     return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
 

@@ -164,6 +164,7 @@ def _attach_sweep(spark, tags, rounds: int = 3) -> None:
 
         def run(mode: str) -> float:
             spark._jvm.System.gc()
+            kw = {"verify_slabs": 2} if mode == "slab" else {}
             t0 = time.time()
             tfidf_cosine_pairs(
                 t(spark, sf_dir, "documents"),
@@ -171,31 +172,30 @@ def _attach_sweep(spark, tags, rounds: int = 3) -> None:
                 "text",
                 threshold=THRESHOLD,
                 verify_attach=mode,
+                **kw,
             ).write.format("noop").mode("overwrite").save()
             return round(time.time() - t0, 2)
 
-        run("broadcast")  # warm both paths before any timed run
-        run("shuffle")
-        res: dict[str, list[float]] = {"broadcast": [], "shuffle": []}
+        modes = ("broadcast", "slab", "shuffle")
+        for m in modes:  # warm every path before any timed run
+            run(m)
+        res: dict[str, list[float]] = {m: [] for m in modes}
         for i in range(rounds):
-            order = (
-                ("broadcast", "shuffle")
-                if i % 2 == 0
-                else ("shuffle", "broadcast")
-            )
+            # rotate the order each round so load drift cannot favour
+            # any one mode (the 2-mode ABBA generalized)
+            order = modes[i % len(modes):] + modes[: i % len(modes)]
             for mode in order:
                 res[mode].append(run(mode))
         print(
             json.dumps(
                 {
                     "tag": tag,
-                    "broadcast": {
-                        "runs": res["broadcast"],
-                        "med": round(statistics.median(res["broadcast"]), 2),
-                    },
-                    "shuffle": {
-                        "runs": res["shuffle"],
-                        "med": round(statistics.median(res["shuffle"]), 2),
+                    **{
+                        m: {
+                            "runs": res[m],
+                            "med": round(statistics.median(res[m]), 2),
+                        }
+                        for m in modes
                     },
                 }
             ),
