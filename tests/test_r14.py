@@ -1,0 +1,94 @@
+"""Round-13-optimization pins: the winnow fingerprint kernel seam
+(arrow vs expr bit-equality) and the staged/unstaged pair-stage
+equivalence that the OPTIMIZATION_r13 restructure relies on."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture
+def fp_corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 6),
+        (2, "the quick brown fox jumps over the lazy dog " * 6),
+        (3, "completely different text with its own character grams " * 5),
+        (4, "exactly8"),  # one gram, one fingerprint (m < window)
+        (5, "short"),  # < k chars: zero fingerprints
+        (6, ""),  # empty
+        (7, None),  # null text
+        (8, "übergrößenträger straße " * 12),  # non-ASCII codepoints
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_winnow_fp_kernel_seam_bit_equal(fp_corpus):
+    """The Arrow fingerprint kernel (hashlib md5 + NumPy rolling min)
+    must produce the SAME fingerprint multiset per doc as the JVM
+    expression kernel — hashlib md5 is bit-identical to Spark's, and
+    the 60-bit truncation (digest[:8] >> 4) must equal
+    conv(substring(md5hex, 1, 15), 16, 10).  Arrays may differ in
+    element order only (first-occurrence vs ascending); every consumer
+    is order-blind, so the pin compares sorted arrays."""
+    from python_mozetl_spark.ext.dedup import _winnow_fp_arrays
+
+    out = {}
+    for impl in ("arrow", "expr"):
+        out[impl] = {
+            r[0]: sorted(r[1])
+            for r in _winnow_fp_arrays(
+                fp_corpus, "doc_id", "text", k=8, window=4, impl=impl
+            ).collect()
+        }
+    assert set(out["arrow"]) == set(out["expr"])
+    for doc_id in out["expr"]:
+        assert out["arrow"][doc_id] == out["expr"][doc_id], doc_id
+    # shape sanity: dup docs share all fingerprints, short docs degrade
+    assert out["expr"][1] == out["expr"][2]
+    assert len(out["expr"][4]) == 1
+    assert out["expr"][5] == [] and out["expr"][6] == []
+    assert out["expr"][7] == []
+
+
+def test_winnow_fp_kernel_rejects_bad_impl(fp_corpus):
+    from python_mozetl_spark.ext.dedup import _winnow_fp_arrays
+
+    with pytest.raises(ValueError, match="impl"):
+        _winnow_fp_arrays(fp_corpus, "doc_id", "text", impl="jvm")
+    with pytest.raises(ValueError, match="md5"):
+        _winnow_fp_arrays(
+            fp_corpus, "doc_id", "text", hash_fn="xxhash64", impl="arrow"
+        )
+
+
+def test_winnow_pairs_staged_equals_unstaged(spark):
+    """The r13-optimization staged path (array-domain checkpoint +
+    staged prefix frame) and the unstaged path (pre-r13 exploded
+    shape: count window + collect_list) must emit identical pairs —
+    they share only the candidate/verify contract, not the plan."""
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    import random
+
+    rng = random.Random(13)
+    words = [f"w{rng.randrange(10**6):06d}" for _ in range(80)]
+    base = " ".join(words)  # ~560 chars, high gram diversity
+    rows = [(i, base + f" tail{i}") for i in range(6)] + [
+        (
+            10 + i,
+            " ".join(f"u{rng.randrange(10**6):06d}" for _ in range(60)),
+        )
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {}
+    for staged in (True, False):
+        out[staged] = sorted(
+            (r.id_a, r.id_b, r.n_shared)
+            for r in winnow_copy_pairs(
+                df, "doc_id", "text", k=8, window=4, min_shared=20,
+                stage=staged,
+            ).collect()
+        )
+    assert out[True] == out[False]
+    assert len(out[True]) > 0
