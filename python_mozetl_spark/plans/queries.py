@@ -88,7 +88,27 @@ def query(name: str, doc: str, tags: tuple[str, ...], oracle: str | None = None,
 _SPREAD_TABLES = {"lineitem", "orders", "events", "documents", "customer", "embeddings"}
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread_input: bool | None = None,
+) -> DataFrame:
+    """Read a base table; ``spread_input`` overrides the per-table
+    spread default (round 13).  ``spread()`` exists to parallelize
+    CPU-heavy per-row work over the single-row-group local files —
+    but when a query's FIRST post-scan operator is itself an exchange
+    (a join/groupBy/window shuffle), the round-robin repartition is a
+    pure extra shuffle: the next exchange redistributes anyway, and
+    the scan-side serial floor (one map task) is paid either way.
+    Measured at sf0.1 (5-run medians, interleaved): dropping it is
+    −0.4..0.6 s on priority_join_agg / daily_event_rollup /
+    sessionized_events and neutral-to-better on regional_revenue,
+    while pricing_summary KEEPS it (+1 s to drop: its pre-exchange
+    partial aggregation over 600k rows×7 aggregates is the heavy
+    per-row stage spread was built for).  Pass ``spread_input=False``
+    from queries whose plan starts scan→exchange; leave the default
+    for md5/tokenize pipelines and heavy pre-shuffle aggregation."""
     tune_session(spark)
     df = read_table(spark, sf_dir, name)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -98,7 +118,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
         )
-    if name in _SPREAD_TABLES:
+    if spread_input if spread_input is not None else name in _SPREAD_TABLES:
         df = spread(df)
     return df
 
@@ -301,8 +321,10 @@ GROUP BY r_name
     bench=True,
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
+    # scan→join directly (t() spread_input note): the star join's own
+    # exchanges/broadcasts do the distribution; spread() was pure cost
+    o = t(spark, sf_dir, "orders", spread_input=False)
+    c = t(spark, sf_dir, "customer", spread_input=False)
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     return (
@@ -334,8 +356,11 @@ GROUP BY o_orderpriority
     bench=True,
 )
 def priority_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    # scan→join directly: both sides' first operator is the join's own
+    # exchange (or a broadcast build), so the spread() round-robin was
+    # a pure extra shuffle — measured −0.4..0.6 s at sf0.1 (t() note)
+    o = t(spark, sf_dir, "orders", spread_input=False)
+    li = t(spark, sf_dir, "lineitem", spread_input=False)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
@@ -888,7 +913,9 @@ FROM events GROUP BY 1, 2
     bench=True,
 )
 def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # scan→groupBy directly: the light partial agg doesn't need the
+    # spread() pre-shuffle (measured −0.4 s at sf0.1, t() note)
+    e = t(spark, sf_dir, "events", spread_input=False)
     return (
         e.groupBy(
             F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
@@ -965,7 +992,9 @@ FROM s GROUP BY user_id, session_id
     bench=True,
 )
 def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # scan→window directly: sessionize's user_id exchange does the
+    # distribution; spread() was a pure extra shuffle (t() note)
+    e = t(spark, sf_dir, "events", spread_input=False)
     s = sessionize(e, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id")
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
