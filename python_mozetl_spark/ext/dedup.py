@@ -276,7 +276,18 @@ def minhash_lsh_pairs(
         # shared-staging path doc_pretrain_corpus already uses); this
         # branch is the one-shot/interactive path.
         sig = sig.localCheckpoint(eager=False)
-    return _lsh_verify_pairs(sig, id_col, threshold, num_hashes, bands, max_bucket)
+    # stage the bucket-count window only on the one-shot branch (the
+    # signatures= caller is the cluster path that persists instead —
+    # bounded_bucket_pairs docstring, round 13)
+    return _lsh_verify_pairs(
+        sig,
+        id_col,
+        threshold,
+        num_hashes,
+        bands,
+        max_bucket,
+        stage=signatures is None,
+    )
 
 
 def ngram_jaccard_pairs(
@@ -515,6 +526,7 @@ def bounded_bucket_pairs(
     key_field: str,
     max_bucket: int = 10_000,
     spread_pairs: int | None = None,
+    stage: bool = False,
 ) -> DataFrame:
     """All unordered within-bucket pairs ``(a, b)`` (struct payloads,
     ``a.key < b.key``) with BOUNDED per-task materialization — the
@@ -547,9 +559,28 @@ def bounded_bucket_pairs(
     (e.g. winnowing fingerprint overlap) — a pair still appears once
     per bucket it shares, so candidate-generation callers dedup on ids
     downstream as multi-band LSH always must.
+
+    ``stage`` (round 13) localCheckpoints the post-window frame.  The
+    count-window chain (Exchange+Sort+Window over the banded rows) is
+    referenced by three consumers — the small-bucket aggregation and
+    the chunk-grid's two join sides — and the captured bench plans
+    (plans/r13/doc_minhash_pairs_before.txt operators 6-12/25-31/38-44)
+    show it planned three times: static ReuseExchange does not
+    collapse the exchanges because they sit under different parents,
+    and the chunk branch's extra filter breaks AQE stage-reuse
+    equivalence for one of them.  Staging runs the chain ONCE and the
+    branches read ``(bucket, payload, __cnt)`` rows — tens of bytes —
+    from executor block storage.  Default off: a localCheckpoint is
+    executor-local and NOT fault-tolerant, so long-lived cluster
+    pipelines should persist their banded frame instead (the same
+    caveat as every one-shot staging path in this module); the
+    one-shot callers that already accept that trade (minhash/simhash/
+    winnow/SRP) pass True.
     """
     w = Window.partitionBy(bucket_col)
     tagged = banded.withColumn("__cnt", F.count(F.lit(1)).over(w))
+    if stage:
+        tagged = tagged.localCheckpoint(eager=False)
     xk, yk = F.col(f"x.{key_field}"), F.col(f"y.{key_field}")
     grouped = (
         tagged.where(F.col("__cnt").between(2, max_bucket))
@@ -642,10 +673,13 @@ def _lsh_verify_pairs(
     num_hashes: int,
     bands: int,
     max_bucket: int = 10_000,
+    stage: bool = False,
 ) -> DataFrame:
     """Band-bucket pairing + exact Jaccard verify over a staged
     signature frame (id, __sh, mh_*).  Candidate pairs carry ids only;
     shingle arrays are joined back just for the verify step.
+    ``stage`` forwards to :func:`bounded_bucket_pairs` (stage the
+    bucket-count window once; one-shot callers only).
 
     Pair generation via :func:`bounded_bucket_pairs` rather than a band
     self-join: the self-join's two sides are not exchange-reused by
@@ -672,7 +706,7 @@ def _lsh_verify_pairs(
         ).alias("band"),
     )
     cand = (
-        bounded_bucket_pairs(banded, "band", "__p", id_col, max_bucket)
+        bounded_bucket_pairs(banded, "band", "__p", id_col, max_bucket, stage=stage)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
@@ -835,6 +869,11 @@ def simhash_near_pairs(
     # (no exchange reuse); this computes it once, the struct payload
     # carries the signature to the pair for the hamming check, and
     # degenerate buckets are chunk-grid split at max_bucket.
+    # stage=True (round 13): without it the count-window chain — and
+    # the simhash aggregation subtree BELOW its exchange — is planned
+    # once per bucket-pair consumer; this is an inline one-shot
+    # computation (no persisted signature table to fall back on), the
+    # same trade minhash's one-shot branch makes.
     pairs = bounded_bucket_pairs(
         banded.select(
             "band", F.struct(F.col(id_col), F.col("simhash")).alias("__p")
@@ -843,6 +882,7 @@ def simhash_near_pairs(
         "__p",
         id_col,
         max_bucket,
+        stage=True,
     )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -1383,6 +1423,11 @@ def winnow_copy_pairs(
             id_col,
             max_bucket=max_bucket,
             spread_pairs=spread_pairs,
+            # ride the existing staging contract: the prefix frame is
+            # already checkpointed when stage=True, but the bucket
+            # count window above it was still re-planned per pair
+            # consumer (round 13, bounded_bucket_pairs docstring)
+            stage=stage,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

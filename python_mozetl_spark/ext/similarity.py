@@ -485,6 +485,12 @@ def srp_near_dup_pairs(
             "__p",
             "__id",
             max_bucket,
+            # stage=True (round 13): the count-window chain is planned
+            # per pair consumer and would re-run the mapInPandas
+            # sketch subtree below its exchange each time; this path
+            # computes sketches inline (one-shot), same trade as
+            # minhash's one-shot branch
+            stage=True,
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -193,17 +193,24 @@ def test_lsh_bucket_cap_preserves_pairs_on_skewed_fixture(spark):
     assert capped == uncapped
     assert {(a, b) for a in range(12) for b in range(12) if a < b} <= capped
 
-    # when buckets actually overflow, the chunked frame must sit behind
-    # its own exchange so AQE materializes it ONCE for both grid-join
-    # sides (3 reuses: band exchange, chunks exchange, verify
-    # broadcast) — without it each side re-runs the window pass
+    # when buckets actually overflow, the bucket-count window frame
+    # must be computed ONCE for the small-bucket branch and both
+    # grid-join sides.  Pre-r13 this leaned on AQE ReusedExchange
+    # (pinned here as >= 3 reuses); since the r13 optimization the
+    # one-shot path localCheckpoints the tagged frame
+    # (bounded_bucket_pairs stage=True), so every consumer reads the
+    # SAME materialized RDD — the signature checkpoint (banded + two
+    # shingle join-backs) and the tagged checkpoint (small branch +
+    # two grid sides) surface as ExistingRDD scans in the final plan,
+    # and no window chain re-plan exists to reuse at all.
     capped_df = minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.9, max_bucket=3
     )
     capped_df.collect()
     plan = capped_df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert plan.count("ReusedExchange") >= 3
+    assert plan.count("ExistingRDD") >= 4
+    assert plan.count("Window") <= 1  # the count window, at most once
 
     def sim_pairset(max_bucket):
         return {

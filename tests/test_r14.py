@@ -92,3 +92,34 @@ def test_winnow_pairs_staged_equals_unstaged(spark):
         )
     assert out[True] == out[False]
     assert len(out[True]) > 0
+
+
+def test_bucket_pairs_staged_equals_unstaged(spark):
+    """bounded_bucket_pairs(stage=True) localCheckpoints the
+    bucket-count window frame so the Exchange+Sort+Window chain runs
+    once instead of once per consumer (round-13 optimization).  The
+    pair multiset must be identical to the unstaged plan in BOTH
+    branches: small buckets (cap above bucket size) and the chunk-grid
+    (cap below), including the shared-bucket multiplicities
+    candidate-counting callers rely on."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.ext.dedup import bounded_bucket_pairs
+
+    rows = [(b, i) for b in range(3) for i in range(7)] + [
+        (9, i) for i in range(11)  # one larger bucket to straddle cap=3
+    ]
+    banded = spark.createDataFrame(rows, ["bucket", "id"]).select(
+        "bucket", F.struct("id").alias("__p")
+    )
+    for cap in (10_000, 3):
+        got = {}
+        for staged in (True, False):
+            out = bounded_bucket_pairs(
+                banded, "bucket", "__p", "id", cap, stage=staged
+            ).select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+            got[staged] = Counter((r["x"], r["y"]) for r in out.collect())
+        assert got[True] == got[False], cap
+        assert sum(got[True].values()) == 3 * 21 + 55  # C(7,2)x3 + C(11,2)
