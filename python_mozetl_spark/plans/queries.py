@@ -386,8 +386,10 @@ GROUP BY c_custkey, c_mktsegment
 """,
 )
 def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    # scan→join directly on both sides (t() spread_input note; the r13
+    # plan audit flagged the customer spread feeding its broadcast)
+    c = t(spark, sf_dir, "customer", spread_input=False)
+    o = t(spark, sf_dir, "orders", spread_input=False)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey", "c_mktsegment")
@@ -409,8 +411,9 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    # scan→anti-join directly (t() spread_input note, r13 plan audit)
+    c = t(spark, sf_dir, "customer", spread_input=False)
+    o = t(spark, sf_dir, "orders", spread_input=False)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -430,8 +433,9 @@ GROUP BY c_mktsegment
 """,
 )
 def segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    # scan→semi-join directly (t() spread_input note, r13 plan audit)
+    c = t(spark, sf_dir, "customer", spread_input=False)
+    o = t(spark, sf_dir, "orders", spread_input=False)
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
@@ -452,7 +456,9 @@ SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_o
 """,
 )
 def customer_year_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
+    # scan→intersect (distinct-agg exchange) directly on both branches
+    # (t() spread_input note, r13 plan audit)
+    o = t(spark, sf_dir, "orders", spread_input=False)
 
     def year(y: int) -> DataFrame:
         return o.where(
@@ -702,8 +708,10 @@ FROM s
 """,
 )
 def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
+    # scan→join directly on both sides (t() spread_input note, r13
+    # plan audit flagged the customer spread feeding its broadcast)
+    o = t(spark, sf_dir, "orders", spread_input=False)
+    c = t(spark, sf_dir, "customer", spread_input=False)
     pre = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
@@ -1452,9 +1460,18 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mozetl_spark.ext.similarity import brute_force_topk
 
     e = t(spark, sf_dir, "embeddings")
-    return brute_force_topk(
-        e, e.where(F.col("vec_id") < 10), id_col="vec_id", k=5
-    ).select("query_id", "neighbor_id", "score", "rank")
+    # the query side is 10 rows bound for a BroadcastExchange — deriving
+    # it from the spread() frame put a RoundRobin Exchange UNDER the
+    # broadcast collect (plans/r13/embedding_topk_before.txt op (4)), a
+    # shuffle existing only to be gathered back.  Read it unspread; the
+    # candidate side keeps its spread (it parallelizes the BNLJ score
+    # kernel over the single-row-group local scan).
+    q = t(spark, sf_dir, "embeddings", spread_input=False).where(
+        F.col("vec_id") < 10
+    )
+    return brute_force_topk(e, q, id_col="vec_id", k=5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
 
 
 @query(
@@ -2045,8 +2062,14 @@ GROUP BY o_orderkey
 """,
 )
 def order_burst_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
-    e = t(spark, sf_dir, "events")
+    # scan→join directly on both sides (t() spread_input note; the r13
+    # plan audit flagged a spread() feeding the join's broadcast build
+    # — the planner picks EVENTS as the build side here, so both
+    # spreads were pre-exchange shuffles)
+    o = t(spark, sf_dir, "orders", spread_input=False).where(
+        F.col("o_totalprice") > 400000
+    )
+    e = t(spark, sf_dir, "events", spread_input=False)
     joined = o.join(
         e,
         (e.user_id == o.o_custkey % 500)
@@ -5293,8 +5316,14 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     ppl = bigram_perplexity(d, "doc_id", "text").select("doc_id", "ppl")
     w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    # the (doc_id, lang) dim side is broadcast — read it unspread (r13
+    # plan audit); the perplexity side keeps d's spread (CPU-heavy
+    # tokenize/bigram stage, exactly what spread exists for)
+    dim = t(spark, sf_dir, "documents", spread_input=False).select(
+        "doc_id", "lang"
+    )
     return (
-        ppl.join(d.select("doc_id", "lang"), "doc_id")
+        ppl.join(dim, "doc_id")
         .withColumn("__tert", F.ntile(3).over(w))
         .select(
             "doc_id",
