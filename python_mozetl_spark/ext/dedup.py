@@ -1288,7 +1288,20 @@ def winnow_copy_pairs(
       With ``stage=False`` there is no shared materialization, so
       ``auto`` skips the measurement and keeps the graded arity-1
       default; likewise when the effective c < 2 (composites would
-      break recall) it picks arity 1 instead of raising.  The gate is
+      break recall) it picks arity 1 instead of raising.
+
+      The comparison only applies past an ABSOLUTE floor
+      (``enum1 ≥ 1e9``, env ``WINNOW_ARITY_GATE_MIN_ENUM1``): the
+      observables are asymptotic volume proxies whose per-unit costs
+      only equalize once per-row work dominates fixed per-stage
+      overheads — measured on the dense sf0.1 bench corpus the raw
+      comparison (27.3M > 18.6M) picked the side whose wall was 5x
+      WORSE (20.5 vs 4.2 s, interleaved A/B), because the composite
+      build's extra stages cost more than the entire arity-1
+      enumeration at that scale.  Below the floor the gate reports
+      ``reason="below-floor"`` and keeps arity 1; every recorded
+      scalefix-decade decision — including the x1000 flip at
+      enum1=29.7B — sits far past the floor and is unchanged.  The gate is
       pure physical strategy — both sides share the exact
       array-intersect verify, so the output is identical whichever
       side it picks (pytest-pinned, and driver-graded by the
@@ -1296,8 +1309,9 @@ def winnow_copy_pairs(
 
     ``gate_report`` (optional): a caller-supplied dict filled with the
     gate decision — ``anchor_arity`` (the arity actually used),
-    ``reason`` (``"measured"`` / ``"c<2"`` / ``"unstaged"`` /
-    ``"manual"``), and the two observables (``arity1_enumerations``,
+    ``reason`` (``"measured"`` / ``"below-floor"`` / ``"c<2"`` /
+    ``"unstaged"`` / ``"manual"``), and the two observables
+    (``arity1_enumerations``,
     ``arity2_rows``; None when the gate did not measure) — so scale
     sweeps can record WHICH side the gate chose and why without
     re-deriving the aggregates.
@@ -1418,10 +1432,38 @@ def winnow_copy_pairs(
 
             enum1 = _pair_sum(F.col("fp"))
             rows2 = _pair_sum(F.col(id_col))
-            anchor_arity, reason = (2, "measured") if rows2 < enum1 else (
-                1,
-                "measured",
+            # Absolute floor (round-13 optimization session 3): the two
+            # observables are ASYMPTOTIC volume proxies, and their
+            # per-unit costs only equalize once per-row work dominates
+            # fixed per-stage overheads.  An arity-2 plan carries ~5
+            # extra stages (within-doc self-join build, its own bucket
+            # window over the composite rows, a 28-hit aggregate), so
+            # at small absolute scale the raw comparison inverts
+            # reality: measured on the sf0.1 bench corpus (5k docs,
+            # dense fingerprint domain), the gate's raw comparison
+            # read enum1=27.3M > rows2=18.6M and would pick arity 2 —
+            # whose interleaved-A/B wall was 20.5 s vs arity 1's
+            # 4.2 s (5x WORSE).  Below the floor, the arity-1
+            # enumeration completes in seconds-to-minutes on any
+            # hardware, which the composite build's extra stages can
+            # never repay; at the decades where composite anchors
+            # actually win (the r12 wall-measured ~3.2M-doc crossover;
+            # the x1000 probe's flip at enum1=29.7B) enum1 is orders
+            # of magnitude past it, so every recorded scalefix-decade
+            # decision (SCALE_CURVE_r13 winnow_gate_probe) is
+            # unchanged.  Env-overridable for probes and tests.
+            floor = int(
+                os.environ.get(
+                    "WINNOW_ARITY_GATE_MIN_ENUM1", str(1_000_000_000)
+                )
             )
+            if rows2 < enum1 and enum1 < floor:
+                anchor_arity, reason = 1, "below-floor"
+            else:
+                anchor_arity, reason = (2, "measured") if rows2 < enum1 else (
+                    1,
+                    "measured",
+                )
         if gate_report is not None:
             gate_report.update(
                 anchor_arity=anchor_arity,

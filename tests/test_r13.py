@@ -239,11 +239,14 @@ def test_winnow_anchor_arity_auto_equals_manual(spark):
         assert rep["anchor_arity"] == expected
 
 
-def test_winnow_anchor_arity_auto_gate_observables(spark):
+def test_winnow_anchor_arity_auto_gate_observables(spark, monkeypatch):
     """The gate's two observables equal hand-computed values on a tiny
     deterministic corpus: arity-1 enumerations = sum over prefix
     buckets of s(s-1)/2; arity-2 rows = sum over docs of p(p-1)/2 with
-    p = m - T + c (every doc's prefix length after the m >= T prune)."""
+    p = m - T + c (every doc's prefix length after the m >= T prune).
+    The absolute enum1 floor is zeroed so the pin stays a pure
+    raw-comparison check (the floor has its own test below)."""
+    monkeypatch.setenv("WINNOW_ARITY_GATE_MIN_ENUM1", "0")
     from python_mozetl_spark.ext.dedup import (
         winnow_copy_pairs,
         winnow_fingerprints,
@@ -310,12 +313,15 @@ def test_winnow_anchor_arity_auto_c1_falls_back_to_arity1(spark):
     assert out == [(0, 1)]
 
 
-def test_winnow_anchor_arity_auto_picks_composite_in_its_regime(spark):
+def test_winnow_anchor_arity_auto_picks_composite_in_its_regime(spark, monkeypatch):
     """A boilerplate-heavy corpus (every doc shares one hot block, so
     per-fingerprint buckets hold ~all docs while prefixes stay short
     because m barely clears T) must flip the gate to arity 2 — the
     regime §6k proved composite anchors win — and the output must
-    still equal the forced arity-1 run."""
+    still equal the forced arity-1 run.  The absolute enum1 floor is
+    zeroed: this fixture demonstrates the COMPARISON mechanics; at its
+    real 60-doc scale the floor would (correctly) hold arity 1."""
+    monkeypatch.setenv("WINNOW_ARITY_GATE_MIN_ENUM1", "0")
     from python_mozetl_spark.ext.dedup import winnow_copy_pairs
 
     rng = random.Random(7)
@@ -345,6 +351,50 @@ def test_winnow_anchor_arity_auto_picks_composite_in_its_regime(spark):
         ).collect()
     )
     assert auto == manual and len(auto) > 0
+
+
+def test_winnow_anchor_arity_auto_floor_holds_arity1(spark, monkeypatch):
+    """The absolute enum1 floor (round-13 optimization session 3): on
+    the same boilerplate fixture whose RAW comparison flips to arity 2
+    (rows2 < enum1 — the test above), the default floor must hold
+    arity 1 with reason='below-floor' because enum1 is far under 1e9 —
+    the regime where the composite build's extra stages cost more than
+    the whole arity-1 enumeration (measured 20.5 vs 4.2 s at sf0.1).
+    Output is identical either way (the gate is physical-only)."""
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    monkeypatch.delenv("WINNOW_ARITY_GATE_MIN_ENUM1", raising=False)
+    rng = random.Random(7)
+    block = _rand_text(rng, 140)
+    rows = [(i, block + _rand_text(rng, 8)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    rep: dict = {}
+    floored = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_copy_pairs(
+            df, "doc_id", "text", k=8, window=4, min_shared=50,
+            anchor_arity="auto", gate_report=rep,
+        ).collect()
+    )
+    assert rep["anchor_arity"] == 1 and rep["reason"] == "below-floor"
+    # the raw comparison WOULD have flipped — that is what the floor guards
+    assert rep["arity2_rows"] < rep["arity1_enumerations"]
+    assert rep["arity1_enumerations"] < 1_000_000_000
+    # a floor the observables clear lets the comparison decide again
+    monkeypatch.setenv(
+        "WINNOW_ARITY_GATE_MIN_ENUM1", str(rep["arity1_enumerations"])
+    )
+    rep2: dict = {}
+    unfloored = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_copy_pairs(
+            df, "doc_id", "text", k=8, window=4, min_shared=50,
+            anchor_arity="auto", gate_report=rep2,
+        ).collect()
+    )
+    assert rep2["anchor_arity"] == 2 and rep2["reason"] == "measured"
+    assert floored == unfloored and len(floored) > 0
 
 
 def test_winnow_anchor_arity_rejects_bad_values(spark):
