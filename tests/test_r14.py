@@ -145,6 +145,79 @@ def test_winnow_arrow_gate_doc_length(spark, tmp_path, monkeypatch):
     assert _fp_plan_is_arrow(_winnow_fp_arrays(short_df, "doc_id", "text"))
 
 
+def test_winnow_shared_frames_output_equal(spark):
+    """winnow_copy_pairs(frames=...) — the round-13 parity-sharing seam
+    — must emit exactly the pairs the per-run staged path emits, for
+    BOTH arities: the shared WinnowPrefixFrames chain is the staged
+    chain verbatim (pure code motion), and the arity branch consumes
+    only the prefix/arr frames either way."""
+    from python_mozetl_spark.ext.dedup import (
+        winnow_copy_pairs,
+        winnow_prefix_frames,
+    )
+
+    import random
+
+    rng = random.Random(14)
+    words = [f"w{rng.randrange(10**6):06d}" for _ in range(80)]
+    base = " ".join(words)
+    rows = [(i, base + f" tail{i}") for i in range(6)] + [
+        (
+            10 + i,
+            " ".join(f"u{rng.randrange(10**6):06d}" for _ in range(60)),
+        )
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(k=8, window=4, min_shared=20)
+    frames = winnow_prefix_frames(df, "doc_id", "text", **kw)
+    for arity in (1, 2):
+        shared = sorted(
+            (r.id_a, r.id_b, r.n_shared)
+            for r in winnow_copy_pairs(
+                df, "doc_id", "text", anchor_arity=arity, frames=frames, **kw
+            ).collect()
+        )
+        per_run = sorted(
+            (r.id_a, r.id_b, r.n_shared)
+            for r in winnow_copy_pairs(
+                df, "doc_id", "text", anchor_arity=arity, **kw
+            ).collect()
+        )
+        assert shared == per_run, arity
+        assert len(shared) > 0, arity
+
+
+def test_winnow_shared_frames_param_mismatch_raises(spark):
+    """Frames built under one fingerprint configuration must be
+    rejected by a consumer with a different one — silently pairing
+    against the wrong fingerprints would corrupt the parity grade."""
+    from python_mozetl_spark.ext.dedup import (
+        winnow_copy_pairs,
+        winnow_prefix_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij klmnopqrst" * 4)], "doc_id bigint, text string"
+    )
+    frames = winnow_prefix_frames(df, "doc_id", "text", k=8, window=4, min_shared=20)
+    with pytest.raises(ValueError, match="frames"):
+        winnow_copy_pairs(
+            df, "doc_id", "text", k=8, window=4, min_shared=25, frames=frames
+        )
+    with pytest.raises(ValueError, match="frames"):
+        winnow_copy_pairs(
+            df,
+            "doc_id",
+            "text",
+            k=8,
+            window=4,
+            min_shared=20,
+            hash_fn="xxhash64",
+            frames=frames,
+        )
+
+
 def test_bucket_pairs_staged_equals_unstaged(spark):
     """bounded_bucket_pairs(stage=True) localCheckpoints the
     bucket-count window frame so the Exchange+Sort+Window chain runs
