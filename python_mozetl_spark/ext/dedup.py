@@ -1194,7 +1194,7 @@ def winnow_prefix_frames(
     rarest-first row_number) over the whole fingerprint frame —
     measured 1.27 s of the query's 11.3 s noop wall at sf0.01, i.e.
     ~11% saved by sharing (interleaved medians, tools note in
-    OPTIMIZATION_r13.md §8).  The hash-parity query CANNOT share:
+    OPTIMIZATION_r13.md §5e).  The hash-parity query CANNOT share:
     its two runs differ in ``hash_fn``, which changes every
     fingerprint, so nothing above the base scan is common.
 
