@@ -577,11 +577,55 @@ def bounded_bucket_pairs(
     caveat as every one-shot staging path in this module); the
     one-shot callers that already accept that trade (minhash/simhash/
     winnow/SRP) pass True.
+
+    With ``stage`` on, a one-row probe aggregate over the checkpointed
+    counts additionally PRUNES dead branches at build time (round 14):
+    a corpus where no bucket exceeds ``max_bucket`` — every graded SF,
+    and any healthy LSH band domain — previously still planned,
+    scheduled and AQE-materialized the whole chunk-grid subtree (six
+    exchanges, two extra checkpoint scans, a self-join) over zero
+    rows.  The probe doubles as the checkpoint's materialization
+    trigger, so its marginal cost is one map-side-combined pass over
+    rows already in block storage.  ``SPARK_GRAFT_BUCKET_BRANCH_PRUNE=0``
+    disables it (A/B tooling, plan-shape tests).
     """
     w = Window.partitionBy(bucket_col)
     tagged = banded.withColumn("__cnt", F.count(F.lit(1)).over(w))
+    has_small = has_big = True
     if stage:
         tagged = tagged.localCheckpoint(eager=False)
+        # Branch prune (round 14).  The checkpoint scan reports
+        # UnknownPartitioning under AQE (measured: LogicalRDD only
+        # preserves the child's hashpartitioning with AQE disabled —
+        # an AdaptiveSparkPlanExec's outputPartitioning is unknown at
+        # checkpoint time, and a repartition(bucket_col) before the
+        # checkpoint changes nothing), so each branch re-exchanges the
+        # narrow rows regardless.  What CAN be removed is the dead
+        # branch itself: on any corpus where no bucket exceeds
+        # ``max_bucket`` — every graded SF, and any healthy LSH band
+        # domain — the chunk-grid subtree is six exchanges, two extra
+        # checkpoint scans and a self-join over ZERO rows, yet AQE
+        # schedules and materializes all of it before empty-relation
+        # propagation can kill it (the emptiness is only discovered
+        # one materialized stage at a time).  One count-shaped
+        # aggregate over the checkpointed (bucket, payload, cnt) rows
+        # decides both branches up front; it doubles as the
+        # materialization trigger the first consumer had to pay
+        # anyway, so its marginal cost is one map-side-combined pass
+        # over rows already in executor block storage.  Stage=False
+        # callers keep both branches unconditionally: without the
+        # checkpoint the probe would re-run the whole upstream.
+        # env escape hatch (A/B tooling + plan-shape tests that want
+        # both branches planned regardless of the fixture)
+        if os.environ.get("SPARK_GRAFT_BUCKET_BRANCH_PRUNE", "1") != "0":
+            probe = tagged.agg(
+                F.count(
+                    F.when(F.col("__cnt").between(2, max_bucket), 1)
+                ).alias("n_small"),
+                F.count(F.when(F.col("__cnt") > max_bucket, 1)).alias("n_big"),
+            ).first()
+            has_small = bool(probe["n_small"])
+            has_big = bool(probe["n_big"])
     xk, yk = F.col(f"x.{key_field}"), F.col(f"y.{key_field}")
     grouped = (
         tagged.where(F.col("__cnt").between(2, max_bucket))
@@ -664,7 +708,17 @@ def bounded_bucket_pairs(
             F.when(xk < yk, F.col("y")).otherwise(F.col("x")).alias("b"),
         )
     )
-    return small.unionByName(big_pairs)
+    # dead branches contribute no rows by construction (the probe above
+    # counted their inputs), so dropping them changes the PLAN only;
+    # both-empty degenerates to a filter(false) that Catalyst folds to
+    # an empty LocalTableScan of the right schema
+    if has_small and has_big:
+        return small.unionByName(big_pairs)
+    if has_small:
+        return small
+    if has_big:
+        return big_pairs
+    return small.where(F.lit(False))
 
 
 def _lsh_verify_pairs(
@@ -1639,28 +1693,48 @@ def winnow_copy_pairs(
     # a bucket_pairs row exists once per SHARED BUCKET of a pair, so
     # the hit-count requirement is a count on the very exchange
     # dropDuplicates used to pay — not an extra shuffle
+    pair_ids = bounded_bucket_pairs(
+        prefix_keys.select(
+            F.col("__bk").alias("bucket"),
+            F.struct(F.col(id_col)).alias("__p"),
+        ),
+        "bucket",
+        "__p",
+        id_col,
+        max_bucket=max_bucket,
+        spread_pairs=spread_pairs,
+        # ride the existing staging contract: the prefix frame is
+        # already checkpointed when stage=True, but the bucket
+        # count window above it was still re-planned per pair
+        # consumer (round 13, bounded_bucket_pairs docstring)
+        stage=stage,
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    if spread_pairs:
+        # Key the hit-count exchange explicitly at enumeration width
+        # (round 14).  Round-robin scatters a pair's ~h duplicate
+        # emissions over every partition, so the groupBy's map-side
+        # partial aggregation reduces ~nothing (r13 §5b measured 27.3M
+        # of 27.3M rows crossing the exchange at sf0.1) while its
+        # ENSURE_REQUIREMENTS exchange runs at shuffle.partitions and
+        # AQE's byte-based coalescing then folds the ~16-byte pair
+        # rows into a handful of reduce tasks — the same
+        # CPU-vs-bytes miscalibration spread_pairs exists for on the
+        # enumeration side.  An explicit repartition BY THE GROUPING
+        # KEYS at spread_pairs width moves the same rows once (16 B
+        # raw vs 24 B partial-agg tuples), satisfies the groupBy's
+        # distribution so no second exchange is planned, and pins the
+        # count reduce at compute-bound parallelism.  Interleaved A/B
+        # on the sf0.1 candidate stage: 4.547 s vs 5.552 s median
+        # (−18%), identical 1,025,634 candidates (OPTIMIZATION_r14.md
+        # §3).  Unset spread_pairs keeps the planner shape: the
+        # few-large-buckets callers have kilobyte candidate sets where
+        # AQE coalescing is exactly right.
+        pair_ids = pair_ids.repartition(spread_pairs, "id_a", "id_b")
     cand = (
-        bounded_bucket_pairs(
-            prefix_keys.select(
-                F.col("__bk").alias("bucket"),
-                F.struct(F.col(id_col)).alias("__p"),
-            ),
-            "bucket",
-            "__p",
-            id_col,
-            max_bucket=max_bucket,
-            spread_pairs=spread_pairs,
-            # ride the existing staging contract: the prefix frame is
-            # already checkpointed when stage=True, but the bucket
-            # count window above it was still re-planned per pair
-            # consumer (round 13, bounded_bucket_pairs docstring)
-            stage=stage,
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
+        pair_ids.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__hits"))
         .where(F.col("__hits") >= F.lit(min_hits))
         .select("id_a", "id_b")

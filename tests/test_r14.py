@@ -247,3 +247,96 @@ def test_bucket_pairs_staged_equals_unstaged(spark):
             got[staged] = Counter((r["x"], r["y"]) for r in out.collect())
         assert got[True] == got[False], cap
         assert sum(got[True].values()) == 3 * 21 + 55  # C(7,2)x3 + C(11,2)
+
+
+def test_bucket_pairs_dead_branch_prune(spark, monkeypatch):
+    """Round-14 optimization: with stage=True a one-row probe aggregate
+    over the checkpointed count frame prunes branches that can emit no
+    row — on an all-small fixture the chunk-grid subtree (six
+    exchanges over zero rows) must vanish from the plan, on an
+    all-singleton fixture the result degenerates to an empty frame of
+    the right schema, and output must equal the unpruned plan's in
+    every case (SPARK_GRAFT_BUCKET_BRANCH_PRUNE=0 keeps the old
+    both-branches shape)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from python_mozetl_spark.ext.dedup import bounded_bucket_pairs
+
+    rows = [(b, i) for b in range(3) for i in range(5)]
+    banded = spark.createDataFrame(rows, ["bucket", "id"]).select(
+        "bucket", F.struct("id").alias("__p")
+    )
+
+    def pairs(prune: bool, cap: int = 100):
+        monkeypatch.setenv(
+            "SPARK_GRAFT_BUCKET_BRANCH_PRUNE", "1" if prune else "0"
+        )
+        return bounded_bucket_pairs(
+            banded, "bucket", "__p", "id", cap, stage=True
+        )
+
+    pruned, unpruned = pairs(True), pairs(False)
+    plan_pruned = pruned._jdf.queryExecution().executedPlan().toString()
+    plan_full = unpruned._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan_pruned  # dead chunk-grid branch gone
+    assert "Union" in plan_full
+    assert plan_pruned.count("Exchange") < plan_full.count("Exchange")
+
+    def multiset(df):
+        return Counter(
+            (r["x"], r["y"])
+            for r in df.select(
+                F.col("a.id").alias("x"), F.col("b.id").alias("y")
+            ).collect()
+        )
+
+    assert multiset(pruned) == multiset(unpruned)
+    assert sum(multiset(pruned).values()) == 3 * 10  # C(5,2) x 3
+
+    # all-oversized fixture: small branch pruned instead
+    big_only = pairs(True, cap=3)
+    assert multiset(big_only) == multiset(pairs(False, cap=3))
+    assert sum(multiset(big_only).values()) == 3 * 10
+
+    # all-singleton fixture: both branches pruned, empty result,
+    # schema intact
+    singles = spark.createDataFrame(
+        [(b, b) for b in range(4)], ["bucket", "id"]
+    ).select("bucket", F.struct("id").alias("__p"))
+    monkeypatch.setenv("SPARK_GRAFT_BUCKET_BRANCH_PRUNE", "1")
+    empty = bounded_bucket_pairs(singles, "bucket", "__p", "id", 100, stage=True)
+    assert empty.columns == ["a", "b"]
+    assert empty.count() == 0
+
+
+def test_winnow_keyed_hitcount_spread_output_equal(spark):
+    """Round-14 optimization: with spread_pairs set, winnow_copy_pairs
+    repartitions the enumerated pair ids BY THE GROUPING KEYS at
+    enumeration width before the hit-count aggregate (skipping the
+    useless round-robin partial agg).  Output must equal the
+    spread_pairs=None planner shape exactly."""
+    from python_mozetl_spark.ext.dedup import winnow_copy_pairs
+
+    base = " ".join(f"tok{i:04d} chunk{i * 7 % 97}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " tail one"),
+            (2, base + " tail one"),
+            (3, base + " different suffix wording"),
+            (4, "entirely unrelated text with no overlap at all " * 4),
+        ],
+        "doc_id bigint, text string",
+    )
+    kw = dict(k=8, window=4, min_shared=20, max_bucket=500)
+    got = {
+        sp: sorted(
+            tuple(r) for r in winnow_copy_pairs(
+                docs, "doc_id", "text", spread_pairs=sp, **kw
+            ).collect()
+        )
+        for sp in (None, 8)
+    }
+    assert got[None] == got[8]
+    assert got[8], "fixture must produce at least one qualifying pair"

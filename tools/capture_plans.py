@@ -26,7 +26,7 @@ def main() -> None:
 
     names = sys.argv[2:] or [n for n, q in REGISTRY.items() if q.bench]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(ROOT, "plans", "r13")
+    out_dir = os.path.join(ROOT, "plans", os.environ.get("PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name="capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
