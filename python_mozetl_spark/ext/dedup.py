@@ -1450,6 +1450,21 @@ def winnow_copy_pairs(
       default; likewise when the effective c < 2 (composites would
       break recall) it picks arity 1 instead of raising.
 
+      A THIRD observable (round 14) closes the dense-corpus blind
+      spot the rows2 proxy alone carried (SCALE.md §6m: on a 35k-doc
+      dense fixture the composite buckets saturate too — enum2 =
+      2.1 × enum1 while rows2 < enum1 said composites were cheaper):
+      arity 2 is selected only when
+      ``rows2 + enum2_est < enum1``, where ``enum2_est`` estimates
+      Σ s·(s−1)/2 over the COMPOSITE buckets from a deterministic doc
+      sample (collision pairs scale ∝ rate², so the sampled sum is
+      unbiased under 1/rate²; exact when rows2 fits the sample budget
+      ``WINNOW_ARITY_GATE_ENUM2_SAMPLE_ROWS``, default 2M rows).  The
+      estimate is only computed on the ``rows2 < enum1`` ∧ past-floor
+      path — the one place the old gate could mispick — and is
+      sharpest exactly on dense corpora, where rows2 (and hence the
+      sample rate's denominator) is small relative to enum1.
+
       The comparison only applies past an ABSOLUTE floor
       (``enum1 ≥ 1e9``, env ``WINNOW_ARITY_GATE_MIN_ENUM1``): the
       observables are asymptotic volume proxies whose per-unit costs
@@ -1470,11 +1485,12 @@ def winnow_copy_pairs(
     ``gate_report`` (optional): a caller-supplied dict filled with the
     gate decision — ``anchor_arity`` (the arity actually used),
     ``reason`` (``"measured"`` / ``"below-floor"`` / ``"c<2"`` /
-    ``"unstaged"`` / ``"manual"``), and the two observables
-    (``arity1_enumerations``,
-    ``arity2_rows``; None when the gate did not measure) — so scale
-    sweeps can record WHICH side the gate chose and why without
-    re-deriving the aggregates.
+    ``"unstaged"`` / ``"manual"``), and the observables
+    (``arity1_enumerations``, ``arity2_rows``, ``arity2_enum_est``;
+    None when the gate did not measure that term —
+    ``arity2_enum_est`` is only computed on the past-floor
+    rows2 < enum1 path) — so scale sweeps can record WHICH side the
+    gate chose and why without re-deriving the aggregates.
 
     ``frames`` (round-13 optimization): a :class:`WinnowPrefixFrames`
     from :func:`winnow_prefix_frames`, letting multiple pair-stage
@@ -1588,7 +1604,7 @@ def winnow_copy_pairs(
         # models); integers all the way — these sums reach 3.18e9 at
         # the measured fifth decade and would overflow nothing but
         # would lose precision as doubles
-        enum1 = rows2 = None
+        enum1 = rows2 = enum2_est = None
         if c < 2:
             anchor_arity, reason = 1, "c<2"  # composites can't hold recall
         elif not staged_prefix:
@@ -1646,19 +1662,88 @@ def winnow_copy_pairs(
                     "WINNOW_ARITY_GATE_MIN_ENUM1", str(1_000_000_000)
                 )
             )
-            if rows2 < enum1 and enum1 < floor:
+            if rows2 >= enum1:
+                anchor_arity, reason = 1, "measured"
+            elif enum1 < floor:
                 anchor_arity, reason = 1, "below-floor"
             else:
-                anchor_arity, reason = (2, "measured") if rows2 < enum1 else (
-                    1,
-                    "measured",
+                # Third observable (round 14, closing the dense-corpus
+                # blind spot SCALE.md §6m measured): rows2 prices only
+                # BUILDING the composite rows, not ENUMERATING their
+                # buckets — on a dense corpus the composite buckets
+                # saturate like the singles do (the 35k-doc dense
+                # fixture read enum2 = 1.65e9 = 2.1× enum1 while
+                # rows2 said the opposite), so arity 2 must also beat
+                # enum1 on its own downstream enumeration volume:
+                # arity 2 iff rows2 + enum2_est < enum1.  enum2 is
+                # estimated from a deterministic doc sample: keeping
+                # docs at rate r keeps a composite bucket's (cross-doc)
+                # members independently, so sampled Σ s·(s−1)/2 scales
+                # by r² — and the estimate is sharpest exactly where it
+                # matters, because dense corpora have small rows2
+                # relative to enum1 (that is the miscalibration), hence
+                # a LARGE sample rate.  On Heaps corpora the rate is
+                # tiny but true enum2 sits orders of magnitude below
+                # the enum1−rows2 margin (composite buckets collapse to
+                # duplicate-family size), so sampling noise cannot
+                # cross the threshold (x1000: P[flip] ~ Poisson tail at
+                # 17 vs mean ~1).  Exact (rate=1) whenever rows2 is
+                # already within the sample budget.  Only paid on the
+                # rows2 < enum1 ∧ enum1 ≥ floor path — the one place
+                # the old gate could mispick.
+                target = int(
+                    os.environ.get(
+                        "WINNOW_ARITY_GATE_ENUM2_SAMPLE_ROWS",
+                        str(2_000_000),
+                    )
                 )
+                den = 1 << 20
+                if rows2 > target > 0:
+                    num = max(1, (target * den) // rows2)
+                    sampled = prefix.where(
+                        F.pmod(F.xxhash64(F.col(id_col)), F.lit(den))
+                        < F.lit(num)
+                    )
+                else:
+                    num = den
+                    sampled = prefix
+                s_left = sampled.select(
+                    F.col(id_col),
+                    F.col("fp").alias("__f1"),
+                    F.col("__rn").alias("__r1"),
+                )
+                s_right = sampled.select(
+                    F.col(id_col),
+                    F.col("fp").alias("__f2"),
+                    F.col("__rn").alias("__r2"),
+                )
+                s_pairs = (
+                    s_left.join(s_right, id_col)
+                    .where(F.col("__r1") < F.col("__r2"))
+                    .groupBy(F.xxhash64("__f1", "__f2").alias("__bk"))
+                    .agg(F.count(F.lit(1)).alias("__s"))
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.col("__s") * (F.col("__s") - 1)),
+                            F.lit(0),
+                        )
+                    )
+                    .first()[0]
+                )
+                # exact integer unbiasing: sampled pair-sum / r² with
+                # r = num/den (r=1 when unsampled)
+                enum2_est = (int(s_pairs) // 2) * den * den // (num * num)
+                if rows2 + enum2_est < enum1:
+                    anchor_arity, reason = 2, "measured"
+                else:
+                    anchor_arity, reason = 1, "measured"
         if gate_report is not None:
             gate_report.update(
                 anchor_arity=anchor_arity,
                 reason=reason,
                 arity1_enumerations=enum1,
                 arity2_rows=rows2,
+                arity2_enum_est=enum2_est,
             )
     elif gate_report is not None:
         gate_report.update(
@@ -1666,6 +1751,7 @@ def winnow_copy_pairs(
             reason="manual",
             arity1_enumerations=None,
             arity2_rows=None,
+            arity2_enum_est=None,
         )
     if anchor_arity == 2:
         # composite (fp_i, fp_j) anchors: within-doc rank self-join

@@ -8953,80 +8953,78 @@ def doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FUTURE ROUNDS: never let a new or behavior-changed query sit past
 # index 49 or the driver will silently skip it.
 _DRIVER_WINDOW = [
-    # Round-13 rotation (VERDICT r12 task 4 clears the r8 rotation
-    # debt).  Ordering contract: the driver grades
-    # list(REGISTRY)[:50]; changed/new queries front the window, then
-    # the stalest cohorts.  Live staleness entering r13 (computed from
-    # CORRECTNESS_r01..r12 newest-row rounds; embedding_clusters'
-    # r3 row is retired, not live): the six r8-cohort queries, then
-    # the 43-query r9 cohort.  1 new + 3 impl-touched + 6 + 40 = 50;
-    # the r9 cohort's alphabetical tail (taar_locale_topn,
-    # token_pmi_pairs, weekly_trend_merge) heads the R14 QUEUE,
-    # followed by the r10 cohort.
-    # (a) NEW in round 13 (never driver-graded => MUST hold a slot)
-    "doc_winnow_arity_parity",
-    # (b) impl touched in round 13: winnow_copy_pairs gains the
-    # anchor_arity='auto' planning-time gate (default arity-1 output
-    # and plan unchanged, but the restructured entry path earns fresh
-    # rows for both its graded consumers — the r10/r11/r12 precedent
-    # for output-identical expression-tree/call-graph changes, and the
-    # r12 ADVICE asked for exactly this row); the tfidf verify
-    # auto-gate recalibrates its token-key estimate and unstaged
-    # behavior (the graded defaults ride the unchanged hashed/staged
-    # path — same precedent)
+    # Round-14 rotation (VERDICT r13 item 3: every r13 plan-level
+    # change earns a fresh driver oracle row).  Ordering contract
+    # unchanged: the driver grades list(REGISTRY)[:50]; changed
+    # queries front the window, then the stalest cohorts.
+    # 9 + 11 + 3 + 27 = exactly 50; the r10 cohort's alphabetical
+    # tail (sql_surface_lateral, status_conditional_agg,
+    # stratified_mod_sample, stream_decayed_totals,
+    # stream_running_totals, summary_stats, token_cooccurrence,
+    # token_positions, top_orders_per_customer, top_part_types,
+    # union_high_value) heads the R15 QUEUE, followed by the r11
+    # cohort.
+    # (a) impl touched in round 14: bounded_bucket_pairs(stage=True)
+    # gains build-time dead-branch pruning and winnow_copy_pairs'
+    # spread_pairs repartition is now keyed by the hit-count grouping
+    # keys — the nine graded queries whose plans transit either path
+    # (the same nine the round-14 prune commit oracle-verified)
     "doc_winnow_copy_pairs",
     "doc_winnow_hash_parity",
-    "doc_tfidf_cosine_pairs",
-    # (c) the six r8-cohort queries (stalest live driver rows — the
-    # rotation debt VERDICT r12 named)
-    "taar_lr_curves",
-    "token_inverted_index",
-    "token_pagerank",
-    "user_daily_gapfill",
-    "vocab_heavy_hitters",
-    "weekly_retention_cohorts",
-    # (d) the r09 cohort, alphabetical, minus the three-query tail
-    # deferred to r14 (named above)
-    "addon_aggregates_rollup",
-    "addon_coinstall_graph",
-    "bloom_pruned_revenue",
-    "bm25_search_docs",
-    "bpe_merge_candidates",
-    "clients_daily_rollup",
-    "csv_dim_weighted_orders",
-    "doc_length_auc",
-    "doc_negative_samples",
-    "doc_ngram_jaccard_pairs",
-    "doc_temperature_mix",
-    "doc_unimax_mix",
-    "embedding_kcenter_coreset",
-    "embedding_semantic_dedup_hi",
-    "event_gap_quantiles",
-    "event_transition_probs",
-    "event_type_daily_trend",
-    "event_type_user_overlap",
-    "event_value_mannwhitney",
-    "experiments_daily_rollup",
-    "graphics_device_shares",
-    "hardware_dimension_report",
-    "missing_symbols_report",
-    "orders_incremental_state",
-    "orders_neyman_sample",
-    "orders_quality_report",
-    "parquet_sink_roundtrip",
-    "part_zorder_keys",
-    "price_quantile_sketch",
-    "price_winsorized_revenue",
-    "priority_conversion_ci",
-    "priority_grouping_sets",
-    "priority_status_chi2",
-    "profile_export_json",
-    "search_engine_rollup",
-    "session_attribution_rollup",
-    "status_cube",
-    "stream_cm_counters",
-    "stream_histogram_quantiles",
-    "stream_mg_bound_audit",
+    "doc_winnow_arity_parity",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "doc_incremental_lsh",
+    "doc_dup_components",
+    "embedding_near_dup",
+    "embedding_topk",
+    # (b) plan-level changes from round 13 never driver-graded: the
+    # twelve spread_input drops (e504024 + b2a1f2c) minus
+    # embedding_topk, already in (a).  VERDICT r13 item 3 names these.
+    "priority_join_agg",
+    "regional_revenue",
+    "daily_event_rollup",
+    "sessionized_events",
+    "customer_order_counts",
+    "customers_without_orders",
+    "segment_active_customers",
+    "customer_year_sets",
+    "segment_share",
+    "order_burst_interval_join",
+    "doc_ccnet_buckets",
+    # (c) the R14 queue heads pinned by the r13 rotation comment (the
+    # r9 cohort's deferred alphabetical tail — stalest live rows, r9)
+    "taar_locale_topn",
+    "token_pmi_pairs",
+    "weekly_trend_merge",
+    # (d) the r10 cohort, alphabetical, as many as fit (27 of 38)
+    "asof_click_before_purchase",
+    "brand_collapse",
+    "cm_user_counts",
+    "csv_export_roundtrip",
+    "distinct_user_event_types",
+    "doc_clean_corpus",
+    "doc_exact_dedup",
+    "doc_pretrain_corpus",
+    "doc_simhash",
+    "doc_weighted_sample",
+    "embedding_bucket_topk",
+    "foreach_sink_roundtrip",
+    "json_sink_roundtrip",
+    "label_centroids",
+    "mod_sampled_agg",
+    "multi_distinct",
+    "multimodal_audio_stats",
+    "nation_suppliers",
+    "orders_bernoulli_sample",
+    "orders_snapshot_diff",
+    "orders_upsert_merge",
+    "part_name_links",
+    "price_psi_drift",
+    "priority_loo_encoding",
+    "priority_week_over_week",
+    "schema_drift_rollup",
+    "sliding_event_rollup",
 ]
 
 

@@ -313,22 +313,20 @@ def test_winnow_anchor_arity_auto_c1_falls_back_to_arity1(spark):
     assert out == [(0, 1)]
 
 
-def test_winnow_anchor_arity_auto_picks_composite_in_its_regime(spark, monkeypatch):
-    """A boilerplate-heavy corpus (every doc shares one hot block, so
-    per-fingerprint buckets hold ~all docs while prefixes stay short
-    because m barely clears T) must flip the gate to arity 2 — the
-    regime §6k proved composite anchors win — and the output must
-    still equal the forced arity-1 run.  The absolute enum1 floor is
-    zeroed: this fixture demonstrates the COMPARISON mechanics; at its
-    real 60-doc scale the floor would (correctly) hold arity 1."""
+def test_winnow_anchor_arity_auto_enum2_vetoes_dense_boilerplate(spark, monkeypatch):
+    """A boilerplate corpus where every doc shares the SAME hot block
+    is a dense corpus in miniature: the rows2 proxy says composites
+    are cheaper (rows2 < enum1 — the pre-r14 gate picked arity 2
+    here), but the shared fingerprints co-occur PAIRWISE in every
+    prefix, so the composite buckets saturate exactly like the singles
+    (enum2 ~ C(q,2)/q x enum1 > enum1 — the SCALE.md §6m
+    miscalibration).  The round-14 third observable must veto the
+    flip: arity 1, with the recorded estimate proving the veto bound.
+    Floor zeroed — this pins the comparison mechanics."""
     monkeypatch.setenv("WINNOW_ARITY_GATE_MIN_ENUM1", "0")
     from python_mozetl_spark.ext.dedup import winnow_copy_pairs
 
     rng = random.Random(7)
-    # 140-char shared block => m barely clears T=50, so prefixes are
-    # SHORT (p = m-T+c ~ 13, composite rows ~ C(13,2)*N) while every
-    # shared fingerprint's bucket holds all N docs (enumerations
-    # ~ #shared_prefix_buckets * C(N,2)) — composite wins with N
     block = _rand_text(rng, 140)
     rows = [(i, block + _rand_text(rng, 8)) for i in range(60)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
@@ -341,8 +339,15 @@ def test_winnow_anchor_arity_auto_picks_composite_in_its_regime(spark, monkeypat
             anchor_arity="auto", gate_report=rep,
         ).collect()
     )
-    assert rep["anchor_arity"] == 2 and rep["reason"] == "measured"
+    assert rep["anchor_arity"] == 1 and rep["reason"] == "measured"
+    # the rows2 proxy alone WOULD have flipped — that is the blind spot
     assert rep["arity2_rows"] < rep["arity1_enumerations"]
+    # ... and the third observable is what vetoed it
+    assert rep["arity2_enum_est"] is not None
+    assert (
+        rep["arity2_rows"] + rep["arity2_enum_est"]
+        >= rep["arity1_enumerations"]
+    )
     manual = sorted(
         (r.id_a, r.id_b, r.n_shared)
         for r in winnow_copy_pairs(
@@ -351,6 +356,85 @@ def test_winnow_anchor_arity_auto_picks_composite_in_its_regime(spark, monkeypat
         ).collect()
     )
     assert auto == manual and len(auto) > 0
+
+
+def test_winnow_anchor_arity_auto_picks_composite_in_its_regime(spark, monkeypatch):
+    """The regime where composite anchors GENUINELY win: every doc
+    carries one hot shared block whose rarest-first tail puts a
+    handful of shared fingerprints into each prefix, but the bulk of
+    every prefix is doc-unique — so single-fp buckets hold all N docs
+    (enum1 ~ q x C(N,2)) while almost every composite key involves a
+    doc-unique fingerprint and lands in a singleton bucket (enum2 ~ 0).
+    The gate must pick arity 2 on the full three-observable rule, the
+    rate-1 estimate must EQUAL the hand-computed composite bucket sum,
+    and the output must equal the forced arity-1 run.  Floor zeroed —
+    comparison mechanics; at this absolute scale the floor would
+    (correctly) hold arity 1."""
+    monkeypatch.setenv("WINNOW_ARITY_GATE_MIN_ENUM1", "0")
+    from python_mozetl_spark.ext.dedup import (
+        winnow_copy_pairs,
+        winnow_prefix_frames,
+    )
+
+    rng = random.Random(11)
+    hot = _rand_text(rng, 55)
+    rows = [(i, _rand_text(rng, 28) + hot) for i in range(300)]
+    # a small true-duplicate family so the verify stage has pairs to
+    # emit (the hot block alone is below the n_shared >= 20 verify
+    # threshold); 3 copies barely move the gate observables
+    rows += [(300 + j, rows[0][1]) for j in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(k=8, window=4, min_shared=20, min_prefix_hits=4)
+
+    # hand-compute the exact composite bucket sum from the prefix frame
+    import collections
+
+    prefix = winnow_prefix_frames(df, "doc_id", "text", **kw).prefix
+    by_doc: dict = collections.defaultdict(list)
+    for r in prefix.collect():
+        by_doc[r.doc_id].append((r["__rn"], r.fp))
+    comp = collections.Counter()
+    for fs in by_doc.values():
+        fs.sort()
+        for i in range(len(fs)):
+            for j in range(i + 1, len(fs)):
+                comp[(fs[i][1], fs[j][1])] += 1
+    exp_enum2 = sum(s * (s - 1) // 2 for s in comp.values())
+
+    rep: dict = {}
+    auto = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_copy_pairs(
+            df, "doc_id", "text", anchor_arity="auto", gate_report=rep,
+            **kw,
+        ).collect()
+    )
+    assert rep["anchor_arity"] == 2 and rep["reason"] == "measured"
+    # the rate-1 (unsampled) estimate is exact
+    assert rep["arity2_enum_est"] == exp_enum2
+    assert (
+        rep["arity2_rows"] + rep["arity2_enum_est"]
+        < rep["arity1_enumerations"]
+    )
+    manual = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_copy_pairs(
+            df, "doc_id", "text", anchor_arity=1, **kw,
+        ).collect()
+    )
+    assert auto == manual and len(auto) > 0
+
+    # force the SAMPLED path (budget far below rows2): the decision
+    # must not change — on this fixture enum2 is orders of magnitude
+    # under the enum1 - rows2 margin, so sampling noise cannot cross
+    # the threshold (deterministic: hash-based doc sampling)
+    monkeypatch.setenv("WINNOW_ARITY_GATE_ENUM2_SAMPLE_ROWS", "2000")
+    rep2: dict = {}
+    winnow_copy_pairs(
+        df, "doc_id", "text", anchor_arity="auto", gate_report=rep2, **kw,
+    )
+    assert rep2["anchor_arity"] == 2 and rep2["reason"] == "measured"
+    assert rep2["arity2_rows"] == rep["arity2_rows"]
 
 
 def test_winnow_anchor_arity_auto_floor_holds_arity1(spark, monkeypatch):
@@ -381,7 +465,12 @@ def test_winnow_anchor_arity_auto_floor_holds_arity1(spark, monkeypatch):
     # the raw comparison WOULD have flipped — that is what the floor guards
     assert rep["arity2_rows"] < rep["arity1_enumerations"]
     assert rep["arity1_enumerations"] < 1_000_000_000
-    # a floor the observables clear lets the comparison decide again
+    # below-floor short-circuits BEFORE paying the enum2 sample join
+    assert rep["arity2_enum_est"] is None
+    # a floor the observables clear lets the comparison decide again —
+    # and on this boilerplate fixture the round-14 third observable
+    # (composite buckets saturate like the singles) now vetoes the
+    # rows2-only flip, so "measured" correctly lands on arity 1
     monkeypatch.setenv(
         "WINNOW_ARITY_GATE_MIN_ENUM1", str(rep["arity1_enumerations"])
     )
@@ -393,7 +482,8 @@ def test_winnow_anchor_arity_auto_floor_holds_arity1(spark, monkeypatch):
             anchor_arity="auto", gate_report=rep2,
         ).collect()
     )
-    assert rep2["anchor_arity"] == 2 and rep2["reason"] == "measured"
+    assert rep2["anchor_arity"] == 1 and rep2["reason"] == "measured"
+    assert rep2["arity2_enum_est"] is not None
     assert floored == unfloored and len(floored) > 0
 
 

@@ -19,6 +19,14 @@ gate-probe convention):
 4. the gate decision + reason via gate_report
 5. (optional, --walls) one timed noop run per arity
 
+Round 14: the probe additionally runs the REAL gate (gate_report) so
+the decision printed is the shipping rule, not a reproduction — the
+round-14 rule charges arity 2 its own enumeration volume
+(rows2 + enum2_est < enum1).  ``DENSE_N_DOCS`` scales the fixture:
+at 70k docs enum1 ~ 4x the 35k reading ~ 3.2e9, past the 1e9 floor,
+which is the "dense corpus the floor no longer protects" case VERDICT
+r13 item 4 names.
+
 Usage: python tools/dense_gate_probe.py [--walls]
 """
 import json
@@ -30,8 +38,8 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-N_DOCS = 35_000
-FIX = os.environ.get("DENSE_FIX_DIR", "/tmp/densefix35k")
+N_DOCS = int(os.environ.get("DENSE_N_DOCS", "35000"))
+FIX = os.environ.get("DENSE_FIX_DIR", f"/tmp/densefix{N_DOCS}")
 
 K, WINDOW, MIN_SHARED, MAX_BUCKET, C = 8, 4, 50, 500, 8
 HASH_FN = "xxhash64"
@@ -127,10 +135,23 @@ def main():
         .first()[0]
     ) // 2
     n_buckets1 = prefix.select("fp").distinct().count()
+    # the REAL gate decision (round 14: rows2 + sampled enum2 < enum1,
+    # past the floor), sharing the same staged frames
+    rep: dict = {}
+    winnow_copy_pairs(
+        d, "doc_id", "text", k=K, window=WINDOW, min_shared=MIN_SHARED,
+        max_bucket=MAX_BUCKET, hash_fn=HASH_FN, anchor_arity="auto",
+        gate_report=rep, frames=frames, min_prefix_hits=C,
+    )
     print(json.dumps({
+        "n_docs": N_DOCS,
         "enum1": enum1, "rows2": rows2, "enum2": enum2,
         "n_arity1_buckets": n_buckets1,
-        "gate_would_pick": 2 if (rows2 < enum1 and enum1 >= 1_000_000_000) else 1,
+        "gate_picked": rep["anchor_arity"], "gate_reason": rep["reason"],
+        "gate_enum2_est": rep["arity2_enum_est"],
+        "pre_r14_rule_would_pick": 2
+        if (rows2 < enum1 and enum1 >= 1_000_000_000)
+        else 1,
         "observables_wall_s": round(time.time() - t0, 1),
     }))
 

@@ -203,8 +203,69 @@ def _attach_sweep(spark, tags, rounds: int = 3) -> None:
         )
 
 
+def _slabcap_sweep(spark, tags, rounds: int = 3) -> None:
+    """Round-14 (VERDICT r13 item 5): measure the slab regime PAST the
+    verify_max_slabs=8 cap.  The cap's value was reasoned (B² union
+    branches -> plan-size blowup), not measured; this forces
+    B = 8/16/32/64 against the shuffled attach at the same decade,
+    order-balanced like the other sweeps, so the cap (and the auto
+    gate's slab->shuffle handoff point) is justified by numbers.
+    Wall includes plan build time — the B² branch count taxes the
+    DRIVER (analysis/optimization), which is exactly the cost the cap
+    guards, so build+execute is the honest measurement."""
+    from python_mozetl_spark.ext.search import tfidf_cosine_pairs
+    from python_mozetl_spark.plans.queries import t
+
+    for tag in tags:
+        sf_dir = os.path.join(ROOT, "scalefix", tag)
+
+        def run(mode: str) -> float:
+            spark._jvm.System.gc()
+            kw: dict = {}
+            attach = mode
+            if mode.startswith("slab"):
+                attach = "slab"
+                kw["verify_slabs"] = int(mode[4:])
+            t0 = time.time()
+            tfidf_cosine_pairs(
+                t(spark, sf_dir, "documents"),
+                "doc_id",
+                "text",
+                threshold=THRESHOLD,
+                verify_attach=attach,
+                **kw,
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.time() - t0, 2)
+
+        modes = ("slab8", "slab16", "slab32", "slab64", "shuffle")
+        for m in modes:  # warm every path before any timed run
+            run(m)
+        res: dict[str, list[float]] = {m: [] for m in modes}
+        for i in range(rounds):
+            order = modes[i % len(modes):] + modes[: i % len(modes)]
+            for mode in order:
+                res[mode].append(run(mode))
+        print(
+            json.dumps(
+                {
+                    "tag": tag,
+                    **{
+                        m: {
+                            "runs": res[m],
+                            "med": round(statistics.median(res[m]), 2),
+                        }
+                        for m in modes
+                    },
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--ab", "--attach")]
+    args = [
+        a for a in sys.argv[1:] if a not in ("--ab", "--attach", "--slabcap")
+    ]
     rounds = 3
     for a in list(args):
         # --rounds=1: the scale_x300 single-rep convention for decade
@@ -221,6 +282,8 @@ def main() -> None:
         _ab_sweep(spark, tags, rounds=rounds)
     elif "--attach" in sys.argv[1:]:
         _attach_sweep(spark, tags, rounds=rounds)
+    elif "--slabcap" in sys.argv[1:]:
+        _slabcap_sweep(spark, tags, rounds=rounds)
     else:
         _stage_sweep(spark, tags)
 
