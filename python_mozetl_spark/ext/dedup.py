@@ -593,7 +593,24 @@ def bounded_bucket_pairs(
     tagged = banded.withColumn("__cnt", F.count(F.lit(1)).over(w))
     has_small = has_big = True
     if stage:
-        tagged = tagged.localCheckpoint(eager=False)
+        # Staging backend A/B seam (round 14, VERDICT r13 item 1):
+        # `SPARK_GRAFT_BUCKET_STAGE_IMPL=persist` swaps the
+        # localCheckpoint for a MEMORY_AND_DISK persist so the two can
+        # be interleave-measured under synthetic I/O load
+        # (tools/profile_bucket_stage.py --impl).  localCheckpoint
+        # stays the DEFAULT on the measured result (OPTIMIZATION_r14.md
+        # §7) and one structural reason: a persist registers the frame
+        # in the CacheManager, which holds it until an explicit
+        # unpersist — an API that returns this DataFrame has no clean
+        # hook for that, so a long sweep would accumulate cached plans
+        # — while checkpoint RDD blocks are released by the
+        # ContextCleaner as soon as the frame is unreferenced.
+        if os.environ.get("SPARK_GRAFT_BUCKET_STAGE_IMPL", "") == "persist":
+            from pyspark.storagelevel import StorageLevel
+
+            tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            tagged = tagged.localCheckpoint(eager=False)
         # Branch prune (round 14).  The checkpoint scan reports
         # UnknownPartitioning under AQE (measured: LogicalRDD only
         # preserves the child's hashpartitioning with AQE disabled —
